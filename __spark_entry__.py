@@ -1,38 +1,93 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: render the sf0.001 `documents` table's text into
+real PDFs (distributed), run the span-extraction engine over them, and return
+the per-doc verification frame (span-sequence equality vs golden).
+
+``queries()`` — one entry per implemented operator (SURVEY §2 + the
+training-data operator families); ``oracle_sql()`` — DuckDB equivalents where
+SQL-expressible (extraction itself and engine-hash ops are rows-only checks).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from unipdf_spark import pipeline
+from unipdf_spark.operators import all_oracles, all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    docs_pdf = pipeline.docs_pdf_from_documents(
+        spark, "/root/testdata/sf0.001", limit=100
+    )
+    docs_pdf = docs_pdf.persist()
+    spans_out = pipeline.run_extraction(docs_pdf)
+    return pipeline.span_equality(docs_pdf, spans_out)
+
+
+# --- extraction-pipeline queries (non-SQL-expressible → rows-only checks) ----
+
+
+def _extract_fixture_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-fixture round trip across all fixture classes: per-class
+    doc count + span-equality match count (north-rule invariant)."""
+    n = 240 if "0.01" in sf_dir else (60 if "0.001" in sf_dir else 1000)
+    docs_pdf = pipeline.gen_docs_pdf(spark, n).persist()
+    spans_out = pipeline.run_extraction(docs_pdf)
+    eq = pipeline.span_equality(docs_pdf, spans_out)
+    return (
+        eq.groupBy("fixture_class")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("match").cast("int")).alias("n_match"),
+            F.sum(F.col("n_misses")).alias("total_misses"),
+        )
+        .orderBy("fixture_class")
+    )
+
+
+def _extract_external_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction over PDFs rendered from the `documents` table text."""
+    docs_pdf = pipeline.docs_pdf_from_documents(spark, sf_dir, limit=200).persist()
+    spans_out = pipeline.run_extraction(docs_pdf)
+    eq = pipeline.span_equality(docs_pdf, spans_out)
+    return eq.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("match").cast("int")).alias("n_match"),
+    )
+
+
+def _extract_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded span view (doc_id, idx, kind, text_len, media_ref, offset) of
+    a deterministic 60-doc fixture corpus — exercises the full engine and the
+    DataFrame-level explode/ordering path."""
+    docs_pdf = pipeline.gen_docs_pdf(spark, 60)
+    spans_out = pipeline.run_extraction(docs_pdf)
+    return (
+        spans_out.select("doc_id", F.posexplode("spans").alias("idx", "s"))
+        .select(
+            "doc_id",
+            "idx",
+            F.col("s.kind").alias("kind"),
+            F.length("s.text").alias("text_len"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+        )
+        .orderBy("doc_id", "idx")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(all_queries())
+    q["extract_fixture_roundtrip"] = _extract_fixture_corpus
+    q["extract_external_text"] = _extract_external_text
+    q["extract_spans_flat"] = _extract_spans_flat
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(all_oracles())

@@ -1,0 +1,111 @@
+"""Benchmark harness. Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "docs_per_sec": ..., "n_docs": ...}
+
+Headline = span-extraction throughput over the rendered fixture corpus
+(the north-rule workload: docs/sec + span-equality pass rate), plus the
+analytics operator suite at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_N_DOCS (override corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from unipdf_spark import pipeline
+    from unipdf_spark.operators import all_queries
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = 0.1
+    if "0.001" in sf_dir:
+        sf = 0.001
+    elif "0.01" in sf_dir:
+        sf = 0.01
+    n_docs = int(os.environ.get("BENCH_N_DOCS", {0.001: 60, 0.01: 600}.get(sf, 6000)))
+
+    spark = pipeline.get_spark("unipdf-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    # --- headline: extraction throughput + span equality -------------------
+    t0 = time.perf_counter()
+    docs_pdf = pipeline.gen_docs_pdf(
+        spark, n_docs, mix="bench", partitions=cpus * 2
+    ).persist()
+    docs_pdf.count()  # materialize generation outside the extraction timing
+    t_gen = time.perf_counter() - t0
+    timings["fixture_generation"] = round(t_gen, 3)
+
+    t0 = time.perf_counter()
+    spans_out = pipeline.run_extraction(docs_pdf, partitions=cpus * 2).persist()
+    n_ok = spans_out.filter(F.col("error").isNull()).count()
+    t_extract = time.perf_counter() - t0
+    timings["extract_spans"] = round(t_extract, 3)
+    docs_per_sec = n_docs / t_extract if t_extract > 0 else 0.0
+
+    t0 = time.perf_counter()
+    eq = pipeline.span_equality(docs_pdf, spans_out)
+    n_match = eq.filter(F.col("match")).count()
+    timings["span_equality_join"] = round(time.perf_counter() - t0, 3)
+    pass_rate = n_match / n_docs if n_docs else 0.0
+    spans_out.unpersist()
+    docs_pdf.unpersist()
+
+    # --- analytics operator suite ------------------------------------------
+    headline = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "top_customers_per_segment", "events_sessionize",
+        "token_counts", "quality_scores", "doc_fingerprints", "dedup_exact",
+        "minhash_lsh_pairs", "simhash_fingerprints", "ann_bruteforce_topk",
+        "embedding_near_dup_pairs",
+    ]
+    qs = all_queries()
+    for name in headline:
+        t0 = time.perf_counter()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            # noop sink unavailable or query failed → fall back to count
+            try:
+                qs[name](spark, sf_dir).count()
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                timings[name] = -1.0
+                print(f"bench error {name}: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "extracted docs/sec + span-equality pass rate; "
+                "headline operator suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "docs_per_sec": round(docs_per_sec, 1),
+                "span_equality_pass_rate": round(pass_rate, 6),
+                "extract_ok": n_ok,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

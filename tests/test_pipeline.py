@@ -1,0 +1,96 @@
+"""Spark pipeline tests: distributed generation → extraction → span-equality
+join, checkpoint/resume idempotence, skew isolation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from unipdf_spark import pipeline
+
+
+def test_end_to_end_span_equality(spark):
+    docs_pdf = pipeline.gen_docs_pdf(spark, 40, partitions=4).persist()
+    spans_out = pipeline.run_extraction(docs_pdf, partitions=4)
+    eq = pipeline.span_equality(docs_pdf, spans_out)
+    rows = eq.collect()
+    assert len(rows) == 40
+    bad = [r for r in rows if not r["match"]]
+    assert not bad, f"mismatches: {[r['doc_id'] for r in bad]}"
+    docs_pdf.unpersist()
+
+
+def test_external_documents_equality(spark):
+    docs_pdf = pipeline.docs_pdf_from_documents(
+        spark, "/root/testdata/sf0.001", limit=30
+    ).persist()
+    eq = pipeline.span_equality(docs_pdf, pipeline.run_extraction(docs_pdf, 4))
+    rows = eq.collect()
+    assert len(rows) == 30
+    assert all(r["match"] for r in rows)
+    docs_pdf.unpersist()
+
+
+def test_metrics_columns_present(spark):
+    docs_pdf = pipeline.gen_docs_pdf(spark, 8, partitions=2)
+    out = pipeline.run_extraction(docs_pdf, partitions=2).collect()
+    for r in out:
+        assert r["partition_id"] >= 0
+        assert r["elapsed_ms"] > 0
+        assert r["error"] is None
+        assert r["n_chars"] == sum(
+            len(s["text"]) for s in r["spans"] if s["kind"] == "text"
+        )
+
+
+def test_checkpoint_resume_idempotent(spark):
+    tmp1 = tempfile.mkdtemp()
+    tmp2 = tempfile.mkdtemp()
+    try:
+        docs_pdf = pipeline.gen_docs_pdf(spark, 30, partitions=4).persist()
+        # full run
+        pipeline.run_with_checkpoint(docs_pdf, tmp1, partitions=2, buckets=4)
+        full = {
+            r["doc_id"]: r["spans"]
+            for r in pipeline.read_checkpointed(spark, tmp1).collect()
+        }
+        # interrupted run: pre-seed manifest as if buckets 0,1 completed,
+        # then "resume" — only remaining buckets are processed
+        pipeline.run_with_checkpoint(docs_pdf, tmp2, partitions=2, buckets=4)
+        mdf = spark.read.parquet(f"{tmp2}/_manifest")
+        assert mdf.count() == 4
+        # resume on a complete manifest is a no-op (no new manifest rows)
+        pipeline.run_with_checkpoint(docs_pdf, tmp2, partitions=2, buckets=4)
+        assert spark.read.parquet(f"{tmp2}/_manifest").count() == 4
+        resumed = {
+            r["doc_id"]: r["spans"]
+            for r in pipeline.read_checkpointed(spark, tmp2).collect()
+        }
+        assert full == resumed
+        assert len(full) == 30
+        docs_pdf.unpersist()
+    finally:
+        shutil.rmtree(tmp1, ignore_errors=True)
+        shutil.rmtree(tmp2, ignore_errors=True)
+
+
+def test_salted_repartition_isolates_large_docs(spark):
+    docs_pdf = pipeline.gen_docs_pdf(spark, 20, partitions=2)
+    big = docs_pdf.withColumn(
+        "pdf_bytes",
+        F.when(
+            F.col("doc_id") == "doc_00000000",
+            F.concat(F.col("pdf_bytes"), F.lit(b"\x00" * pipeline.LARGE_DOC_BYTES)),
+        ).otherwise(F.col("pdf_bytes")),
+    )
+    parts = pipeline.salted_repartition(big, 4)
+    pid = parts.select(
+        "doc_id", F.spark_partition_id().alias("pid")
+    ).collect()
+    by_pid = {}
+    for r in pid:
+        by_pid.setdefault(r["pid"], []).append(r["doc_id"])
+    big_pid = [p for p, ids in by_pid.items() if "doc_00000000" in ids]
+    assert len(big_pid) == 1

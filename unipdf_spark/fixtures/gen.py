@@ -1,0 +1,667 @@
+"""Deterministic fixture generator: (seed, doc_id) → golden spans + PDF bytes.
+
+Generation is a pure function of (seed=42, doc_id) per FIXTURES.md. The
+generator performs its own text layout (wrap, columns, rotation, flow) with
+its OWN width table and renders real one-page PDFs through
+`fixtures.render.PdfFileWriter`; the only artifact shared with the engine is
+the span schema/conventions (`unipdf_spark.schema`).
+
+Fixture classes mirror the upstream extractor/text_test.go taxonomy
+(FIXTURES.md §4): simple, kerned, multicolumn, rotated, cid, interleaved,
+form_xobject, hyphenated, tagged, malformed, skew.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import zlib
+from dataclasses import dataclass, field
+
+from .. import schema
+from .render import PdfFileWriter, esc_string
+
+PAGE_W, PAGE_H = 612.0, 792.0
+MARGIN = 72.0
+FS = 12.0
+LEADING = 14.4  # 1.2 × FS: within-para pitch < engine's (1+1.0)·fs cap
+PARA_SKIP = 36.0  # ≥ 3 × FS: between-para pitch > the cap
+CID_W = 600.0  # uniform CID glyph width (units/1000)
+
+# Helvetica AFM widths for printable ASCII (public Adobe data; deliberately a
+# second copy — the generator may not share code with the engine).
+_W = {
+    " ": 278, "!": 278, '"': 355, "#": 556, "$": 556, "%": 889, "&": 667,
+    "'": 191, "(": 333, ")": 333, "*": 389, "+": 584, ",": 278, "-": 333,
+    ".": 278, "/": 278, "0": 556, "1": 556, "2": 556, "3": 556, "4": 556,
+    "5": 556, "6": 556, "7": 556, "8": 556, "9": 556, ":": 278, ";": 278,
+    "<": 584, "=": 584, ">": 584, "?": 556, "@": 1015, "A": 667, "B": 667,
+    "C": 722, "D": 722, "E": 667, "F": 611, "G": 778, "H": 722, "I": 278,
+    "J": 500, "K": 667, "L": 556, "M": 833, "N": 722, "O": 778, "P": 667,
+    "Q": 778, "R": 722, "S": 667, "T": 611, "U": 722, "V": 667, "W": 944,
+    "X": 667, "Y": 667, "Z": 611, "[": 278, "\\": 278, "]": 278, "^": 469,
+    "_": 556, "`": 333, "a": 556, "b": 556, "c": 500, "d": 556, "e": 556,
+    "f": 278, "g": 556, "h": 556, "i": 222, "j": 222, "k": 500, "l": 222,
+    "m": 833, "n": 556, "o": 556, "p": 556, "q": 556, "r": 333, "s": 500,
+    "t": 278, "u": 556, "v": 500, "w": 722, "x": 500, "y": 500, "z": 500,
+    "{": 334, "|": 260, "}": 334, "~": 584,
+}
+LIG_CODE = 192  # /Differences slot for the fi ligature (tagged class)
+LIG_WIDTH = 500
+
+WORDS = (
+    "analysis baseline cluster document engine filter graph heuristic index "
+    "join kernel layout matrix notion object parser query record stream "
+    "table union vector window extract span media content page text mark "
+    "reading order partition shuffle batch arrow salt skew resume lineage "
+    "metric golden render wrap column rotate glyph font width advance state"
+).split()
+CID_WORDS = WORDS[:20] + ["café", "naïve", "résumé", "データ", "解析", "引擎", "数据", "模型"]
+
+FIXTURE_CLASSES = [
+    "simple", "kerned", "multicolumn", "rotated", "cid", "interleaved",
+    "form_xobject", "hyphenated", "tagged", "malformed", "skew",
+]
+
+
+def _char_w(ch: str) -> float:
+    return float(_W.get(ch, 500))
+
+
+def _text_w(s: str, fs: float, tc: float = 0.0, th: float = 1.0) -> float:
+    return sum((_char_w(c) / 1000.0 * fs + tc) for c in s) * th
+
+
+def _cid_text_w(s: str, fs: float) -> float:
+    return len(s) * CID_W / 1000.0 * fs
+
+
+@dataclass
+class Seg:
+    """One show-op segment within a line. ``kern_after`` is in TJ units
+    (negative moves the pen right). ``golden`` overrides the segment's
+    contribution to the golden text (e.g. a kern-driven word gap renders no
+    glyph but contributes ' ')."""
+
+    text: str
+    kern_after: float | None = None
+    golden: str | None = None
+
+    @property
+    def gold(self) -> str:
+        return self.text if self.golden is None else self.golden
+
+
+@dataclass
+class ParaPlan:
+    lines: list[list[Seg]]
+    x: float
+    baselines: list[float]  # v coordinate (pre-rotation frame) per line
+    fs: float = FS
+    font: str = "F1"
+    tc: float = 0.0
+    tz: float = 100.0
+    lig_line: int = -1  # tagged: line index containing the ligature segment
+    page: int = 0
+
+    def golden_text(self) -> str:
+        """Line join per the schema convention (dehyphenation collapses a
+        trailing '-' + lowercase continuation)."""
+        rendered: list[str] = []
+        for segs in self.lines:
+            rendered.append("".join(s.gold for s in segs).replace("ﬁ", "fi"))
+        out = rendered[0]
+        for t in rendered[1:]:
+            if out and out[-1] == "-" and t[:1].isalpha() and t[:1].islower():
+                out = out[:-1] + t
+            else:
+                out = out + "\n" + t
+        return out
+
+
+@dataclass
+class ImagePlan:
+    key: int  # distinct-image id within the doc
+    x: float
+    y: float
+    w: float
+    h: float
+    inline: bool = False
+    page: int = 0
+
+
+@dataclass
+class DocPlan:
+    blocks: list = field(default_factory=list)  # ParaPlan | ImagePlan, doc order
+    theta: int = 0
+    corrupt_xref: bool = False
+    use_forms: bool = False  # first/last paras become Form XObjects
+    images: dict[int, bytes] = field(default_factory=dict)  # key -> rgb bytes
+
+
+# --- text planning ------------------------------------------------------------
+
+
+def _wrap(words: list[str], fs: float, width: float, tc: float, th: float,
+          cid: bool) -> list[str]:
+    lines: list[str] = []
+    cur = ""
+    for w in words:
+        cand = w if not cur else cur + " " + w
+        cw = _cid_text_w(cand, fs) if cid else _text_w(cand, fs, tc, th)
+        if cw <= width or not cur:
+            cur = cand
+        else:
+            lines.append(cur)
+            cur = w
+    if cur:
+        lines.append(cur)
+    return lines
+
+
+def _para(rng: random.Random, x: float, v_cursor: float, width: float,
+          n_words: tuple[int, int], fs: float = FS, font: str = "F1",
+          tc: float = 0.0, tz: float = 100.0, pool: list[str] | None = None,
+          ) -> tuple[ParaPlan, float]:
+    pool = pool or WORDS
+    words = [rng.choice(pool) for _ in range(rng.randint(*n_words))]
+    th = tz / 100.0
+    lines = _wrap(words, fs, width, tc, th, cid=(font == "F2"))
+    leading = fs * 1.2
+    baselines = []
+    v = v_cursor - fs
+    for _ in lines:
+        baselines.append(v)
+        v -= leading
+    plan = ParaPlan(
+        lines=[[Seg(t)] for t in lines], x=x, baselines=baselines, fs=fs,
+        font=font, tc=tc, tz=tz,
+    )
+    return plan, v + leading - PARA_SKIP  # next v_cursor (top of next block)
+
+
+def _kerned_para(rng: random.Random, x: float, v_cursor: float, width: float
+                 ) -> tuple[ParaPlan, float]:
+    """Lines built from TJ segments: intra-word kerns (small) and kern-driven
+    word gaps (-278 units ≡ a space width, no space char shown)."""
+    words = [rng.choice(WORDS) for _ in range(rng.randint(8, 18))]
+    tc = rng.choice([0.0, 0.0, 0.25])
+    tz = rng.choice([100.0, 100.0, 110.0])
+    th = tz / 100.0
+    lines = _wrap(words, FS, width, tc, th, cid=False)
+    baselines = []
+    seg_lines: list[list[Seg]] = []
+    v = v_cursor - FS
+    for ln in lines:
+        segs: list[Seg] = []
+        ws = ln.split(" ")
+        for i, wd in enumerate(ws):
+            if len(wd) > 4 and rng.random() < 0.5:
+                k = rng.randint(2, len(wd) - 2)
+                kern = rng.choice([-30.0, -15.0, 20.0])  # |gap| <= 0.036*fs
+                segs.append(Seg(wd[:k], kern_after=kern))
+                segs.append(Seg(wd[k:]))
+            else:
+                segs.append(Seg(wd))
+            if i < len(ws) - 1:
+                if rng.random() < 0.5:
+                    segs.append(Seg(" "))  # real space glyph
+                else:
+                    # kern-driven word gap: >= 278 units -> gap/fs >= 0.278,
+                    # past the 0.12 word-break threshold; no glyph shown
+                    segs[-1].kern_after = -(278.0 + rng.choice([0.0, 80.0]))
+                    segs.append(Seg("", golden=" "))
+        seg_lines.append(segs)
+        baselines.append(v)
+        v -= FS * 1.2
+    plan = ParaPlan(lines=seg_lines, x=x, baselines=baselines, fs=FS,
+                    tc=tc, tz=tz)
+    return plan, v + FS * 1.2 - PARA_SKIP
+
+
+def _hyphen_para(rng: random.Random, x: float, v_cursor: float, width: float
+                 ) -> tuple[ParaPlan, float]:
+    pre = [rng.choice(WORDS) for _ in range(rng.randint(3, 6))]
+    big_a, big_b = rng.choice(
+        [("super", "conductivity"), ("under", "standing"), ("extra", "ordinary")]
+    )
+    post = [rng.choice(WORDS) for _ in range(rng.randint(3, 6))]
+    l1 = " ".join(pre) + " " + big_a + "-"
+    l2 = big_b + " " + " ".join(post)
+    baselines = [v_cursor - FS, v_cursor - FS - LEADING]
+    plan = ParaPlan(lines=[[Seg(l1)], [Seg(l2)]], x=x, baselines=baselines)
+    return plan, baselines[1] - PARA_SKIP
+
+
+def _tagged_para(rng: random.Random, x: float, v_cursor: float, width: float
+                 ) -> tuple[ParaPlan, float]:
+    pre = [rng.choice(WORDS) for _ in range(rng.randint(2, 5))]
+    post = [rng.choice(WORDS) for _ in range(rng.randint(2, 5))]
+    # 'finest': fi rendered as the ligature glyph wrapped in BDC/ActualText
+    segs = [Seg(" ".join(pre) + " "), Seg("ﬁ"), Seg("nest " + " ".join(post))]
+    plan = ParaPlan(lines=[segs], x=x, baselines=[v_cursor - FS], lig_line=0)
+    return plan, v_cursor - FS - PARA_SKIP
+
+
+# --- document planning ---------------------------------------------------------
+
+
+def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
+    rng = random.Random(f"{seed}:{doc_id}")
+    plan = DocPlan()
+    width = PAGE_W - 2 * MARGIN
+    v = PAGE_H - MARGIN
+
+    if fixture_class == "rotated":
+        plan.theta = rng.choice([90, 180, 270])
+        budget = PAGE_H - 2 * MARGIN if plan.theta in (90, 270) else width
+        v = (PAGE_W - MARGIN) if plan.theta in (90, 270) else v
+        for _ in range(rng.randint(2, 4)):
+            p, v = _para(rng, MARGIN, v, budget, (6, 16))
+            plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "multicolumn":
+        ncols = rng.choice([2, 2, 3])
+        gutter = 42.0
+        colw = (width - gutter * (ncols - 1)) / ncols
+        if rng.random() < 0.6:
+            title, v = _para(rng, MARGIN, v, width, (3, 6), fs=18.0)
+            plan.blocks.append(title)
+            v -= 6.0
+        col_top = v
+        for ci in range(ncols):
+            cx = MARGIN + ci * (colw + gutter)
+            cv = col_top
+            for _ in range(rng.randint(2, 4)):
+                p, cv = _para(rng, cx, cv, colw, (6, 14))
+                plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "cid":
+        for _ in range(rng.randint(2, 4)):
+            p, v = _para(rng, MARGIN, v, width, (5, 12), font="F2",
+                         pool=CID_WORDS)
+            plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "interleaved":
+        n_imgs = rng.randint(1, 4)
+        distinct = rng.randint(1, min(3, n_imgs))
+        for k in range(distinct):
+            rgb = bytes(rng.randrange(256) for _ in range(8 * 8 * 3))
+            plan.images[k] = rgb
+        n_paras = rng.randint(2, 4)
+        img_slots = sorted(rng.sample(range(1, n_paras + 1), min(n_imgs, n_paras)))
+        use_inline = rng.random() < 0.4
+        si = 0
+        for i in range(n_paras):
+            p, v = _para(rng, MARGIN, v, width, (5, 14))
+            plan.blocks.append(p)
+            while si < len(img_slots) and img_slots[si] == i + 1:
+                h = rng.choice([36.0, 48.0, 60.0])
+                w = h * rng.choice([1.0, 1.5])
+                inline = use_inline and si == 0
+                key = -1 if inline else rng.randrange(distinct)
+                plan.blocks.append(
+                    ImagePlan(key=key, x=MARGIN, y=v - h, w=w, h=h, inline=inline)
+                )
+                v -= h + 12.0
+                si += 1
+        if -1 in [b.key for b in plan.blocks if isinstance(b, ImagePlan)]:
+            data = bytes(rng.randrange(256) for _ in range(4 * 4 * 3))
+            while b"EI" in data:
+                data = bytes(rng.randrange(256) for _ in range(4 * 4 * 3))
+            plan.images[-1] = data
+        return plan
+
+    if fixture_class == "form_xobject":
+        plan.use_forms = True
+        hdr = ParaPlan(lines=[[Seg("Header " + rng.choice(WORDS))]], x=MARGIN,
+                       baselines=[PAGE_H - 40.0], fs=10.0)
+        plan.blocks.append(hdr)
+        v = PAGE_H - MARGIN - 30
+        for _ in range(rng.randint(2, 4)):
+            p, v = _para(rng, MARGIN, v, width, (6, 14))
+            plan.blocks.append(p)
+        ftr = ParaPlan(lines=[[Seg("Footer " + rng.choice(WORDS))]], x=MARGIN,
+                       baselines=[36.0], fs=10.0)
+        plan.blocks.append(ftr)
+        return plan
+
+    if fixture_class == "hyphenated":
+        p, v = _para(rng, MARGIN, v, width, (5, 10))
+        plan.blocks.append(p)
+        p, v = _hyphen_para(rng, MARGIN, v, width)
+        plan.blocks.append(p)
+        if rng.random() < 0.5:
+            p, v = _para(rng, MARGIN, v, width, (4, 8))
+            plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "tagged":
+        p, v = _para(rng, MARGIN, v, width, (4, 8))
+        plan.blocks.append(p)
+        p, v = _tagged_para(rng, MARGIN, v, width)
+        plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "kerned":
+        for _ in range(rng.randint(2, 4)):
+            p, v = _kerned_para(rng, MARGIN, v, width)
+            plan.blocks.append(p)
+        return plan
+
+    n_paras = {"simple": (2, 5), "malformed": (2, 4), "skew": (60, 90)}[
+        fixture_class if fixture_class in ("simple", "malformed", "skew") else "simple"
+    ]
+    plan.corrupt_xref = fixture_class == "malformed"
+    count = random.Random(f"{seed}:{doc_id}:n").randint(*n_paras)
+    page = 0
+    for _ in range(count):
+        p, v = _para(rng, MARGIN, v, width, (5, 16))
+        p.page = page
+        plan.blocks.append(p)
+        if v < MARGIN + 60:
+            if fixture_class == "skew":
+                page += 1  # skew docs paginate (100× median content size)
+                v = PAGE_H - MARGIN
+            else:
+                break
+    return plan
+
+
+# --- rendering -----------------------------------------------------------------
+
+
+def _place(u: float, vv: float, theta: int) -> tuple[float, float]:
+    if theta == 0:
+        return u, vv
+    if theta == 90:
+        return PAGE_W - vv, u
+    if theta == 180:
+        return PAGE_W - u, PAGE_H - vv
+    return vv, PAGE_H - u  # 270
+
+
+def _para_content(p: ParaPlan, theta: int) -> bytes:
+    c, s = {0: (1, 0), 90: (0, 1), 180: (-1, 0), 270: (0, -1)}[theta]
+    out = bytearray(b"BT\n")
+    out += b"/%s %g Tf\n" % (p.font.encode(), p.fs)
+    out += b"%g TL\n" % (p.fs * 1.2)
+    if p.tc:
+        out += b"%g Tc\n" % p.tc
+    if p.tz != 100.0:
+        out += b"%g Tz\n" % p.tz
+    for i, segs in enumerate(p.lines):
+        x, y = _place(p.x, p.baselines[i], theta)
+        if i == 0:
+            out += b"%g %g %g %g %g %g Tm\n" % (c, s, -s, c, x, y)
+        else:
+            out += b"T*\n"
+        if p.font == "F2":
+            hexes = "".join("%04X" % ord(ch) for seg in segs for ch in seg.text)
+            out += b"<" + hexes.encode() + b"> Tj\n"
+            continue
+        simple = len(segs) == 1 and segs[0].kern_after is None and i != p.lig_line
+        if simple:
+            out += b"(" + esc_string(segs[0].text) + b") Tj\n"
+        else:
+            for seg in segs:
+                if seg.text == "ﬁ" and i == p.lig_line:
+                    out += b"/Span << /ActualText (fi) >> BDC\n"
+                    out += b"(" + bytes([LIG_CODE]) + b") Tj\n"
+                    out += b"EMC\n"
+                    continue
+                arr = bytearray(b"[")
+                arr += b"(" + esc_string(seg.text) + b")"
+                if seg.kern_after is not None:
+                    arr += b" %g" % seg.kern_after
+                arr += b"] TJ\n"
+                out += arr
+    if p.tc:
+        out += b"0 Tc\n"
+    if p.tz != 100.0:
+        out += b"100 Tz\n"
+    out += b"ET\n"
+    return bytes(out)
+
+
+def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
+    """Render the plan to PDF bytes and compute golden spans (document order =
+    flow/content order)."""
+    w = PdfFileWriter()
+    catalog = w.reserve()
+    pages = w.reserve()
+    page = w.reserve()
+
+    # fonts
+    widths_list = [int(_W.get(chr(c), 500)) for c in range(32, 127)]
+    f1_widths = widths_list + [500] * (LIG_CODE - 127) + [LIG_WIDTH]
+    f1 = w.add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [ " + str(LIG_CODE).encode() + b" /fi ] >> "
+        b"/FirstChar 32 /LastChar " + str(LIG_CODE).encode() + b" /Widths [ "
+        + b" ".join(str(x).encode() for x in f1_widths) + b" ] >>"
+    )
+    font_res = b"/F1 " + str(f1).encode() + b" 0 R "
+
+    used_cid_codes: set[int] = set()
+    for b in plan.blocks:
+        if isinstance(b, ParaPlan) and b.font == "F2":
+            for segs in b.lines:
+                for seg in segs:
+                    used_cid_codes.update(ord(ch) for ch in seg.text)
+    if used_cid_codes:
+        bf = bytearray()
+        codes = sorted(used_cid_codes)
+        bf += b"%d beginbfchar\n" % len(codes)
+        for cde in codes:
+            bf += b"<%04X> <%04X>\n" % (cde, cde)
+        bf += b"endbfchar\n"
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            + bytes(bf)
+            + b"endcmap CMapName currentdict /CMap defineresource pop end end\n"
+        )
+        tounicode, _ = w.add_stream(b"", cmap, compress=True)
+        wranges = bytearray(b"[ ")
+        for cde in codes:
+            wranges += b"%d %d %d " % (cde, cde, int(CID_W))
+        wranges += b"]"
+        desc = w.add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureCID "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /DW 1000 /W " + bytes(wranges) + b" >>"
+        )
+        f2 = w.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCID "
+            b"/Encoding /Identity-H /DescendantFonts [ "
+            + str(desc).encode() + b" 0 R ] /ToUnicode "
+            + str(tounicode).encode() + b" 0 R >>"
+        )
+        font_res += b"/F2 " + str(f2).encode() + b" 0 R "
+
+    # image XObjects
+    xobj_res = b""
+    img_refs: dict[int, str] = {}
+    img_names: dict[int, str] = {}
+    for key, rgb in plan.images.items():
+        if key == -1:
+            img_refs[key] = schema.media_ref_for(rgb)
+            continue
+        data = zlib.compress(rgb, 6)
+        num = w.add(
+            b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
+            b"/Length " + str(len(data)).encode() + b" >>\nstream\n" + data
+            + b"\nendstream"
+        )
+        name = f"Im{key}"
+        img_names[key] = name
+        img_refs[key] = schema.media_ref_for(data)
+        xobj_res += f"/{name} {num} 0 R ".encode()
+
+    # form XObjects (header/footer for form_xobject class)
+    n_pages = 1 + max(getattr(b, "page", 0) for b in plan.blocks)
+    page_content = [bytearray() for _ in range(n_pages)]
+    golden: list[dict] = []
+    offset = 0
+
+    form_blocks: list[int] = []
+    if plan.use_forms:
+        form_blocks = [0, len(plan.blocks) - 1]
+
+    for bi, block in enumerate(plan.blocks):
+        if isinstance(block, ParaPlan):
+            ops = _para_content(block, plan.theta)
+            if bi in form_blocks:
+                fdata = ops
+                fnum = w.add(
+                    b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+                    b"/Resources << /Font << " + font_res + b">> >> "
+                    b"/Length " + str(len(fdata)).encode() + b" >>\nstream\n"
+                    + fdata + b"\nendstream"
+                )
+                nm = f"Fx{bi}"
+                xobj_res += f"/{nm} {fnum} 0 R ".encode()
+                page_content[block.page] += f"/{nm} Do\n".encode()
+            else:
+                page_content[block.page] += ops
+            t = block.golden_text()
+            golden.append(
+                {"kind": "text", "text": t, "media_ref": "", "offset": offset}
+            )
+            offset += len(t)
+        else:  # ImagePlan
+            if block.inline:
+                data = plan.images[-1]
+                page_content[block.page] += (
+                    b"q %g 0 0 %g %g %g cm\nBI /W 4 /H 4 /CS /DeviceRGB /BPC 8 "
+                    b"ID " % (block.w, block.h, block.x, block.y)
+                ) + data + b" EI\nQ\n"
+                ref = img_refs[-1]
+            else:
+                page_content[block.page] += b"q %g 0 0 %g %g %g cm /%s Do Q\n" % (
+                    block.w, block.h, block.x, block.y,
+                    img_names[block.key].encode(),
+                )
+                ref = img_refs[block.key]
+            golden.append(
+                {"kind": "media", "text": "", "media_ref": ref, "offset": offset}
+            )
+
+    res = b"<< /Font << " + font_res + b">> "
+    if xobj_res:
+        res += b"/XObject << " + xobj_res + b">> "
+    res += b">>"
+    page_nums = [page] + [w.reserve() for _ in range(n_pages - 1)]
+    for pi, pnum in enumerate(page_nums):
+        cnum, _ = w.add_stream(b"", bytes(page_content[pi]), compress=True)
+        w.set_obj(
+            pnum,
+            b"<< /Type /Page /Parent " + str(pages).encode() + b" 0 R "
+            b"/MediaBox [0 0 612 792] /Resources " + res + b" /Contents "
+            + str(cnum).encode() + b" 0 R >>",
+        )
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    w.set_obj(
+        pages,
+        b"<< /Type /Pages /Kids [ " + kids + b" ] /Count "
+        + str(n_pages).encode() + b" >>",
+    )
+    w.set_obj(catalog, b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
+    pdf = w.build(catalog, corrupt_startxref=plan.corrupt_xref)
+    return pdf, golden
+
+
+def make_doc(doc_id: str, fixture_class: str, seed: int = 42
+             ) -> tuple[list[dict], bytes]:
+    """(golden_spans, pdf_bytes) — pure function of (seed, doc_id, class)."""
+    plan = _plan_doc(doc_id, fixture_class, seed)
+    pdf, golden = render_doc(plan)
+    return golden, pdf
+
+
+def make_text_doc(doc_id: str, text: str, seed: int = 42
+                  ) -> tuple[list[dict], bytes]:
+    """Render arbitrary external text (e.g. the `documents` table) into a
+    deterministic multi-page PDF + golden spans. Text is sanitized to the
+    printable-ASCII subset the fixture font covers."""
+    clean = "".join(ch if 32 <= ord(ch) <= 126 else " " for ch in text)
+    words = []
+    for w in clean.split():
+        while len(w) > 40:  # hard-split tokens that would overflow the line
+            words.append(w[:40])
+            w = w[40:]
+        if w:
+            words.append(w)
+    if not words:
+        words = ["empty"]
+    plan = DocPlan()
+    width = PAGE_W - 2 * MARGIN
+    v = PAGE_H - MARGIN
+    page = 0
+    rng = random.Random(f"{seed}:{doc_id}:ext")
+    i = 0
+    while i < len(words):
+        take = rng.randint(30, 60)
+        chunk = words[i : i + take]
+        i += take
+        lines = _wrap(chunk, FS, width, 0.0, 1.0, cid=False)
+        baselines = []
+        vv = v - FS
+        for _ in lines:
+            baselines.append(vv)
+            vv -= LEADING
+        p = ParaPlan(lines=[[Seg(t)] for t in lines], x=MARGIN,
+                     baselines=baselines, page=page)
+        plan.blocks.append(p)
+        v = vv + LEADING - PARA_SKIP
+        if v < MARGIN + 140:  # headroom for a worst-case next paragraph
+            page += 1
+            v = PAGE_H - MARGIN
+    pdf, golden = render_doc(plan)
+    return golden, pdf
+
+
+DEFAULT_MIX = [
+    ("simple", 30), ("kerned", 12), ("multicolumn", 12), ("rotated", 8),
+    ("cid", 10), ("interleaved", 12), ("form_xobject", 6), ("hyphenated", 5),
+    ("tagged", 3), ("malformed", 2),
+]
+
+BENCH_MIX = [
+    ("simple", 40), ("kerned", 30), ("interleaved", 10), ("multicolumn", 10),
+    ("rotated", 3), ("cid", 3), ("form_xobject", 2), ("hyphenated", 1),
+    ("tagged", 0.5), ("malformed", 0.5),
+]
+
+
+def _class_for(i: int, mix) -> str:
+    total = sum(wt for _, wt in mix)
+    r = (i * 2654435761 % 2**32) / 2**32 * total
+    acc = 0.0
+    for name, wt in mix:
+        acc += wt
+        if r < acc:
+            return name
+    return mix[0][0]
+
+
+def make_corpus(n_docs: int, seed: int = 42, mix=None, skew: bool = False):
+    """Yield dict rows: doc_id, fixture_class, spans (golden), pdf_bytes."""
+    mix = mix or DEFAULT_MIX
+    for i in range(n_docs):
+        doc_id = f"doc_{i:08d}"
+        cls = "skew" if (skew and i == 0) else _class_for(i, mix)
+        golden, pdf = make_doc(doc_id, cls, seed)
+        yield {
+            "doc_id": doc_id,
+            "fixture_class": cls,
+            "spans": golden,
+            "pdf_bytes": pdf,
+            "n_spans": len(golden),
+        }

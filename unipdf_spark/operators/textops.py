@@ -1,0 +1,173 @@
+"""Text-analysis operators over the `documents` table — the training-data
+pipeline function family (token counting, quality scoring, language ID,
+fingerprinting). All JVM-side `pyspark.sql.functions` expressions (no Python
+UDFs): at 100 TB these run inside whole-stage codegen directly over the
+parquet scan with column pruning (only `doc_id`, `text` are read)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_PUNCT = r"[.,;:!?'\"()\-]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNTS_SQL = """
+SELECT doc_id,
+       LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> ''))  AS n_tokens,
+       LEN(LIST_DISTINCT(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                                     x -> x <> '')))                    AS n_distinct_tokens,
+       LENGTH(text)                                                     AS n_chars_actual
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: length, punctuation density, stopword
+    ratio, mean token length — the usual pre-training corpus filters."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    n_tok = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of", "and", "to", "in"))
+    )
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", _PUNCT, ""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(stop / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(
+            (F.length(F.regexp_replace("text", r"\s+", "")))
+            / F.greatest(n_tok, F.lit(1)),
+            4,
+        ).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+       LENGTH(text) AS n_chars_actual,
+       LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), x -> x <> ''))
+           AS n_tokens,
+       ROUND((LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?''"()\\-]', '', 'g')))
+             / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
+       ROUND(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                             x -> x IN ('the','a','of','and','to','in')))
+             / GREATEST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                                        x -> x <> '')), 1), 4) AS stopword_ratio,
+       ROUND(LENGTH(REGEXP_REPLACE(text, '\\s+', '', 'g'))
+             / GREATEST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+                                        x -> x <> '')), 1), 4) AS mean_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-profile language ID (deterministic heuristic): counts
+    of language-marker stopwords + non-ASCII density decide the label."""
+    d = _docs(spark, sf_dir)
+    lowered = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+
+    def hits(word: str):
+        return F.size(F.split(lowered, f" {word} ")) - 1
+
+    non_ascii = F.length(F.regexp_replace("text", r"[\x20-\x7e]", ""))
+    pred = (
+        F.when(non_ascii > F.length("text") * 0.1, F.lit("zh"))
+        .when((hits("le") + hits("la") + hits("et")) > hits("the"), F.lit("fr"))
+        .when((hits("der") + hits("und") + hits("das")) > hits("the"), F.lit("de"))
+        .when((hits("el") + hits("los") + hits("y")) > hits("the"), F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+    return d.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        hits("the").cast("int").alias("en_hits"),
+        non_ascii.cast("int").alias("non_ascii_chars"),
+    ).orderBy("doc_id")
+
+
+LANG_ID_SQL = """
+WITH feat AS (
+    SELECT doc_id, text,
+           ' ' || LOWER(text) || ' ' AS padded,
+           LENGTH(REGEXP_REPLACE(text, '[\\x20-\\x7e]', '', 'g')) AS non_ascii
+    FROM documents
+), hits AS (
+    SELECT doc_id, text, non_ascii,
+           LEN(STRING_SPLIT(padded, ' the ')) - 1 AS h_the,
+           LEN(STRING_SPLIT(padded, ' le ')) - 1 + LEN(STRING_SPLIT(padded, ' la ')) - 1
+             + LEN(STRING_SPLIT(padded, ' et ')) - 1 AS h_fr,
+           LEN(STRING_SPLIT(padded, ' der ')) - 1 + LEN(STRING_SPLIT(padded, ' und ')) - 1
+             + LEN(STRING_SPLIT(padded, ' das ')) - 1 AS h_de,
+           LEN(STRING_SPLIT(padded, ' el ')) - 1 + LEN(STRING_SPLIT(padded, ' los ')) - 1
+             + LEN(STRING_SPLIT(padded, ' y ')) - 1 AS h_es
+    FROM feat
+)
+SELECT doc_id,
+       CASE WHEN non_ascii > LENGTH(text) * 0.1 THEN 'zh'
+            WHEN h_fr > h_the THEN 'fr'
+            WHEN h_de > h_the THEN 'de'
+            WHEN h_es > h_the THEN 'es'
+            ELSE 'en' END    AS lang_pred,
+       CAST(h_the AS INT)     AS en_hits,
+       CAST(non_ascii AS INT) AS non_ascii_chars
+FROM hits
+ORDER BY doc_id
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set (key-collision / "fingerprint" dedup method)."""
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace("text", r"[^A-Za-z0-9 ]", " "))
+    toks = F.filter(F.split(norm, r"\s+"), lambda x: x != "")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+           LIST_FILTER(STRING_SPLIT_REGEX(
+               LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', ' ', 'g')), '\\s+'),
+               x -> x <> ''))), ' ')) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "token_counts": token_counts,
+    "quality_scores": quality_scores,
+    "lang_id": lang_id,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+ORACLES = {
+    "token_counts": TOKEN_COUNTS_SQL,
+    "quality_scores": QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
+    "doc_fingerprints": FINGERPRINT_SQL,
+}

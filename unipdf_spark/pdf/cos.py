@@ -1,0 +1,726 @@
+"""COS object model, lexer/parser, xref, and document loader.
+
+From-scratch Python re-expression of the reference's decode layer:
+
+* object lexer/parser — semantics of unipdf ``parseObject`` (core/core.go:129)
+  and its per-type parsers (parseString core/core.go:1076, parseHexString
+  core/core.go:964, parseName core/core.go:1229, ParseDict core/core.go:279,
+  parseArray core/core.go:1932, parseNumber core/core.go:544);
+* xref load — ``loadXrefs`` (core/core.go:329): table (core/core.go:1199) and
+  stream (core/core.go:870) forms, ``/Prev`` chains, later revisions win;
+* repair — full-file scan for ``N G obj`` markers, semantics of
+  ``repairRebuildXrefsTopDown`` (core/core.go:532);
+* object streams — ``lookupObjectViaOS`` (core/core.go:1034);
+* lazy resolution — ``Resolve``/``TraceToDirectObject`` (core/core.go:1139).
+
+Values map to Python natives: dict → ``PdfDict``, array → ``list``, name →
+``Name`` (str subclass), string → ``bytes``, numbers → int/float, null →
+``None``. Indirect references are ``Ref``; streams are ``Stream``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from . import filters as _filters
+
+WHITESPACE = b"\x00\t\n\x0c\r "
+DELIMITERS = b"()<>[]{}/%"
+
+
+class PdfError(Exception):
+    pass
+
+
+class Name(str):
+    """Interned-symbol analog of PdfObjectName (core/core.go:828)."""
+
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class Ref:
+    num: int
+    gen: int = 0
+
+
+class PdfDict(dict):
+    """Name-keyed dictionary (string keys, Name-compatible)."""
+
+    __slots__ = ()
+
+
+class Stream:
+    __slots__ = ("dict", "raw", "_decoded")
+
+    def __init__(self, d: PdfDict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+        self._decoded: bytes | None = None
+
+    def filters(self, resolve) -> tuple[list[str], list[dict]]:
+        f = resolve(self.dict.get("Filter"))
+        if f is None:
+            names: list[str] = []
+        elif isinstance(f, str):
+            names = [str(f)]
+        else:
+            names = [str(resolve(x)) for x in f]
+        p = resolve(self.dict.get("DecodeParms") or self.dict.get("DP"))
+        if p is None:
+            parms: list[dict] = []
+        elif isinstance(p, dict):
+            parms = [{k: resolve(v) for k, v in p.items()}]
+        else:
+            parms = [
+                {k: resolve(v) for k, v in (resolve(x) or {}).items()} for x in p
+            ]
+        return names, parms
+
+    def decoded(self, resolve=lambda o: o) -> bytes:
+        if self._decoded is None:
+            names, parms = self.filters(resolve)
+            self._decoded = _filters.decode_stream(self.raw, names, parms)
+        return self._decoded
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+class Lexer:
+    """Positioned tokenizer over the raw file bytes."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    # -- low-level ---------------------------------------------------------
+    def skip_ws(self) -> None:
+        data, n = self.data, len(self.data)
+        i = self.pos
+        while i < n:
+            c = data[i]
+            if c in WHITESPACE:
+                i += 1
+            elif c == 0x25:  # '%' comment to EOL (core/core.go:904)
+                while i < n and data[i] not in b"\r\n":
+                    i += 1
+            else:
+                break
+        self.pos = i
+
+    def peek(self, k: int = 1) -> bytes:
+        return self.data[self.pos : self.pos + k]
+
+    def expect(self, tok: bytes) -> None:
+        self.skip_ws()
+        if not self.data.startswith(tok, self.pos):
+            ctx = self.data[self.pos : self.pos + 24]
+            raise PdfError(f"expected {tok!r} at {self.pos}, got {ctx!r}")
+        self.pos += len(tok)
+
+    def read_keyword(self) -> bytes:
+        self.skip_ws()
+        data, n = self.data, len(self.data)
+        i = self.pos
+        while i < n and data[i] not in WHITESPACE and data[i] not in DELIMITERS:
+            i += 1
+        kw = data[self.pos : i]
+        self.pos = i
+        return kw
+
+    # -- object parsers ----------------------------------------------------
+    def parse_object(self):
+        self.skip_ws()
+        data = self.data
+        i = self.pos
+        if i >= len(data):
+            raise PdfError("EOF while parsing object")
+        c = data[i]
+        if c == 0x2F:  # /
+            return self.parse_name()
+        if c == 0x28:  # (
+            return self.parse_literal_string()
+        if c == 0x3C:  # <
+            if data.startswith(b"<<", i):
+                return self.parse_dict_or_stream()
+            return self.parse_hex_string()
+        if c == 0x5B:  # [
+            return self.parse_array()
+        if c in b"+-.0123456789":
+            return self.parse_number_or_ref()
+        kw = self.read_keyword()
+        if kw == b"true":
+            return True
+        if kw == b"false":
+            return False
+        if kw == b"null":
+            return None
+        raise PdfError(f"unexpected token {kw!r} at {i}")
+
+    def parse_name(self) -> Name:
+        data, n = self.data, len(self.data)
+        assert data[self.pos] == 0x2F
+        i = self.pos + 1
+        out = bytearray()
+        while i < n:
+            c = data[i]
+            if c in WHITESPACE or c in DELIMITERS:
+                break
+            if c == 0x23 and i + 2 < n:  # #XX hex escape
+                try:
+                    out.append(int(data[i + 1 : i + 3], 16))
+                    i += 3
+                    continue
+                except ValueError:
+                    pass
+            out.append(c)
+            i += 1
+        self.pos = i
+        return Name(out.decode("latin-1"))
+
+    def parse_literal_string(self) -> bytes:
+        data, n = self.data, len(self.data)
+        i = self.pos + 1
+        depth = 1
+        out = bytearray()
+        while i < n:
+            c = data[i]
+            if c == 0x5C:  # backslash escape
+                i += 1
+                if i >= n:
+                    break
+                e = data[i]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                    i += 1
+                elif e in b"()\\":
+                    out.append(e)
+                    i += 1
+                elif e in b"01234567":  # octal, up to 3 digits
+                    o = 0
+                    k = 0
+                    while k < 3 and i < n and data[i] in b"01234567":
+                        o = o * 8 + (data[i] - 48)
+                        i += 1
+                        k += 1
+                    out.append(o & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    i += 1
+                    if e == 13 and i < n and data[i] == 10:
+                        i += 1
+                else:
+                    out.append(e)
+                    i += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                i += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    break
+                out.append(c)
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        self.pos = i
+        return bytes(out)
+
+    def parse_hex_string(self) -> bytes:
+        data, n = self.data, len(self.data)
+        i = self.pos + 1
+        hexchars = bytearray()
+        while i < n and data[i] != 0x3E:
+            c = data[i]
+            if c not in WHITESPACE:
+                hexchars.append(c)
+            i += 1
+        self.pos = i + 1
+        if len(hexchars) % 2:
+            hexchars.append(0x30)
+        try:
+            return bytes.fromhex(hexchars.decode("ascii"))
+        except ValueError as e:
+            raise PdfError(f"bad hex string at {i}: {e}") from None
+
+    def parse_array(self) -> list:
+        self.pos += 1  # [
+        out = []
+        while True:
+            self.skip_ws()
+            if self.peek() == b"]":
+                self.pos += 1
+                return out
+            if self.pos >= len(self.data):
+                raise PdfError("EOF in array")
+            out.append(self.parse_object())
+
+    def parse_dict_or_stream(self):
+        d = self.parse_dict()
+        save = self.pos
+        self.skip_ws()
+        if self.data.startswith(b"stream", self.pos):
+            self.pos += 6
+            # EOL after 'stream' keyword: CRLF or LF
+            if self.data.startswith(b"\r\n", self.pos):
+                self.pos += 2
+            elif self.data.startswith(b"\n", self.pos) or self.data.startswith(
+                b"\r", self.pos
+            ):
+                self.pos += 1
+            return d, self.pos  # caller (document) reads Length bytes
+        self.pos = save
+        return d
+
+    def parse_dict(self) -> PdfDict:
+        self.expect(b"<<")
+        d = PdfDict()
+        while True:
+            self.skip_ws()
+            if self.data.startswith(b">>", self.pos):
+                self.pos += 2
+                return d
+            if self.pos >= len(self.data):
+                raise PdfError("EOF in dict")
+            key = self.parse_name()
+            val = self.parse_object()
+            if isinstance(val, tuple):  # nested dict never yields stream marker
+                val = val[0]
+            d[str(key)] = val
+
+    def parse_number_or_ref(self):
+        m = _NUM_RE.match(self.data, self.pos)
+        if not m:
+            raise PdfError(f"bad number at {self.pos}")
+        tok = m.group()
+        self.pos = m.end()
+        if b"." in tok:
+            return float(tok)
+        val = int(tok)
+        # lookahead for "G R" (reference) or "G obj" handled by caller
+        save = self.pos
+        self.skip_ws()
+        m2 = _NUM_RE.match(self.data, self.pos)
+        if m2 and b"." not in m2.group():
+            p2 = m2.end()
+            j = p2
+            data, n = self.data, len(self.data)
+            while j < n and data[j] in WHITESPACE:
+                j += 1
+            if data.startswith(b"R", j) and (
+                j + 1 >= n or data[j + 1] in WHITESPACE or data[j + 1] in DELIMITERS
+            ):
+                self.pos = j + 1
+                return Ref(val, int(m2.group()))
+        self.pos = save
+        return val
+
+
+_OBJ_RE = re.compile(rb"(\d{1,10})\s+(\d{1,5})\s+obj\b")
+_EOF_TAIL = 2048
+
+# Cross-document identical-object cache (the corpus-scale analog of the
+# reference's per-page font/form caches, extractor/extractor.go:622/:625 —
+# fonts and shared resources repeat heavily across a corpus). Keyed by a
+# probe prefix + full-span digest; parsed objects are treated as immutable.
+_OBJ_CACHE: dict[bytes, list] = {}
+_OBJ_CACHE_MAX = 4096
+_PROBE_LEN = 96
+
+
+def _obj_cache_lookup(data: bytes, start: int):
+    import hashlib as _h
+
+    probe = data[start : start + _PROBE_LEN]
+    for digest, span_len, obj in _OBJ_CACHE.get(probe, ()):
+        if _h.md5(data[start : start + span_len]).digest() == digest:
+            return obj
+    return None
+
+
+def _obj_cache_insert(data: bytes, start: int, end: int, obj) -> None:
+    import hashlib as _h
+
+    if len(_OBJ_CACHE) >= _OBJ_CACHE_MAX:
+        _OBJ_CACHE.clear()
+    probe = data[start : start + _PROBE_LEN]
+    digest = _h.md5(data[start:end]).digest()
+    _OBJ_CACHE.setdefault(probe, []).append((digest, end - start, obj))
+
+
+class PdfDocument:
+    """Parsed PDF with lazy object fetch (xref point reads, not full scans —
+    the per-document analog of storage-index pruning, SURVEY §4)."""
+
+    def __init__(self, data: bytes, relaxed: bool = True):
+        self.data = data
+        self.relaxed = relaxed
+        self.xref: dict[int, tuple] = {}  # num -> ('f', offset) | ('o', objstm, idx)
+        self.trailer = PdfDict()
+        self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._load()
+
+    # -- xref loading -------------------------------------------------------
+    def _load(self) -> None:
+        if not self.data.lstrip()[:5].startswith(b"%PDF-") and not self.relaxed:
+            raise PdfError("missing %PDF header")
+        try:
+            start = self._find_startxref()
+            self._load_xrefs_from(start)
+            if not self.xref:
+                raise PdfError("empty xref")
+        except Exception:
+            if not self.relaxed:
+                raise
+            self._rebuild_xref_topdown()
+        if "Root" not in self.trailer:
+            self._recover_trailer()
+
+    def _find_startxref(self) -> int:
+        tail = self.data[-_EOF_TAIL:]
+        idx = tail.rfind(b"startxref")
+        if idx < 0:
+            raise PdfError("startxref not found")
+        lx = Lexer(tail, idx + len(b"startxref"))
+        lx.skip_ws()
+        m = _NUM_RE.match(tail, lx.pos)
+        if not m:
+            raise PdfError("bad startxref value")
+        return int(m.group())
+
+    def _load_xrefs_from(self, offset: int) -> None:
+        seen = set()
+        while offset is not None and offset not in seen:
+            seen.add(offset)
+            if offset < 0 or offset >= len(self.data):
+                raise PdfError(f"xref offset {offset} out of range")
+            lx = Lexer(self.data, offset)
+            lx.skip_ws()
+            if self.data.startswith(b"xref", lx.pos):
+                trailer = self._parse_xref_table(lx)
+            else:
+                trailer = self._parse_xref_stream(lx)
+            # earlier revisions must not override later ones
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            prev = trailer.get("Prev")
+            offset = int(prev) if isinstance(prev, (int, float)) else None
+            # hybrid-reference files: XRefStm points at an xref stream
+            xs = trailer.get("XRefStm")
+            if isinstance(xs, (int, float)) and int(xs) not in seen:
+                seen.add(int(xs))
+                st = self._parse_xref_stream(Lexer(self.data, int(xs)))
+                for k, v in st.items():
+                    self.trailer.setdefault(k, v)
+
+    def _parse_xref_table(self, lx: Lexer) -> PdfDict:
+        lx.expect(b"xref")
+        while True:
+            lx.skip_ws()
+            if self.data.startswith(b"trailer", lx.pos):
+                lx.pos += len(b"trailer")
+                return lx.parse_dict()
+            m = _NUM_RE.match(self.data, lx.pos)
+            if not m:
+                # tableless (broken) — stop with empty trailer
+                return PdfDict()
+            first = int(m.group())
+            lx.pos = m.end()
+            lx.skip_ws()
+            m = _NUM_RE.match(self.data, lx.pos)
+            count = int(m.group())
+            lx.pos = m.end()
+            lx.skip_ws()
+            for i in range(count):
+                row = self.data[lx.pos : lx.pos + 20]
+                parts = row.split()
+                if len(parts) >= 3:
+                    off, _gen, typ = int(parts[0]), int(parts[1]), parts[2][:1]
+                    num = first + i
+                    if typ == b"n" and num not in self.xref:
+                        self.xref[num] = ("f", off)
+                # rows are 20 bytes, but be tolerant of 19/18-byte rows
+                nl = self.data.find(b"\n", lx.pos, lx.pos + 21)
+                lx.pos = nl + 1 if nl >= 0 else lx.pos + 20
+
+    def _parse_xref_stream(self, lx: Lexer) -> PdfDict:
+        m = _OBJ_RE.match(self.data, lx.pos)
+        if not m:
+            raise PdfError("xref stream: no obj header")
+        lx.pos = m.end()
+        obj = lx.parse_object()
+        if not (isinstance(obj, tuple) and isinstance(obj[0], PdfDict)):
+            raise PdfError("xref stream: not a stream")
+        d, data_start = obj
+        length = d.get("Length")
+        if isinstance(length, Ref):
+            length = self._fetch_direct(length)
+        raw = self.data[data_start : data_start + int(length)]
+        st = Stream(d, raw)
+        content = st.decoded(self.resolve)
+        w = [int(x) for x in d["W"]]
+        size = int(d.get("Size", 0))
+        index = d.get("Index") or [0, size]
+        index = [int(x) for x in index]
+        rw = sum(w)
+        pos = 0
+        for k in range(0, len(index), 2):
+            first, count = index[k], index[k + 1]
+            for i in range(count):
+                row = content[pos : pos + rw]
+                pos += rw
+                if len(row) < rw:
+                    break
+                fields = []
+                o = 0
+                for width in w:
+                    fields.append(int.from_bytes(row[o : o + width], "big") if width else None)
+                    o += width
+                typ = fields[0] if w[0] else 1
+                num = first + i
+                if num in self.xref:
+                    continue
+                if typ == 1:
+                    self.xref[num] = ("f", fields[1])
+                elif typ == 2:
+                    self.xref[num] = ("o", fields[1], fields[2])
+        return d
+
+    def _rebuild_xref_topdown(self) -> None:
+        """Full-file scan for `N G obj` markers (repair path,
+        core/core.go:532). Later occurrences win (incremental updates)."""
+        self.xref.clear()
+        for m in _OBJ_RE.finditer(self.data):
+            self.xref[int(m.group(1))] = ("f", m.start())
+
+    def _recover_trailer(self) -> None:
+        # find trailer dict anywhere, else find the Catalog object
+        idx = self.data.rfind(b"trailer")
+        while idx >= 0:
+            try:
+                lx = Lexer(self.data, idx + len(b"trailer"))
+                t = lx.parse_dict()
+                if "Root" in t:
+                    for k, v in t.items():
+                        self.trailer.setdefault(k, v)
+                    return
+            except PdfError:
+                pass
+            idx = self.data.rfind(b"trailer", 0, idx)
+        for num in sorted(self.xref):
+            try:
+                obj = self.get_object(num)
+            except PdfError:
+                continue
+            d = obj.dict if isinstance(obj, Stream) else obj
+            if isinstance(d, dict) and d.get("Type") == "Catalog":
+                self.trailer["Root"] = Ref(num, 0)
+                return
+        raise PdfError("no document catalog found")
+
+    # -- object fetch --------------------------------------------------------
+    def _fetch_direct(self, ref: Ref):
+        ent = self.xref.get(ref.num)
+        if ent is None or ent[0] != "f":
+            raise PdfError(f"no direct entry for obj {ref.num}")
+        return self._parse_at(ent[1], ref.num)
+
+    def _parse_at(self, offset: int, expect_num: int):
+        m = _OBJ_RE.match(self.data, offset)
+        if not m:
+            # tolerate whitespace before marker
+            lx0 = Lexer(self.data, offset)
+            lx0.skip_ws()
+            m = _OBJ_RE.match(self.data, lx0.pos)
+            if not m:
+                raise PdfError(f"no obj header at {offset}")
+        cached = _obj_cache_lookup(self.data, m.end())
+        if cached is not None:
+            return cached
+        lx = Lexer(self.data, m.end())
+        obj = lx.parse_object()
+        if isinstance(obj, tuple):
+            d, data_start = obj
+            length = d.get("Length")
+            cacheable = not isinstance(length, Ref)  # indirect /Length: the
+            # true data extent lives outside the hashed span — never cache
+            if isinstance(length, Ref):
+                length = self._fetch_direct(length)
+            if isinstance(length, (int, float)) and int(length) >= 0:
+                raw = self.data[data_start : data_start + int(length)]
+                endpos = data_start + int(length)
+                # validate endstream within slack; else re-scan (stream-length
+                # repair, core/core.go:1181)
+                tail = self.data[endpos : endpos + 32]
+                if b"endstream" not in tail:
+                    e = self.data.find(b"endstream", data_start)
+                    if e >= 0:
+                        raw = self.data[data_start : e].rstrip(b"\r\n")
+            else:
+                e = self.data.find(b"endstream", data_start)
+                raw = self.data[data_start : e if e >= 0 else len(self.data)].rstrip(
+                    b"\r\n"
+                )
+            st = Stream(d, raw)
+            if cacheable:
+                _obj_cache_insert(self.data, m.end(), data_start + len(raw), st)
+            return st
+        _obj_cache_insert(self.data, m.end(), lx.pos, obj)
+        return obj
+
+    def get_object(self, num: int, gen: int = 0):
+        if num in self._cache:
+            return self._cache[num]
+        ent = self.xref.get(num)
+        if ent is None:
+            if self.relaxed:
+                return None
+            raise PdfError(f"object {num} not in xref")
+        if ent[0] == "f":
+            obj = self._parse_at(ent[1], num)
+        else:
+            obj = self._get_from_objstm(ent[1], ent[2], num)
+        self._cache[num] = obj
+        return obj
+
+    def _get_from_objstm(self, stm_num: int, idx: int, want_num: int):
+        objs = self._objstm_cache.get(stm_num)
+        if objs is None:
+            st = self.get_object(stm_num)
+            if not isinstance(st, Stream):
+                raise PdfError(f"objstm {stm_num} is not a stream")
+            content = st.decoded(self.resolve)
+            n = int(self.resolve(st.dict.get("N", 0)))
+            first = int(self.resolve(st.dict.get("First", 0)))
+            hdr = Lexer(content, 0)
+            pairs = []
+            for _ in range(n):
+                hdr.skip_ws()
+                m1 = _NUM_RE.match(content, hdr.pos)
+                hdr.pos = m1.end()
+                hdr.skip_ws()
+                m2 = _NUM_RE.match(content, hdr.pos)
+                hdr.pos = m2.end()
+                pairs.append((int(m1.group()), int(m2.group())))
+            objs = {}
+            for onum, ooff in pairs:
+                lx = Lexer(content, first + ooff)
+                try:
+                    o = lx.parse_object()
+                except PdfError:
+                    o = None
+                objs[onum] = o[0] if isinstance(o, tuple) else o
+            self._objstm_cache[stm_num] = objs
+        return objs.get(want_num)
+
+    def resolve(self, obj):
+        """Chase references to a direct object (TraceToDirectObject,
+        core/core.go:1139 semantics, cycle-guarded)."""
+        seen = 0
+        while isinstance(obj, Ref):
+            obj = self.get_object(obj.num, obj.gen)
+            seen += 1
+            if seen > 64:
+                raise PdfError("reference cycle")
+        return obj
+
+    # -- document model ------------------------------------------------------
+    def catalog(self) -> PdfDict:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PdfError("no /Root catalog")
+        return root
+
+    def pages(self) -> list[PdfDict]:
+        """Recursive Kids walk with cycle detection (buildPageList,
+        model/model.go:2547)."""
+        cat = self.catalog()
+        root = self.resolve(cat.get("Pages"))
+        out: list[PdfDict] = []
+        seen: set[int] = set()
+
+        def walk(node):
+            if not isinstance(node, dict):
+                return
+            nid = id(node)
+            if nid in seen:
+                return
+            seen.add(nid)
+            t = node.get("Type")
+            if t == "Page":
+                out.append(node)
+                return
+            kids = self.resolve(node.get("Kids")) or []
+            for k in kids:
+                walk(self.resolve(k))
+
+        walk(root)
+        if not out and self.relaxed:
+            # repair: any dict object with Type=Page
+            for num in sorted(self.xref):
+                try:
+                    o = self.get_object(num)
+                except PdfError:
+                    continue
+                if isinstance(o, dict) and o.get("Type") == "Page":
+                    out.append(o)
+        return out
+
+    def page_content(self, page: PdfDict) -> bytes:
+        """Concatenated content streams (GetAllContentStreams,
+        model/model.go:2640)."""
+        c = self.resolve(page.get("Contents"))
+        parts: list[bytes] = []
+        if isinstance(c, Stream):
+            parts.append(c.decoded(self.resolve))
+        elif isinstance(c, list):
+            for item in c:
+                s = self.resolve(item)
+                if isinstance(s, Stream):
+                    parts.append(s.decoded(self.resolve))
+        return b"\n".join(parts)
+
+    def page_resources(self, page: PdfDict) -> PdfDict:
+        r = self.resolve(page.get("Resources"))
+        if isinstance(r, dict):
+            return r
+        # inheritable via Parent
+        parent = page.get("Parent")
+        depth = 0
+        while isinstance(parent, Ref) and depth < 64:
+            p = self.resolve(parent)
+            if not isinstance(p, dict):
+                break
+            r = self.resolve(p.get("Resources"))
+            if isinstance(r, dict):
+                return r
+            parent = p.get("Parent")
+            depth += 1
+        return PdfDict()
+
+    def media_box(self, page: PdfDict) -> tuple[float, float, float, float]:
+        mb = self.resolve(page.get("MediaBox"))
+        node = page
+        depth = 0
+        while not isinstance(mb, list) and depth < 64:
+            node = self.resolve(node.get("Parent"))
+            if not isinstance(node, dict):
+                break
+            mb = self.resolve(node.get("MediaBox"))
+            depth += 1
+        if not isinstance(mb, list) or len(mb) != 4:
+            return (0.0, 0.0, 612.0, 792.0)
+        vals = [float(self.resolve(v)) for v in mb]
+        llx, lly, urx, ury = vals
+        if llx > urx:
+            llx, urx = urx, llx
+        if lly > ury:
+            lly, ury = ury, lly
+        return (llx, lly, urx, ury)

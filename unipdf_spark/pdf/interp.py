@@ -1,0 +1,366 @@
+"""Content-stream interpreter: operations → positioned text marks + media marks.
+
+Re-expresses unipdf's processor + extractor switch:
+
+* graphics-state machine with q/Q stack and CTM composition — native handler
+  set of ``ContentStreamProcessor.Process`` (contentstream/contentstream.go:805,
+  GraphicsState :413, stack :516);
+* text object/state/positioning/showing dispatch — the extractor switch at
+  extractor/extractor.go:966–1050 (BT :980, TJ :988, Do :1016);
+* glyph advance math — ``renderText`` (extractor/extractor.go:356):
+  Trm = [Tfs·Th 0; 0 Tfs; 0 Ts] · Tm · CTM; per-glyph
+  dx = (w·Tfs + Tc + Tw[space]) · Th; Tm ← T(dx)·Tm; glyph ratio 1/1000
+  (Type3: 1); orientation = baseline angle snapped (newTextMark e:712);
+  NUL runes skipped;
+* Form XObject recursion with per-name memoized parse (e:625 ``_gd``);
+  image ``Do``/``BI`` → media marks in operator order (e:949/:687 semantics,
+  identity hash instead of pixel decode);
+* BDC/EMC ActualText override (e:977 block) — direct /ActualText property
+  supported; MCID struct-tree lookup is handled by the caller passing
+  ``mcid_actual_text``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from .. import schema
+from .content import InlineImage, Operation, parse_content
+from .cos import PdfDict, Ref, Stream
+from . import fonts as fonts_mod
+
+Matrix = tuple[float, float, float, float, float, float]
+IDENTITY: Matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def mmul(m: Matrix, n: Matrix) -> Matrix:
+    """Row-vector composition: apply m first, then n."""
+    ma, mb, mc, md, me, mf = m
+    na, nb, nc, nd, ne, nf = n
+    return (
+        ma * na + mb * nc,
+        ma * nb + mb * nd,
+        mc * na + md * nc,
+        mc * nb + md * nd,
+        me * na + mf * nc + ne,
+        me * nb + mf * nd + nf,
+    )
+
+
+def mapply(m: Matrix, x: float, y: float) -> tuple[float, float]:
+    a, b, c, d, e, f = m
+    return (a * x + c * y + e, b * x + d * y + f)
+
+
+def translation(tx: float, ty: float) -> Matrix:
+    return (1.0, 0.0, 0.0, 1.0, tx, ty)
+
+
+@dataclass(slots=True)
+class TextMark:
+    """One positioned glyph-cluster (textMark, extractor/extractor.go:815)."""
+
+    text: str
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+    fontsize: float
+    orientation: int
+    op_index: int
+    missed: bool = False
+
+
+@dataclass(slots=True)
+class MediaMark:
+    """Reference ImageMark analog (extractor/extractor.go:345)."""
+
+    media_ref: str
+    x: float
+    y: float
+    op_index: int
+
+
+@dataclass(slots=True)
+class _TextState:
+    """textState (extractor/extractor.go:836)."""
+
+    tc: float = 0.0  # char spacing
+    tw: float = 0.0  # word spacing
+    th: float = 1.0  # horizontal scale (Tz/100)
+    tl: float = 0.0  # leading
+    ts: float = 0.0  # rise
+    tmode: int = 0  # render mode
+    tfs: float = 0.0  # font size
+    font: fonts_mod.Font | None = None
+
+
+@dataclass
+class _GState:
+    ctm: Matrix = IDENTITY
+    text: _TextState = field(default_factory=_TextState)
+
+    def clone(self) -> "_GState":
+        t = self.text
+        return _GState(
+            self.ctm,
+            _TextState(t.tc, t.tw, t.th, t.tl, t.ts, t.tmode, t.tfs, t.font),
+        )
+
+
+class Interpreter:
+    """Single-document interpreter; one instance per (doc, page)."""
+
+    MAX_FORM_DEPTH = 10  # form recursion level cap (extractFormImages e:601)
+
+    def __init__(self, doc, page, mcid_actual_text: dict[int, str] | None = None):
+        self.doc = doc
+        self.page = page
+        self.resources = doc.page_resources(page)
+        self.marks: list[TextMark] = []
+        self.media: list[MediaMark] = []
+        self.n_misses = 0
+        self._font_cache: dict[object, fonts_mod.Font] = {}
+        self._form_ops_cache: dict[int, list[Operation]] = {}
+        self._op_index = 0
+        self.mcid_actual_text = mcid_actual_text or {}
+        llx, lly, urx, ury = doc.media_box(page)
+        self.page_box = (llx, lly, urx, ury)
+
+    # -- public -------------------------------------------------------------
+    def run(self) -> None:
+        content = self.doc.page_content(self.page)
+        ops = parse_content(content)
+        self._exec(ops, _GState(), self.resources, 0)
+
+    # -- helpers ------------------------------------------------------------
+    def _get_font(self, name: str, resources: PdfDict) -> fonts_mod.Font:
+        fonts_dict = self.doc.resolve(resources.get("Font")) or {}
+        ref = fonts_dict.get(name)
+        key = (ref.num, ref.gen) if isinstance(ref, Ref) else name
+        f = self._font_cache.get(key)
+        if f is None:
+            f = fonts_mod.load_font(self.doc, ref)
+            self._font_cache[key] = f
+        return f
+
+    def _xobject(self, name: str, resources: PdfDict):
+        xd = self.doc.resolve(resources.get("XObject")) or {}
+        return self.doc.resolve(xd.get(name))
+
+    # -- execution ----------------------------------------------------------
+    def _exec(self, ops: list[Operation], gs: _GState, resources: PdfDict, depth: int):
+        stack: list[_GState] = []
+        tm: Matrix = IDENTITY
+        tlm: Matrix = IDENTITY
+        in_text = False
+        actual_text: str | None = None
+        actual_consumed = False
+        mc_depth_at_actual = 0
+        mc_depth = 0
+
+        for op in ops:
+            o = op.op
+            p = op.params
+            self._op_index += 1
+            oi = self._op_index
+            try:
+                if o == "q":
+                    stack.append(gs.clone())
+                elif o == "Q":
+                    if stack:
+                        gs = stack.pop()
+                elif o == "cm" and len(p) == 6:
+                    m = tuple(float(v) for v in p)
+                    gs.ctm = mmul(m, gs.ctm)
+                elif o == "BT":
+                    in_text = True
+                    tm = IDENTITY
+                    tlm = IDENTITY
+                elif o == "ET":
+                    in_text = False
+                elif o == "Tf" and len(p) == 2:
+                    gs.text.font = self._get_font(str(p[0]), resources)
+                    gs.text.tfs = float(p[1])
+                elif o == "Tc" and p:
+                    gs.text.tc = float(p[0])
+                elif o == "Tw" and p:
+                    gs.text.tw = float(p[0])
+                elif o == "Tz" and p:
+                    gs.text.th = float(p[0]) / 100.0
+                elif o == "TL" and p:
+                    gs.text.tl = float(p[0])
+                elif o == "Ts" and p:
+                    gs.text.ts = float(p[0])
+                elif o == "Tr" and p:
+                    gs.text.tmode = int(p[0])
+                elif o == "Td" and len(p) == 2:
+                    tlm = mmul(translation(float(p[0]), float(p[1])), tlm)
+                    tm = tlm
+                elif o == "TD" and len(p) == 2:
+                    gs.text.tl = -float(p[1])
+                    tlm = mmul(translation(float(p[0]), float(p[1])), tlm)
+                    tm = tlm
+                elif o == "Tm" and len(p) == 6:
+                    tlm = tuple(float(v) for v in p)
+                    tm = tlm
+                elif o == "T*":
+                    tlm = mmul(translation(0.0, -gs.text.tl), tlm)
+                    tm = tlm
+                elif o in ("Tj", "'", '"'):
+                    if o == '"' and len(p) == 3:
+                        gs.text.tw = float(p[0])
+                        gs.text.tc = float(p[1])
+                        s = p[2]
+                    else:
+                        s = p[0] if p else b""
+                    if o in ("'", '"'):
+                        tlm = mmul(translation(0.0, -gs.text.tl), tlm)
+                        tm = tlm
+                    if isinstance(s, bytes):
+                        tm = self._show(
+                            s, gs, tm, oi,
+                            actual_text if not actual_consumed else ("" if actual_text is not None else None),
+                        )
+                        if actual_text is not None:
+                            actual_consumed = True
+                elif o == "TJ" and p and isinstance(p[0], list):
+                    for item in p[0]:
+                        if isinstance(item, bytes):
+                            tm = self._show(
+                                item, gs, tm, oi,
+                                actual_text if not actual_consumed else ("" if actual_text is not None else None),
+                            )
+                            if actual_text is not None:
+                                actual_consumed = True
+                        elif isinstance(item, (int, float)):
+                            # TJ kerning: move by -v/1000·Tfs·Th (e:806)
+                            dx = -float(item) / 1000.0 * gs.text.tfs * gs.text.th
+                            tm = mmul(translation(dx, 0.0), tm)
+                elif o == "Do" and p:
+                    self._do_xobject(str(p[0]), gs, resources, oi, depth)
+                elif o == "BI" and p and isinstance(p[0], InlineImage):
+                    img = p[0]
+                    x, y = gs.ctm[4], gs.ctm[5]
+                    self.media.append(
+                        MediaMark(schema.media_ref_for(img.data), x, y, oi)
+                    )
+                elif o == "BDC" and len(p) >= 2:
+                    mc_depth += 1
+                    props = p[1]
+                    if isinstance(props, str):
+                        props = self.doc.resolve(
+                            (self.doc.resolve(resources.get("Properties")) or {}).get(
+                                str(props)
+                            )
+                        )
+                    at = None
+                    if isinstance(props, dict):
+                        at = props.get("ActualText")
+                        if at is None and "MCID" in props:
+                            at = self.mcid_actual_text.get(int(props["MCID"]))
+                    if at is not None:
+                        actual_text = (
+                            at.decode("utf-16-be")[1:]
+                            if isinstance(at, bytes) and at.startswith(b"\xfe\xff")
+                            else (at.decode("latin-1") if isinstance(at, bytes) else str(at))
+                        )
+                        actual_consumed = False
+                        mc_depth_at_actual = mc_depth
+                elif o == "BMC":
+                    mc_depth += 1
+                elif o == "EMC":
+                    if actual_text is not None and mc_depth == mc_depth_at_actual:
+                        actual_text = None
+                        actual_consumed = False
+                    mc_depth = max(0, mc_depth - 1)
+            except Exception:
+                # relaxed mode: log-and-continue philosophy (c:575)
+                continue
+
+    def _do_xobject(self, name, gs, resources, op_index, depth):
+        xo = self._xobject(name, resources)
+        if not isinstance(xo, Stream):
+            return
+        st = self.doc.resolve(xo.dict.get("Subtype"))
+        if st == "Image":
+            x, y = gs.ctm[4], gs.ctm[5]
+            self.media.append(MediaMark(schema.media_ref_for(xo.raw), x, y, op_index))
+        elif st == "Form" and depth < self.MAX_FORM_DEPTH:
+            key = id(xo)
+            ops = self._form_ops_cache.get(key)
+            if ops is None:
+                ops = parse_content(xo.decoded(self.doc.resolve))
+                self._form_ops_cache[key] = ops
+            inner = gs.clone()
+            fm = self.doc.resolve(xo.dict.get("Matrix"))
+            if isinstance(fm, list) and len(fm) == 6:
+                inner.ctm = mmul(tuple(float(v) for v in fm), inner.ctm)
+            res = self.doc.resolve(xo.dict.get("Resources")) or resources
+            self._exec(ops, inner, res, depth + 1)
+
+    # -- text showing ---------------------------------------------------------
+    def _show(
+        self, raw: bytes, gs: _GState, tm: Matrix, op_index: int,
+        actual_text: str | None,
+    ) -> Matrix:
+        """Glyph advance math (renderText, e:356), incremental form: within a
+        show op, Tm changes only by text-space x-translation, so the device
+        transform is hoisted and each glyph costs a handful of scalar ops."""
+        ts = gs.text
+        font = ts.font
+        if font is None:
+            return tm
+        codes = font.bytes_to_charcodes(raw)
+        if actual_text is not None:
+            # ActualText overrides the region's decoded glyphs (e:977):
+            # the first show op gets the full string, later ones empty.
+            texts = [
+                (actual_text if i == 0 else "", False) for i in range(len(codes))
+            ]
+        else:
+            c2u = font.charcode_to_unicode
+            texts = [c2u(c) for c in codes]
+
+        ratio = font.font_matrix_scale  # 1/1000, Type3: 1 (e:356)
+        pb0, pb1, pb2, pb3 = self.page_box
+        tfs, tc, tw, th, rise = ts.tfs, ts.tc, ts.tw, ts.th, ts.ts
+        fh = tfs * th
+        # M = tm · ctm; trm_k = (fh,0,0,tfs,cum,rise) · M
+        ma, mb, mc, md, me, mf = mmul(tm, gs.ctm)
+        A, B = fh * ma, fh * mb
+        C, D = tfs * mc, tfs * md
+        E0 = rise * mc + me
+        F0 = rise * md + mf
+        ang = math.degrees(math.atan2(B, A))
+        orient = (round((round(ang / 10.0) * 10) / 90.0) * 90) % 360
+        fsize = math.hypot(C, D)
+        minC, maxC = (C, 0.0) if C < 0 else (0.0, C)
+        minD, maxD = (D, 0.0) if D < 0 else (0.0, D)
+        is_cid = font.is_cid
+        widths = font.charcode_width
+        marks_append = self.marks.append
+        cum = 0.0
+        for c, (u, missed) in zip(codes, texts):
+            w = widths(c) * ratio
+            dx = (w * tfs + tc + (tw if (not is_cid and c == 32) else 0.0)) * th
+            if missed:
+                self.n_misses += 1
+            if u and u != "\x00":
+                e = cum * ma + E0
+                f = cum * mb + F0
+                # page-bounds check (newTextMark e:712) on the glyph origin
+                if pb0 - 10 <= e <= pb2 + 10 and pb1 - 10 <= f <= pb3 + 10:
+                    w_norm = w if ratio != 1.0 else 1.0
+                    wa, wb = w_norm * A, w_norm * B
+                    x0 = e + (wa if wa < 0 else 0.0) + minC
+                    x1 = e + (wa if wa > 0 else 0.0) + maxC
+                    y0 = f + (wb if wb < 0 else 0.0) + minD
+                    y1 = f + (wb if wb > 0 else 0.0) + maxD
+                    marks_append(
+                        TextMark(u, x0, y0, x1, y1, fsize, orient, op_index,
+                                 missed)
+                    )
+            cum += dx
+        return mmul(translation(cum, 0.0), tm)

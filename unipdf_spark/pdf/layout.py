@@ -1,0 +1,345 @@
+"""Text-layout clustering: positioned marks → words → lines → paragraphs →
+reading-ordered spans, with media interleaved in operator order.
+
+Algorithmic re-expression (not a port) of the reference's clustering stages
+(SURVEY §2.5, all in /root/reference/extractor/extractor.go):
+
+* word formation thresholds — makeTextWords (e:872): break on space mark, on
+  depth jump |Δdepth|/fontsize > 0.04, gap/fontsize ≥ 0.12, or overlap
+  < −0.19 (kerning tolerance);
+* line assembly — arrangeText (e:705): depth window ±0.5·max(fontsize, 12);
+* paragraph growth — (e:277): vertical scan band 1.0·fontsize beyond the
+  current line pitch, with horizontal-overlap gating;
+* reading order — sortReadingOrder/topoOrder (e:271, e:511): DFS topological
+  order with a column-aware `readBefore` relation, diagonal tie-break;
+* orientation groups processed 0,90,180,270 — getParagraphs (e:235);
+* dehyphenation — endsInHyphen (e:337);
+* span offsets — TextMark.Offset accumulation semantics (e:120, e:168).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from .interp import MediaMark, TextMark
+
+# thresholds (values from the reference const block, extractor/extractor.go:16)
+DEPTH_JUMP = 0.04  # _becf
+WORD_GAP = 0.12  # _adgcf
+WORD_OVERLAP = -0.19  # _bdcd
+LINE_DEPTH_WINDOW = 0.5  # _fcff (× max(fontsize, 12))
+LINE_MIN_FS = 12.0
+PARA_LINE_GAP = 1.0  # _ddef (× fontsize) beyond one line pitch
+DUP_TOL = 0.2  # _cdgdb
+HYPHENS = "-­‐‑"
+
+
+@dataclass(slots=True)
+class Word:
+    text: str
+    u0: float
+    u1: float
+    depth: float
+    fontsize: float
+    op_index: int
+
+
+@dataclass
+class Line:
+    words: list[Word] = field(default_factory=list)
+    depth: float = 0.0
+
+    @property
+    def u0(self) -> float:
+        return min(w.u0 for w in self.words)
+
+    @property
+    def u1(self) -> float:
+        return max(w.u1 for w in self.words)
+
+    @property
+    def fontsize(self) -> float:
+        return max(w.fontsize for w in self.words)
+
+    def text(self) -> str:
+        return " ".join(w.text for w in sorted(self.words, key=lambda w: w.u0))
+
+
+@dataclass
+class Para:
+    lines: list[Line] = field(default_factory=list)
+    orientation_rank: int = 0
+
+    @property
+    def u0(self) -> float:
+        return min(ln.u0 for ln in self.lines)
+
+    @property
+    def u1(self) -> float:
+        return max(ln.u1 for ln in self.lines)
+
+    @property
+    def depth0(self) -> float:
+        return min(ln.depth for ln in self.lines)
+
+    @property
+    def depth1(self) -> float:
+        return max(ln.depth for ln in self.lines)
+
+    @property
+    def min_op(self) -> int:
+        return min(w.op_index for ln in self.lines for w in ln.words)
+
+    def text(self, dehyphenate: bool = True) -> str:
+        parts: list[str] = []
+        for ln in sorted(self.lines, key=lambda l: l.depth):
+            t = ln.text()
+            if not parts:
+                parts.append(t)
+                continue
+            prev = parts[-1]
+            if (
+                dehyphenate
+                and prev
+                and prev[-1] in HYPHENS
+                and t[:1].isalpha()
+                and t[:1].islower()
+            ):
+                parts[-1] = prev[:-1] + t  # merge across the wrap (e:337)
+            else:
+                parts[-1] = prev + "\n" + t
+        return "".join(parts)
+
+
+_ROT = {
+    0: (1.0, 0.0),
+    90: (0.0, -1.0),
+    180: (-1.0, 0.0),
+    270: (0.0, 1.0),
+}
+
+
+def _rotate_mark(m: TextMark, orientation: int) -> tuple[float, float, float, float]:
+    """Rotate bbox into the reading frame (baseline → +u, depth grows down)."""
+    if orientation == 0:
+        return m.x0, m.x1, m.y0, m.y1
+    c, s = _ROT[orientation]
+    us = (m.x0 * c - m.y0 * s, m.x1 * c - m.y0 * s,
+          m.x1 * c - m.y1 * s, m.x0 * c - m.y1 * s)
+    vs = (m.x0 * s + m.y0 * c, m.x1 * s + m.y0 * c,
+          m.x1 * s + m.y1 * c, m.x0 * s + m.y1 * c)
+    return min(us), max(us), min(vs), max(vs)
+
+
+def make_words(marks: list[TextMark], orientation: int) -> list[Word]:
+    """Sequential scan in operator/emission order (makeTextWords e:872)."""
+    words: list[Word] = []
+    cur_text: list[str] = []
+    cur_u0 = cur_u1 = cur_depth = cur_fs = 0.0
+    cur_op = 0
+
+    def flush():
+        nonlocal cur_text
+        if cur_text:
+            t = "".join(cur_text)
+            if t.strip():
+                words.append(Word(t, cur_u0, cur_u1, cur_depth, cur_fs, cur_op))
+        cur_text = []
+
+    for m in marks:
+        u0, u1, v0, v1 = _rotate_mark(m, orientation)
+        depth = -v1  # top edge; larger = further down the reading direction
+        fs = m.fontsize if m.fontsize > 0 else 1.0
+        if m.text.isspace():
+            flush()
+            continue
+        if not cur_text:
+            cur_text = [m.text]
+            cur_u0, cur_u1, cur_depth, cur_fs, cur_op = u0, u1, depth, fs, m.op_index
+            continue
+        gap = u0 - cur_u1
+        depth_jump = abs(depth - cur_depth) / fs
+        if depth_jump > DEPTH_JUMP or gap / fs >= WORD_GAP or gap / fs < WORD_OVERLAP:
+            flush()
+            cur_text = [m.text]
+            cur_u0, cur_u1, cur_depth, cur_fs, cur_op = u0, u1, depth, fs, m.op_index
+        else:
+            cur_text.append(m.text)
+            cur_u1 = max(cur_u1, u1)
+            cur_u0 = min(cur_u0, u0)
+            cur_depth = min(cur_depth, depth)
+            cur_fs = max(cur_fs, fs)
+    flush()
+    return words
+
+
+def make_lines(words: list[Word]) -> list[Line]:
+    """Depth-band line assembly (arrangeText e:705)."""
+    lines: list[Line] = []
+    for w in sorted(words, key=lambda w: (w.depth, w.u0)):
+        window = LINE_DEPTH_WINDOW * max(w.fontsize, LINE_MIN_FS)
+        best = None
+        for ln in lines:
+            if abs(ln.depth - w.depth) <= window:
+                # duplicate-word removal (overprint, tolerance 0.2·fs, e:705)
+                dup = any(
+                    ow.text == w.text
+                    and abs(ow.u0 - w.u0) < DUP_TOL * w.fontsize
+                    and abs(ow.depth - w.depth) < DUP_TOL * w.fontsize
+                    for ow in ln.words
+                )
+                if dup:
+                    best = "dup"
+                    break
+                # avoid merging separate columns into one line? lines may span
+                # columns at equal depth; paragraph stage splits by u-overlap.
+                best = ln
+                break
+        if best == "dup":
+            continue
+        if best is None:
+            ln = Line(words=[w], depth=w.depth)
+            lines.append(ln)
+        else:
+            best.words.append(w)
+            best.depth = min(best.depth, w.depth)
+    return lines
+
+
+def _split_line_columns(line: Line) -> list[Line]:
+    """Split a depth-band line at huge horizontal gaps (column gutters).
+    The reference never forms cross-column lines because paragraph bags are
+    grown before lines (e:277); splitting here is our equivalent gate."""
+    ws = sorted(line.words, key=lambda w: w.u0)
+    out: list[Line] = []
+    cur: list[Word] = [ws[0]]
+    for w in ws[1:]:
+        gap = w.u0 - max(x.u1 for x in cur)
+        fs = max(w.fontsize, max(x.fontsize for x in cur))
+        if gap > 3.0 * fs:  # gutter ≫ word gap (1.4·fs line cap, e:705 _ddeg)
+            out.append(Line(words=cur, depth=min(x.depth for x in cur)))
+            cur = [w]
+        else:
+            cur.append(w)
+    out.append(Line(words=cur, depth=min(x.depth for x in cur)))
+    return out
+
+
+def make_paras(lines: list[Line], orientation_rank: int) -> list[Para]:
+    """Greedy vertical growth with horizontal-overlap gating (e:277)."""
+    split: list[Line] = []
+    for ln in lines:
+        split.extend(_split_line_columns(ln))
+    paras: list[Para] = []
+    for ln in sorted(split, key=lambda l: (l.depth, l.u0)):
+        fs = ln.fontsize
+        attached = None
+        for pa in paras:
+            last = max(pa.lines, key=lambda l: l.depth)
+            pitch_cap = (1.0 + PARA_LINE_GAP) * max(fs, last.fontsize)
+            if not (0 < ln.depth - last.depth <= pitch_cap):
+                continue
+            # horizontal overlap gate
+            ov = min(pa.u1, ln.u1) - max(pa.u0, ln.u0)
+            if ov > 0.3 * min(pa.u1 - pa.u0 + 1e-6, ln.u1 - ln.u0 + 1e-6):
+                attached = pa
+                break
+        if attached is None:
+            paras.append(Para(lines=[ln], orientation_rank=orientation_rank))
+        else:
+            attached.lines.append(ln)
+    return paras
+
+
+def _gap_cut(intervals: list[tuple[float, float]], min_gap: float) -> float | None:
+    """Largest whitespace band splitting the interval set, or None."""
+    ivs = sorted(intervals)
+    best = None
+    best_gap = min_gap
+    hi = ivs[0][1]
+    for lo, h in ivs[1:]:
+        if lo - hi > best_gap:
+            best_gap = lo - hi
+            best = (hi + lo) / 2.0
+        hi = max(hi, h)
+    return best
+
+
+def reading_order(paras: list[Para]) -> list[Para]:
+    """Reading order via recursive XY-cut — column-aware, equivalent in
+    outcome to the reference's sortReadingOrder/topoOrder (e:271, e:511):
+    prefer a vertical gutter cut (left block first), else a horizontal
+    whitespace band (top block first), else diagonal order."""
+    if len(paras) <= 1:
+        return list(paras)
+
+    def order(group: list[Para], depth: int) -> list[Para]:
+        if len(group) <= 1 or depth > 32:
+            return sorted(group, key=lambda p: (p.depth0, p.u0))
+        med_fs = sorted(ln.fontsize for p in group for ln in p.lines)[
+            len([ln for p in group for ln in p.lines]) // 2
+        ]
+        x_cut = _gap_cut([(p.u0, p.u1) for p in group], 2.0 * med_fs)
+        if x_cut is not None:
+            left = [p for p in group if p.u1 <= x_cut]
+            right = [p for p in group if p.u1 > x_cut]
+            if left and right:
+                return order(left, depth + 1) + order(right, depth + 1)
+        y_cut = _gap_cut([(p.depth0, p.depth1) for p in group], 0.5 * med_fs)
+        if y_cut is not None:
+            top = [p for p in group if p.depth1 <= y_cut]
+            bottom = [p for p in group if p.depth1 > y_cut]
+            if top and bottom:
+                return order(top, depth + 1) + order(bottom, depth + 1)
+        return sorted(group, key=lambda p: (p.depth0 + 0.5 * p.u0, p.u0))
+
+    return order(list(paras), 0)
+
+
+def assemble_spans(
+    marks: list[TextMark],
+    media: list[MediaMark],
+    dehyphenate: bool = True,
+) -> list[dict]:
+    """Full page assembly → span dicts (kind, text, media_ref, offset)."""
+    ordered_paras: list[Para] = []
+    for rank, orientation in enumerate((0, 90, 180, 270)):
+        group = [m for m in marks if m.orientation == orientation]
+        if not group:
+            continue
+        words = make_words(group, orientation)
+        lines = make_lines(words)
+        paras = make_paras(lines, rank)
+        ordered_paras.extend(reading_order(paras))
+
+    media_sorted = sorted(media, key=lambda m: m.op_index)
+    para_ops = [p.min_op for p in ordered_paras]
+
+    def paras_before(op_index: int) -> int:
+        return sum(1 for po in para_ops if po < op_index)
+
+    spans: list[dict] = []
+    offset = 0
+
+    def emit_media_upto(slot: int, mi: int) -> int:
+        while mi < len(media_sorted) and paras_before(media_sorted[mi].op_index) <= slot:
+            spans.append(
+                {
+                    "kind": "media",
+                    "text": "",
+                    "media_ref": media_sorted[mi].media_ref,
+                    "offset": offset,
+                }
+            )
+            mi += 1
+        return mi
+
+    mi = 0
+    for i, pa in enumerate(ordered_paras):
+        mi = emit_media_upto(i, mi)
+        t = pa.text(dehyphenate=dehyphenate)
+        spans.append({"kind": "text", "text": t, "media_ref": "", "offset": offset})
+        offset += len(t)
+    emit_media_upto(len(ordered_paras), mi)
+    return spans

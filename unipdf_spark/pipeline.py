@@ -1,0 +1,284 @@
+"""Spark pipeline: (doc_id, pdf_bytes) → spans_out, Arrow-batched end to end.
+
+Design (SURVEY §3.1 "Spark lifecycle equivalent"):
+
+    scan → size-aware salted repartition → mapInPandas(extract_batch)
+         → spans_out (+ per-partition lineage/metrics) → sink / verification
+
+All tokenize/classify work happens inside Arrow-batched Python workers — never
+per-row Python in the driver plan. The only cross-document relational ops are
+the explicit salted repartition, the verification join, and checkpoint
+bookkeeping (manifest anti-join), exactly the set called out in SURVEY §2.5.
+
+Skew: document size is heavy-tailed (one 5,000-page PDF ≫ median). We salt by
+``xxhash64(doc_id)`` and additionally isolate oversized docs into their own
+partitions via a size-bucket column so a single giant PDF cannot straggle a
+whole partition (SURVEY §4 "Custom needed").
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import schema
+
+# Arrow batch sizing: docs are fat rows, but too-small batches pay per-batch
+# serialization overhead; 256 measured best at 2-10 KB/doc (see BENCH notes).
+ARROW_BATCH_CONF = {
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+LARGE_DOC_BYTES = 1 << 20  # ≥1 MiB of PDF → isolate in its own partition
+
+
+def get_spark(app: str = "unipdf-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    import os
+
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    b = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in ARROW_BATCH_CONF.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+# --- distributed fixture generation ------------------------------------------
+
+
+def gen_docs_pdf(spark: SparkSession, n_docs: int, seed: int = 42,
+                 mix: str = "default", partitions: int | None = None) -> DataFrame:
+    """Distributed fixture corpus: spark.range → mapInPandas(render).
+    Generation is a pure function of (seed, doc_id) so any executor can
+    (re)produce any doc — no driver-side rendering, no broadcast payloads."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def render_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .fixtures import gen
+
+        use_mix = gen.BENCH_MIX if mix == "bench" else gen.DEFAULT_MIX
+        for pdf_batch in batches:
+            rows = []
+            for i in pdf_batch["id"]:
+                i = int(i)
+                doc_id = f"doc_{i:08d}"
+                cls = gen._class_for(i, use_mix)
+                golden, pdf_bytes = gen.make_doc(doc_id, cls, seed)
+                rows.append(
+                    (doc_id, pdf_bytes, len(golden), cls,
+                     [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in golden])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "pdf_bytes", "n_spans", "fixture_class",
+                         "golden_spans"],
+            )
+
+    out_schema = (
+        schema.DOCS_PDF_DDL
+        + ", golden_spans array<struct<kind:string,text:string,"
+          "media_ref:string,offset:int>>"
+    )
+    return (
+        spark.range(0, n_docs, numPartitions=parts)
+        .mapInPandas(render_batch, schema=out_schema)
+    )
+
+
+def docs_pdf_from_documents(spark: SparkSession, sf_dir: str,
+                            limit: int | None = None) -> DataFrame:
+    """Render the TPC-H-ish `documents` table's text into PDFs (distributed),
+    carrying golden spans — exercises the engine on external text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if limit:
+        docs = docs.limit(limit)
+    docs = docs.select(
+        F.concat(F.lit("doc_"), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+                 ).alias("doc_id"),
+        "text",
+    )
+
+    def render_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .fixtures import gen
+
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                golden, pdf_bytes = gen.make_text_doc(doc_id, text or "")
+                rows.append(
+                    (doc_id, pdf_bytes, len(golden), "external_text",
+                     [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in golden])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "pdf_bytes", "n_spans", "fixture_class",
+                         "golden_spans"],
+            )
+
+    out_schema = (
+        schema.DOCS_PDF_DDL
+        + ", golden_spans array<struct<kind:string,text:string,"
+          "media_ref:string,offset:int>>"
+    )
+    return docs.mapInPandas(render_batch, schema=out_schema)
+
+
+# --- extraction stage -----------------------------------------------------------
+
+
+def salted_repartition(df: DataFrame, partitions: int,
+                       bytes_col: str = "pdf_bytes") -> DataFrame:
+    """Size-aware salted repartition (SURVEY §4): hash-salt on doc_id for
+    uniform spread; oversized docs get unique salts so each lands alone."""
+    salt = F.when(
+        F.length(F.col(bytes_col)) >= LARGE_DOC_BYTES,
+        F.xxhash64(F.col("doc_id"), F.lit("big")),
+    ).otherwise(F.xxhash64(F.col("doc_id")) % F.lit(partitions))
+    return df.repartition(partitions, salt)
+
+
+def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: pdf_bytes → spans (+metrics). Pure Python/NumPy
+    inside Arrow batches; no Spark calls (ArrowEvalPython stage)."""
+    from pyspark import TaskContext
+
+    from .pdf.extract import extract_spans
+
+    pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+    for b in batches:
+        rows = []
+        for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
+            t0 = time.perf_counter()
+            res = extract_spans(bytes(pdf_bytes))
+            dt = (time.perf_counter() - t0) * 1000.0
+            rows.append(
+                (
+                    doc_id,
+                    [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                     for s in res.spans],
+                    res.n_chars,
+                    res.n_misses,
+                    pid,
+                    dt,
+                    res.error,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "spans", "n_chars", "n_misses", "partition_id",
+                     "elapsed_ms", "error"],
+        )
+
+
+def run_extraction(docs_pdf: DataFrame, partitions: int | None = None,
+                   salt: bool = False) -> DataFrame:
+    """Extraction stage. ``salt=False`` by default: shuffling the PDF payload
+    through an exchange costs ~40% throughput (measured: 2549 vs 4085 docs/s
+    at local[32]); inputs read from parquet/Iceberg are already split-balanced
+    by ``maxPartitionBytes``. Enable ``salt`` only for size-skewed inputs
+    (heavy-tailed doc sizes), where the shuffle buys straggler elimination."""
+    df = docs_pdf.select("doc_id", "pdf_bytes")
+    if salt:
+        spark = docs_pdf.sparkSession
+        parts = partitions or spark.sparkContext.defaultParallelism
+        df = salted_repartition(df, parts)
+    elif partitions and partitions != df.rdd.getNumPartitions():
+        pass  # keep input partitioning — no payload shuffle
+    return df.mapInPandas(extract_batch, schema=schema.SPANS_OUT_DDL)
+
+
+# --- verification ---------------------------------------------------------------
+
+
+def span_equality(docs_pdf: DataFrame, spans_out: DataFrame) -> DataFrame:
+    """Per-doc span-sequence equality (kind, text, media_ref, order) — the
+    north-rule invariant — as a DataFrame join (no driver-side compare).
+    `offset` equality is asserted separately as a property test."""
+    g = docs_pdf.select(
+        "doc_id", "fixture_class",
+        F.transform(
+            "golden_spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        ).alias("golden_key"),
+    )
+    e = spans_out.select(
+        "doc_id", "error", "n_misses",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        ).alias("got_key"),
+    )
+    return g.join(e, "doc_id", "left").select(
+        "doc_id",
+        "fixture_class",
+        "error",
+        "n_misses",
+        (F.col("golden_key") == F.col("got_key")).alias("match"),
+    )
+
+
+# --- checkpoint / resume ---------------------------------------------------------
+
+
+def run_with_checkpoint(docs_pdf: DataFrame, out_dir: str,
+                        partitions: int | None = None,
+                        buckets: int = 16) -> None:
+    """Checkpoint-resumable extraction: docs are bucketed by xxhash64(doc_id);
+    each completed bucket writes spans + one manifest row. On restart,
+    finished buckets are skipped via an anti-join against the manifest
+    (SURVEY §4 'checkpoint/resume'). Output is byte-identical regardless of
+    how many times the job was interrupted (bucket contents are deterministic).
+    """
+    import os
+
+    spark = docs_pdf.sparkSession
+    manifest_dir = os.path.join(out_dir, "_manifest")
+    spans_dir = os.path.join(out_dir, "spans")
+    done: set[int] = set()
+    if os.path.isdir(manifest_dir):
+        try:
+            mdf = spark.read.parquet(manifest_dir)
+            done = {r["bucket"] for r in mdf.select("bucket").collect()}
+        except Exception:
+            done = set()
+
+    bucketed = docs_pdf.withColumn(
+        "bucket", (F.pmod(F.xxhash64("doc_id"), F.lit(buckets))).cast("int")
+    )
+    for bkt in range(buckets):
+        if bkt in done:
+            continue
+        part = bucketed.filter(F.col("bucket") == bkt).drop("bucket")
+        t0 = time.time()
+        out = run_extraction(part, partitions)
+        out.write.mode("overwrite").parquet(os.path.join(spans_dir, f"bucket={bkt}"))
+        n = spark.read.parquet(os.path.join(spans_dir, f"bucket={bkt}")).count()
+        lineage = spark.createDataFrame(
+            [(bkt, n, time.time() - t0, time.time())],
+            "bucket int, n_docs long, elapsed_s double, finished_at double",
+        )
+        lineage.write.mode("append").parquet(manifest_dir)
+
+
+def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(out_dir, "spans"))
