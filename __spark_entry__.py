@@ -81,11 +81,25 @@ def _extract_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: media payloads from fixture PDFs → stub feature
+    extraction (binary columns + Arrow batches; decode stubbed by design)."""
+    from unipdf_spark.operators import multimodal as mm
+
+    media = mm.media_table_from_fixtures(spark, n_docs=60)
+    return (
+        mm.extract_features(media)
+        .select("media_ref", "doc_id", "feat_dim", "decode_ok")
+        .orderBy("media_ref", "doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(all_queries())
     q["extract_fixture_roundtrip"] = _extract_fixture_corpus
     q["extract_external_text"] = _extract_external_text
     q["extract_spans_flat"] = _extract_spans_flat
+    q["media_features"] = _media_features
     return q
 
 

@@ -1,0 +1,60 @@
+"""Multimodal binary-column plumbing tests (decode is a documented stub;
+schemas, batch shapes, and per-row error handling are real)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from unipdf_spark.operators import multimodal as mm
+
+
+def test_media_table_extraction(spark):
+    media = mm.media_table_from_fixtures(spark, n_docs=40).persist()
+    rows = media.collect()
+    assert rows, "fixture corpus must contain interleaved docs with images"
+    for r in rows:
+        assert r["media_ref"].startswith("img_")
+        assert r["kind"] == "image"
+        assert r["n_bytes"] == len(r["payload"]) > 0
+        assert r["width"] == 8 and r["height"] == 8
+    media.unpersist()
+
+
+def test_feature_extraction_deterministic(spark):
+    media = mm.media_table_from_fixtures(spark, n_docs=40).persist()
+    f1 = {r["media_ref"]: r["feature"] for r in mm.extract_features(media).collect()}
+    f2 = {r["media_ref"]: r["feature"] for r in mm.extract_features(media).collect()}
+    assert f1 == f2 and len(f1) > 0
+    for v in f1.values():
+        assert len(v) == mm.STUB_FEAT_DIM
+        assert all(0.0 <= x < 1.0 for x in v)
+    media.unpersist()
+
+
+def test_decode_failure_is_row_level(spark):
+    import pandas as pd
+
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": ["img_x", "img_y"],
+                "doc_id": ["d1", "d2"],
+                "kind": ["image", "image"],
+                "payload": [b"", b"\x01\x02\x03"],
+                "width": [4, 4],
+                "height": [4, 4],
+                "n_bytes": [0, 3],
+            }
+        )
+    )
+    out = {r["media_ref"]: r["decode_ok"] for r in mm.extract_features(bad).collect()}
+    assert out == {"img_x": False, "img_y": True}
+
+
+def test_thumbnails_schema_and_bounds(spark):
+    media = mm.media_table_from_fixtures(spark, n_docs=40)
+    rows = mm.resize_thumbnails(media).collect()
+    assert rows
+    for r in rows:
+        assert r["thumb_w"] <= 4 and r["thumb_h"] <= 4
+        assert isinstance(r["thumb"], (bytes, bytearray))

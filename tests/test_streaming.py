@@ -1,0 +1,142 @@
+"""Structured Streaming operator tests (memory sink, processAllAvailable)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def events_stream_dir(spark):
+    """Copy the events parquet into a dir usable as a file-stream source."""
+    d = tempfile.mkdtemp()
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    df.coalesce(2).write.mode("overwrite").parquet(d)
+    yield d, df.schema
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_hourly_counts_matches_batch(spark, events_stream_dir):
+    from unipdf_spark.streaming import streaming_hourly_counts
+
+    d, sch = events_stream_dir
+    stream = spark.readStream.schema(sch).parquet(d)
+    q = (
+        streaming_hourly_counts(stream)
+        .writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+            for r in spark.sql("select * from hourly_test").collect()
+        }
+    finally:
+        q.stop()
+    batch = (
+        spark.read.parquet(d)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    )
+    expect = {(r["win"]["start"], r["event_type"]): (r["n"], r["s"]) for r in batch}
+    assert got == expect and len(got) > 0
+
+
+def test_streaming_extract_spans(spark):
+    """Streaming extraction over a file source of rendered PDFs must produce
+    the same spans as the batch path."""
+    from unipdf_spark import pipeline
+    from unipdf_spark.streaming import streaming_extract
+
+    d = tempfile.mkdtemp()
+    chk = tempfile.mkdtemp()
+    try:
+        docs = pipeline.gen_docs_pdf(spark, 20, partitions=2)
+        docs.select("doc_id", "pdf_bytes").write.mode("overwrite").parquet(d)
+        sch = spark.read.parquet(d).schema
+        stream = spark.readStream.schema(sch).parquet(d)
+        q = (
+            streaming_extract(stream)
+            .writeStream.format("memory")
+            .queryName("extract_stream_test")
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r["doc_id"]: r["spans"]
+                for r in spark.sql("select * from extract_stream_test").collect()
+            }
+        finally:
+            q.stop()
+        batch = {
+            r["doc_id"]: r["spans"]
+            for r in pipeline.run_extraction(docs).collect()
+        }
+        assert got == batch and len(got) == 20
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_streaming_sessionize_stateful(spark):
+    """applyInPandasWithState sessionization: sessions separated by >30min
+    gaps are emitted once the next batch pushes the gap."""
+    import pandas as pd
+
+    from unipdf_spark.streaming import streaming_sessionize
+
+    d = tempfile.mkdtemp()
+    chk = tempfile.mkdtemp()
+    try:
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        rows = []
+        # user 1: two sessions separated by 2h; second session pushes the
+        # first one out in the same batch
+        for k in range(3):
+            rows.append((1, base + pd.Timedelta(minutes=5 * k), "click", 1.0))
+        for k in range(2):
+            rows.append((1, base + pd.Timedelta(hours=3, minutes=k), "view", 2.0))
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(d)
+        sch = spark.read.parquet(d).schema
+        stream = spark.readStream.schema(sch).parquet(d)
+        q = (
+            streaming_sessionize(stream)
+            .writeStream.format("memory")
+            .queryName("sess_test")
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+        import time
+
+        try:
+            # processAllAvailable() blocks forever with pending
+            # processing-time timeouts ("cleaning up state") — poll instead
+            out = []
+            for _ in range(60):
+                if q.exception():
+                    raise AssertionError(q.exception())
+                out = spark.sql("select * from sess_test").collect()
+                if out:
+                    break
+                time.sleep(2)
+        finally:
+            q.stop()
+        # the completed first session must be emitted
+        assert len(out) == 1
+        r = out[0]
+        assert r["user_id"] == 1 and r["n_events"] == 3 and r["total_value"] == 3.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)

@@ -60,7 +60,7 @@ CID_WORDS = WORDS[:20] + ["café", "naïve", "résumé", "データ", "解析", 
 
 FIXTURE_CLASSES = [
     "simple", "kerned", "multicolumn", "rotated", "cid", "interleaved",
-    "form_xobject", "hyphenated", "tagged", "malformed", "skew",
+    "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
 ]
 
 
@@ -135,6 +135,7 @@ class DocPlan:
     blocks: list = field(default_factory=list)  # ParaPlan | ImagePlan, doc order
     theta: int = 0
     corrupt_xref: bool = False
+    modern: bool = False  # xref stream + object stream container (PDF 1.5+)
     use_forms: bool = False  # first/last paras become Form XObjects
     images: dict[int, bytes] = field(default_factory=dict)  # key -> rgb bytes
 
@@ -352,10 +353,11 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
             plan.blocks.append(p)
         return plan
 
-    n_paras = {"simple": (2, 5), "malformed": (2, 4), "skew": (60, 90)}[
-        fixture_class if fixture_class in ("simple", "malformed", "skew") else "simple"
-    ]
+    n_paras = {"simple": (2, 5), "malformed": (2, 4), "skew": (60, 90)}.get(
+        fixture_class, (2, 5)
+    )
     plan.corrupt_xref = fixture_class == "malformed"
+    plan.modern = fixture_class == "objstm"
     count = random.Random(f"{seed}:{doc_id}:n").randint(*n_paras)
     page = 0
     for _ in range(count):
@@ -573,7 +575,10 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         + str(n_pages).encode() + b" >>",
     )
     w.set_obj(catalog, b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
-    pdf = w.build(catalog, corrupt_startxref=plan.corrupt_xref)
+    if plan.modern:
+        pdf = w.build_modern(catalog)
+    else:
+        pdf = w.build(catalog, corrupt_startxref=plan.corrupt_xref)
     return pdf, golden
 
 
@@ -628,15 +633,15 @@ def make_text_doc(doc_id: str, text: str, seed: int = 42
 
 
 DEFAULT_MIX = [
-    ("simple", 30), ("kerned", 12), ("multicolumn", 12), ("rotated", 8),
+    ("simple", 26), ("kerned", 12), ("multicolumn", 12), ("rotated", 8),
     ("cid", 10), ("interleaved", 12), ("form_xobject", 6), ("hyphenated", 5),
-    ("tagged", 3), ("malformed", 2),
+    ("tagged", 3), ("malformed", 2), ("objstm", 4),
 ]
 
 BENCH_MIX = [
-    ("simple", 40), ("kerned", 30), ("interleaved", 10), ("multicolumn", 10),
+    ("simple", 37), ("kerned", 30), ("interleaved", 10), ("multicolumn", 10),
     ("rotated", 3), ("cid", 3), ("form_xobject", 2), ("hyphenated", 1),
-    ("tagged", 0.5), ("malformed", 0.5),
+    ("tagged", 0.5), ("malformed", 0.5), ("objstm", 3),
 ]
 
 

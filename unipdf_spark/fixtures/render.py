@@ -21,6 +21,7 @@ def esc_string(s: str) -> bytes:
 class PdfFileWriter:
     def __init__(self) -> None:
         self._objs: list[bytes | None] = [None]  # 1-indexed
+        self._is_stream: set[int] = set()
 
     def reserve(self) -> int:
         self._objs.append(None)
@@ -46,7 +47,9 @@ class PdfFileWriter:
             b"<< " + dict_extra + filt + b"/Length " + str(len(raw)).encode() + b" >>\n"
             b"stream\n" + raw + b"\nendstream"
         )
-        return self.add(body), raw
+        num = self.add(body)
+        self._is_stream.add(num)
+        return num, raw
 
     def build(self, root_num: int, corrupt_startxref: bool = False) -> bytes:
         out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
@@ -69,4 +72,65 @@ class PdfFileWriter:
         )
         sx = 1 if corrupt_startxref else xref_pos  # broken offset → repair path
         out += b"startxref\n" + str(sx).encode() + b"\n%%EOF\n"
+        return bytes(out)
+
+    def build_modern(self, root_num: int) -> bytes:
+        """Modern container: non-stream objects packed into an /ObjStm object
+        stream; cross-references via a compressed /XRef stream (PDF 1.5+).
+        Exercises the engine's xref-stream + object-stream decode path."""
+        out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+        n_existing = len(self._objs)
+        objstm_num = n_existing  # next two object numbers
+        xref_num = n_existing + 1
+        size = n_existing + 2
+
+        packed: list[int] = []   # object numbers inside the ObjStm
+        direct: dict[int, int] = {}  # num -> file offset
+        for num in range(1, n_existing):
+            body = self._objs[num]
+            if body is None:
+                raise ValueError(f"object {num} reserved but never set")
+            if b"\nstream\n" in body:
+                direct[num] = len(out)
+                out += str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+            else:
+                packed.append(num)
+
+        # ObjStm payload: "num off num off ..." header + concatenated bodies
+        bodies = bytearray()
+        header = bytearray()
+        for num in packed:
+            header += b"%d %d " % (num, len(bodies))
+            bodies += self._objs[num] + b"\n"
+        payload = bytes(header) + bytes(bodies)
+        comp = zlib.compress(payload, 6)
+        direct[objstm_num] = len(out)
+        out += (
+            str(objstm_num).encode() + b" 0 obj\n<< /Type /ObjStm /N "
+            + str(len(packed)).encode() + b" /First " + str(len(header)).encode()
+            + b" /Filter /FlateDecode /Length " + str(len(comp)).encode()
+            + b" >>\nstream\n" + comp + b"\nendstream\nendobj\n"
+        )
+
+        # XRef stream: W = [1 4 2]
+        xref_pos = len(out)
+        rows = bytearray()
+        for num in range(size):
+            if num == 0:
+                rows += b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+            elif num == xref_num:
+                rows += b"\x01" + xref_pos.to_bytes(4, "big") + (0).to_bytes(2, "big")
+            elif num in direct:
+                rows += b"\x01" + direct[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+            else:
+                idx = packed.index(num)
+                rows += b"\x02" + objstm_num.to_bytes(4, "big") + idx.to_bytes(2, "big")
+        xcomp = zlib.compress(bytes(rows), 6)
+        out += (
+            str(xref_num).encode() + b" 0 obj\n<< /Type /XRef /W [1 4 2] /Size "
+            + str(size).encode() + b" /Root " + str(root_num).encode()
+            + b" 0 R /Filter /FlateDecode /Length " + str(len(xcomp)).encode()
+            + b" >>\nstream\n" + xcomp + b"\nendstream\nendobj\n"
+        )
+        out += b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
         return bytes(out)

@@ -1,0 +1,177 @@
+"""Multimodal column operators: image/audio/video as opaque `binary` columns
+with typed metadata.
+
+The Spark-side plumbing is real (schemas, Arrow batch shapes, mapInPandas
+signatures, partitioning); the codec step itself is stubbed behind
+`_decode_image_stub` — the container has no image/audio libraries, and the
+span pipeline needs media *identity*, not pixels (same stance as the
+reference's text path, which skips image XObjects — extractor.go:1016 block).
+A real deployment swaps the stub for Pillow/torchaudio inside the same UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_ref string, doc_id string, kind string, payload binary, "
+    "width int, height int, n_bytes int"
+)
+
+FEATURE_SCHEMA = (
+    "media_ref string, doc_id string, feature array<float>, "
+    "feat_dim int, decode_ok boolean"
+)
+
+THUMB_SCHEMA = (
+    "media_ref string, thumb binary, thumb_w int, thumb_h int"
+)
+
+STUB_FEAT_DIM = 16
+
+
+def media_table_from_fixtures(spark, n_docs: int = 60) -> DataFrame:
+    """Build a media table (one row per media span payload) from the fixture
+    corpus — exercises the binary-column path end to end."""
+    from .. import pipeline
+
+    docs = pipeline.gen_docs_pdf(spark, n_docs, partitions=4)
+
+    def emit_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..pdf.cos import PdfDocument, Stream
+
+        for b in batches:
+            rows = []
+            for doc_id, pdf in zip(b["doc_id"], b["pdf_bytes"]):
+                try:
+                    doc = PdfDocument(bytes(pdf))
+                except Exception:
+                    continue
+                for num in sorted(doc.xref):
+                    try:
+                        obj = doc.get_object(num)
+                    except Exception:
+                        continue
+                    if not isinstance(obj, Stream):
+                        continue
+                    d = obj.dict
+                    if d.get("Subtype") != "Image":
+                        continue
+                    ref = "img_" + hashlib.sha256(obj.raw).hexdigest()[:16]
+                    w = int(doc.resolve(d.get("Width")) or 0)
+                    h = int(doc.resolve(d.get("Height")) or 0)
+                    rows.append(
+                        (ref, doc_id, "image", obj.raw, w, h, len(obj.raw))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "doc_id", "kind", "payload", "width",
+                         "height", "n_bytes"],
+            )
+
+    return docs.mapInPandas(emit_media, schema=MEDIA_SCHEMA)
+
+
+def _decode_image_stub(payload: bytes, width: int, height: int):
+    """STUB decode: deterministic fake pixel statistics derived from the
+    payload hash — NOT a real codec. Replace with Pillow in deployment.
+    Raises on empty payload to exercise the per-row error path."""
+    if not payload:
+        raise NotImplementedError("empty payload: no codec available (stub)")
+    h = hashlib.sha256(payload).digest()
+    # 16 deterministic pseudo-features in [0, 1)
+    feats = [
+        struct.unpack(">H", h[2 * i : 2 * i + 2])[0] / 65536.0
+        for i in range(STUB_FEAT_DIM)
+    ]
+    return feats
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary media payloads. Per-row
+    failures land in `decode_ok=false` rows, never fail the task (relaxed
+    philosophy, SURVEY §3.1)."""
+
+    def feat_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            refs, dids, feats, dims, oks = [], [], [], [], []
+            for ref, did, payload, w, h in zip(
+                b["media_ref"], b["doc_id"], b["payload"], b["width"],
+                b["height"],
+            ):
+                refs.append(ref)
+                dids.append(did)
+                try:
+                    f = _decode_image_stub(bytes(payload or b""), int(w), int(h))
+                    feats.append(f)
+                    dims.append(len(f))
+                    oks.append(True)
+                except Exception:
+                    feats.append([])
+                    dims.append(0)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "doc_id": dids,
+                    "feature": feats,
+                    "feat_dim": dims,
+                    "decode_ok": oks,
+                }
+            )
+
+    return media.mapInPandas(feat_batch, schema=FEATURE_SCHEMA)
+
+
+def resize_thumbnails(media: DataFrame, max_side: int = 4) -> DataFrame:
+    """Thumbnail 'resize' plumbing: batch shape + output schema are real;
+    the pixel work is a deterministic byte-fold stub."""
+
+    def thumb_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for ref, payload, w, h in zip(
+                b["media_ref"], b["payload"], b["width"], b["height"]
+            ):
+                p = bytes(payload or b"")
+                tw = min(int(w) or max_side, max_side)
+                th_ = min(int(h) or max_side, max_side)
+                n = max(1, tw * th_ * 3)
+                folded = bytes(
+                    sum(p[i::n]) % 256 if p else 0 for i in range(min(n, len(p) or 1))
+                )
+                rows.append((ref, folded, tw, th_))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "thumb", "thumb_w", "thumb_h"]
+            )
+
+    return media.mapInPandas(thumb_batch, schema=THUMB_SCHEMA)
+
+
+def media_feature_dedup(media: DataFrame) -> DataFrame:
+    """Near-dup media via stub-feature cosine within payload-size blocks —
+    the multimodal analog of embedding near-dup (same join shape)."""
+    feats = extract_features(media).filter(F.col("decode_ok"))
+    a = feats.alias("a")
+    b = feats.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.feature"), F.col("b.feature"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.media_ref") < F.col("b.media_ref"))
+        .select(
+            F.col("a.media_ref").alias("ref_a"),
+            F.col("b.media_ref").alias("ref_b"),
+            F.round(dot, 6).alias("dot"),
+        )
+    )

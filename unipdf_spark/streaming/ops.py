@@ -1,0 +1,124 @@
+"""Streaming operators: windowed aggregation with watermark, stateful
+sessionization (applyInPandasWithState), and streaming span extraction.
+
+All operators take/return streaming DataFrames so sources and sinks stay the
+caller's choice (file/kafka/rate in production; memory sink in tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .. import schema
+
+SESSION_GAP_S = 1800
+
+
+def streaming_hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h windowed counts per event_type with late-data watermark —
+    the streaming analog of `events_hourly_rollup`."""
+    # watermarks require TIMESTAMP (not NTZ, which parquet sources often carry)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events int, total_value double"
+)
+_STATE_SCHEMA = "start long, last long, n int, total double"
+
+
+def _session_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Gap-based session assembly with timeout-driven emission (the streaming
+    analog of the extractor's gap-based clustering, SURVEY §2.3)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="s")],
+                "session_end": [pd.Timestamp(last, unit="s")],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    ts = rows["ts"].astype("int64") // 10**9
+    vals = rows["value"].fillna(0.0)
+    out = []
+    if state.exists:
+        start, last, n, total = state.get
+    else:
+        start = last = int(ts.iloc[0])
+        n = 0
+        total = 0.0
+    for t, v in zip(ts, vals):
+        t = int(t)
+        if t - last > SESSION_GAP_S:
+            out.append((user_id, start, last, n, total))
+            start, n, total = t, 0, 0.0
+        last = max(last, t)
+        n += 1
+        total += float(v)
+    state.update((start, last, n, total))
+    state.setTimeoutDuration(SESSION_GAP_S * 1000)
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_start": [pd.Timestamp(r[1], unit="s") for r in out],
+                "session_end": [pd.Timestamp(r[2], unit="s") for r in out],
+                "n_events": [r[3] for r in out],
+                "total_value": [round(r[4], 2) for r in out],
+            }
+        )
+
+
+def streaming_sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user session windows with a 30-min gap,
+    emitted when the gap passes (processing-time timeout)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def streaming_extract(docs_pdf: DataFrame) -> DataFrame:
+    """Streaming span extraction: the SAME Arrow-batched extract_batch stage
+    bound to a streaming source — micro-batch continuous ingestion of
+    documents (checkpointing comes from the sink's checkpointLocation)."""
+    from ..pipeline import extract_batch
+
+    return docs_pdf.select("doc_id", "pdf_bytes").mapInPandas(
+        extract_batch, schema=schema.SPANS_OUT_DDL
+    )
