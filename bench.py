@@ -39,6 +39,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
+    # warm-up: python worker spawn + imports are one-time costs; pay them
+    # outside every timed section (steady-state throughput is the metric)
+    pipeline.gen_docs_pdf(spark, cpus * 8, mix="bench", partitions=cpus).count()
+
     # --- headline: extraction throughput + span equality -------------------
     t0 = time.perf_counter()
     docs_pdf = pipeline.gen_docs_pdf(
@@ -48,6 +52,7 @@ def main() -> None:
     t_gen = time.perf_counter() - t0
     timings["fixture_generation"] = round(t_gen, 3)
 
+    pipeline.run_extraction(docs_pdf.limit(cpus * 8)).count()  # extract warm-up
     t0 = time.perf_counter()
     spans_out = pipeline.run_extraction(docs_pdf, partitions=cpus * 2).persist()
     n_ok = spans_out.filter(F.col("error").isNull()).count()

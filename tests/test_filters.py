@@ -50,23 +50,32 @@ def test_lzw_known_vector():
     def lzw_encode(data: bytes) -> bytes:
         table = {bytes([i]): i for i in range(256)}
         next_code = 258
+        dec_size = 258  # decoder-table mirror drives the code width
         code_len = 9
-        out_bits = []
-        out_bits.append((256, 9))  # clear
+        n_emitted = 0
+        out_bits = [(256, 9)]  # clear
+
+        def emit(code):
+            nonlocal dec_size, code_len, n_emitted
+            out_bits.append((code, code_len))
+            n_emitted += 1
+            if n_emitted > 1 and dec_size < 4096:
+                dec_size += 1
+                if dec_size + 1 >= (1 << code_len) and code_len < 12:
+                    code_len += 1
+
         w = b""
         for ch in data:
             wc = w + bytes([ch])
             if wc in table:
                 w = wc
             else:
-                out_bits.append((table[w], code_len))
+                emit(table[w])
                 table[wc] = next_code
                 next_code += 1
-                if next_code + 0 >= (1 << code_len) and code_len < 12:
-                    code_len += 1
                 w = bytes([ch])
         if w:
-            out_bits.append((table[w], code_len))
+            emit(table[w])
         out_bits.append((257, code_len))
         buf = 0
         nbits = 0

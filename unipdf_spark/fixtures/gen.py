@@ -61,6 +61,7 @@ CID_WORDS = WORDS[:20] + ["café", "naïve", "résumé", "データ", "解析", 
 FIXTURE_CLASSES = [
     "simple", "kerned", "multicolumn", "rotated", "cid", "interleaved",
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
+    "filters", "type3",
 ]
 
 
@@ -68,8 +69,18 @@ def _char_w(ch: str) -> float:
     return float(_W.get(ch, 500))
 
 
-def _text_w(s: str, fs: float, tc: float = 0.0, th: float = 1.0) -> float:
-    return sum((_char_w(c) / 1000.0 * fs + tc) for c in s) * th
+T3_W = 500.0  # Type3 glyph width in glyph units (FontMatrix 0.001 scale)
+
+
+def _text_w(s: str, fs: float, tc: float = 0.0, th: float = 1.0,
+            tw: float = 0.0, font: str = "F1") -> float:
+    if font == "F3":
+        return sum(
+            (T3_W / 1000.0 * fs + tc + (tw if c == " " else 0.0)) for c in s
+        ) * th
+    return sum(
+        (_char_w(c) / 1000.0 * fs + tc + (tw if c == " " else 0.0)) for c in s
+    ) * th
 
 
 def _cid_text_w(s: str, fs: float) -> float:
@@ -101,6 +112,8 @@ class ParaPlan:
     font: str = "F1"
     tc: float = 0.0
     tz: float = 100.0
+    tw: float = 0.0
+    rot_via_cm: bool = False  # rotation carried by `cm`, not `Tm`
     lig_line: int = -1  # tagged: line index containing the ligature segment
     page: int = 0
 
@@ -136,6 +149,7 @@ class DocPlan:
     theta: int = 0
     corrupt_xref: bool = False
     modern: bool = False  # xref stream + object stream container (PDF 1.5+)
+    content_filters: list | None = None  # /Filter chain for content streams
     use_forms: bool = False  # first/last paras become Form XObjects
     images: dict[int, bytes] = field(default_factory=dict)  # key -> rgb bytes
 
@@ -144,12 +158,12 @@ class DocPlan:
 
 
 def _wrap(words: list[str], fs: float, width: float, tc: float, th: float,
-          cid: bool) -> list[str]:
+          cid: bool, tw: float = 0.0, font: str = "F1") -> list[str]:
     lines: list[str] = []
     cur = ""
     for w in words:
         cand = w if not cur else cur + " " + w
-        cw = _cid_text_w(cand, fs) if cid else _text_w(cand, fs, tc, th)
+        cw = _cid_text_w(cand, fs) if cid else _text_w(cand, fs, tc, th, tw, font)
         if cw <= width or not cur:
             cur = cand
         else:
@@ -162,12 +176,13 @@ def _wrap(words: list[str], fs: float, width: float, tc: float, th: float,
 
 def _para(rng: random.Random, x: float, v_cursor: float, width: float,
           n_words: tuple[int, int], fs: float = FS, font: str = "F1",
-          tc: float = 0.0, tz: float = 100.0, pool: list[str] | None = None,
+          tc: float = 0.0, tz: float = 100.0, tw: float = 0.0,
+          pool: list[str] | None = None,
           ) -> tuple[ParaPlan, float]:
     pool = pool or WORDS
     words = [rng.choice(pool) for _ in range(rng.randint(*n_words))]
     th = tz / 100.0
-    lines = _wrap(words, fs, width, tc, th, cid=(font == "F2"))
+    lines = _wrap(words, fs, width, tc, th, cid=(font == "F2"), tw=tw, font=font)
     leading = fs * 1.2
     baselines = []
     v = v_cursor - fs
@@ -176,7 +191,7 @@ def _para(rng: random.Random, x: float, v_cursor: float, width: float,
         v -= leading
     plan = ParaPlan(
         lines=[[Seg(t)] for t in lines], x=x, baselines=baselines, fs=fs,
-        font=font, tc=tc, tz=tz,
+        font=font, tc=tc, tz=tz, tw=tw,
     )
     return plan, v + leading - PARA_SKIP  # next v_cursor (top of next block)
 
@@ -188,8 +203,9 @@ def _kerned_para(rng: random.Random, x: float, v_cursor: float, width: float
     words = [rng.choice(WORDS) for _ in range(rng.randint(8, 18))]
     tc = rng.choice([0.0, 0.0, 0.25])
     tz = rng.choice([100.0, 100.0, 110.0])
+    tw = rng.choice([0.0, 0.0, 1.5])  # word spacing applies to byte-32 only
     th = tz / 100.0
-    lines = _wrap(words, FS, width, tc, th, cid=False)
+    lines = _wrap(words, FS, width, tc, th, cid=False, tw=tw)
     baselines = []
     seg_lines: list[list[Seg]] = []
     v = v_cursor - FS
@@ -216,7 +232,7 @@ def _kerned_para(rng: random.Random, x: float, v_cursor: float, width: float
         baselines.append(v)
         v -= FS * 1.2
     plan = ParaPlan(lines=seg_lines, x=x, baselines=baselines, fs=FS,
-                    tc=tc, tz=tz)
+                    tc=tc, tz=tz, tw=tw)
     return plan, v + FS * 1.2 - PARA_SKIP
 
 
@@ -255,10 +271,18 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
 
     if fixture_class == "rotated":
         plan.theta = rng.choice([90, 180, 270])
+        via_cm = rng.random() < 0.5  # rotation via `cm` vs via `Tm`
         budget = PAGE_H - 2 * MARGIN if plan.theta in (90, 270) else width
         v = (PAGE_W - MARGIN) if plan.theta in (90, 270) else v
         for _ in range(rng.randint(2, 4)):
             p, v = _para(rng, MARGIN, v, budget, (6, 16))
+            p.rot_via_cm = via_cm
+            plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "type3":
+        for _ in range(rng.randint(2, 4)):
+            p, v = _para(rng, MARGIN, v, width, (5, 12), font="F3")
             plan.blocks.append(p)
         return plan
 
@@ -358,6 +382,14 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
     )
     plan.corrupt_xref = fixture_class == "malformed"
     plan.modern = fixture_class == "objstm"
+    if fixture_class == "filters":
+        plan.content_filters = rng.choice([
+            ["LZWDecode"],
+            ["ASCII85Decode", "FlateDecode"],
+            ["RunLengthDecode"],
+            ["ASCIIHexDecode"],
+            ["ASCII85Decode", "LZWDecode"],
+        ])
     count = random.Random(f"{seed}:{doc_id}:n").randint(*n_paras)
     page = 0
     for _ in range(count):
@@ -386,21 +418,40 @@ def _place(u: float, vv: float, theta: int) -> tuple[float, float]:
     return vv, PAGE_H - u  # 270
 
 
+_CM_OFFSET = {0: (0.0, 0.0), 90: (PAGE_W, 0.0), 180: (PAGE_W, PAGE_H),
+              270: (0.0, PAGE_H)}
+
+
 def _para_content(p: ParaPlan, theta: int) -> bytes:
     c, s = {0: (1, 0), 90: (0, 1), 180: (-1, 0), 270: (0, -1)}[theta]
-    out = bytearray(b"BT\n")
+    out = bytearray()
+    via_cm = p.rot_via_cm and theta != 0
+    if via_cm:
+        offx, offy = _CM_OFFSET[theta]
+        out += b"q\n%g %g %g %g %g %g cm\n" % (c, s, -s, c, offx, offy)
+    out += b"BT\n"
     out += b"/%s %g Tf\n" % (p.font.encode(), p.fs)
     out += b"%g TL\n" % (p.fs * 1.2)
     if p.tc:
         out += b"%g Tc\n" % p.tc
     if p.tz != 100.0:
         out += b"%g Tz\n" % p.tz
+    if p.tw:
+        out += b"%g Tw\n" % p.tw
     for i, segs in enumerate(p.lines):
-        x, y = _place(p.x, p.baselines[i], theta)
-        if i == 0:
-            out += b"%g %g %g %g %g %g Tm\n" % (c, s, -s, c, x, y)
+        if via_cm:
+            x, y = p.x, p.baselines[i]  # rotation carried by the CTM
+            if i == 0:
+                out += b"1 0 0 1 %g %g Tm\n" % (x, y)
+            else:
+                out += b"T*\n"
+            pass
         else:
-            out += b"T*\n"
+            x, y = _place(p.x, p.baselines[i], theta)
+            if i == 0:
+                out += b"%g %g %g %g %g %g Tm\n" % (c, s, -s, c, x, y)
+            else:
+                out += b"T*\n"
         if p.font == "F2":
             hexes = "".join("%04X" % ord(ch) for seg in segs for ch in seg.text)
             out += b"<" + hexes.encode() + b"> Tj\n"
@@ -425,7 +476,11 @@ def _para_content(p: ParaPlan, theta: int) -> bytes:
         out += b"0 Tc\n"
     if p.tz != 100.0:
         out += b"100 Tz\n"
+    if p.tw:
+        out += b"0 Tw\n"
     out += b"ET\n"
+    if via_cm:
+        out += b"Q\n"
     return bytes(out)
 
 
@@ -485,6 +540,56 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             + str(tounicode).encode() + b" 0 R >>"
         )
         font_res += b"/F2 " + str(f2).encode() + b" 0 R "
+
+    # Type3 font (glyph procs; FontMatrix 0.001; ToUnicode for text)
+    used_t3: set[int] = set()
+    for b in plan.blocks:
+        if isinstance(b, ParaPlan) and b.font == "F3":
+            for segs in b.lines:
+                for seg in segs:
+                    used_t3.update(ord(ch) for ch in seg.text)
+    if used_t3:
+        t3codes = sorted(used_t3)
+        bf3 = bytearray(b"%d beginbfchar\n" % len(t3codes))
+        for cde in t3codes:
+            bf3 += b"<%02X> <%04X>\n" % (cde, cde)
+        bf3 += b"endbfchar\n"
+        cmap3 = (
+            b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap\n"
+            b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+            + bytes(bf3)
+            + b"endcmap CMapName currentdict /CMap defineresource pop end end\n"
+        )
+        tounicode3, _ = w.add_stream(b"", cmap3, compress=True)
+        charprocs = b""
+        diffs = bytearray(b"[ ")
+        proc_refs = {}
+        for cde in t3codes:
+            gname = f"g{cde}".encode()
+            proc = (b"%d 0 0 0 %d %d d0\n0 0 %d %d re f\n"
+                    % (int(T3_W), 0, 0, int(T3_W), 700))
+            pnum, _ = w.add_stream(b"", proc, compress=False)
+            proc_refs[cde] = (gname, pnum)
+            diffs += b"%d /%s " % (cde, gname)
+        diffs += b"]"
+        charprocs = b"<< " + b" ".join(
+            b"/%s %d 0 R" % (g, n) for g, n in proc_refs.values()
+        ) + b" >>"
+        first3, last3 = t3codes[0], t3codes[-1]
+        widths3 = b" ".join(
+            (b"%d" % int(T3_W)) if c in used_t3 else b"0"
+            for c in range(first3, last3 + 1)
+        )
+        f3 = w.add(
+            b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 "
+            + str(int(T3_W)).encode() + b" 700] "
+            b"/FontMatrix [0.001 0 0 0.001 0 0] /CharProcs " + charprocs
+            + b" /Encoding << /Type /Encoding /Differences " + bytes(diffs)
+            + b" >> /FirstChar " + str(first3).encode() + b" /LastChar "
+            + str(last3).encode() + b" /Widths [ " + widths3 + b" ] /ToUnicode "
+            + str(tounicode3).encode() + b" 0 R >>"
+        )
+        font_res += b"/F3 " + str(f3).encode() + b" 0 R "
 
     # image XObjects
     xobj_res = b""
@@ -561,7 +666,8 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
     res += b">>"
     page_nums = [page] + [w.reserve() for _ in range(n_pages - 1)]
     for pi, pnum in enumerate(page_nums):
-        cnum, _ = w.add_stream(b"", bytes(page_content[pi]), compress=True)
+        cnum, _ = w.add_stream(b"", bytes(page_content[pi]), compress=True,
+                               filters=plan.content_filters)
         w.set_obj(
             pnum,
             b"<< /Type /Page /Parent " + str(pages).encode() + b" 0 R "
@@ -635,13 +741,15 @@ def make_text_doc(doc_id: str, text: str, seed: int = 42
 DEFAULT_MIX = [
     ("simple", 26), ("kerned", 12), ("multicolumn", 12), ("rotated", 8),
     ("cid", 10), ("interleaved", 12), ("form_xobject", 6), ("hyphenated", 5),
-    ("tagged", 3), ("malformed", 2), ("objstm", 4),
+    ("tagged", 3), ("malformed", 2), ("objstm", 4), ("filters", 4),
+    ("type3", 3),
 ]
 
 BENCH_MIX = [
     ("simple", 37), ("kerned", 30), ("interleaved", 10), ("multicolumn", 10),
     ("rotated", 3), ("cid", 3), ("form_xobject", 2), ("hyphenated", 1),
-    ("tagged", 0.5), ("malformed", 0.5), ("objstm", 3),
+    ("tagged", 0.5), ("malformed", 0.5), ("objstm", 3), ("filters", 2),
+    ("type3", 1),
 ]
 
 

@@ -7,7 +7,104 @@ parser (`unipdf_spark.pdf`) — round-trip tests would be meaningless otherwise.
 
 from __future__ import annotations
 
+import base64
+import binascii
 import zlib
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """LZW per PDF spec, EarlyChange=1 (generator-side; independent of the
+    engine's decoder). Code-width growth mirrors the DECODER's table count —
+    the decoder inserts one entry per data code after the first (including
+    the final flush code, which adds nothing on the encoder side)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258   # encoder table codes
+    dec_size = 258    # decoder's table size (drives code width)
+    code_len = 9
+    n_data_codes = 0
+    bits: list[tuple[int, int]] = [(256, 9)]  # clear table
+
+    def emit(code: int) -> None:
+        nonlocal dec_size, code_len, n_data_codes
+        bits.append((code, code_len))
+        n_data_codes += 1
+        if n_data_codes > 1 and dec_size < 4096:
+            dec_size += 1  # decoder inserts after reading this code
+            if dec_size + 1 >= (1 << code_len) and code_len < 12:
+                code_len += 1  # EarlyChange=1
+
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    bits.append((257, code_len))  # EOD
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for code, cl in bits:
+        buf = (buf << cl) | code
+        nbits += cl
+        while nbits >= 8:
+            nbits -= 8
+            out.append((buf >> nbits) & 0xFF)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def rl_encode(data: bytes) -> bytes:
+    """RunLengthDecode encoder: repeat runs ≥3 as (257-n, byte); literals
+    chunked ≤128."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        j = i
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i = j
+            continue
+        # literal run until next repeat-of-3 or 128 bytes
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out.extend(data[i:j])
+        i = j
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+_ENCODERS = {
+    "FlateDecode": lambda d: zlib.compress(d, 6),
+    "LZWDecode": lzw_encode,
+    "RunLengthDecode": rl_encode,
+    "ASCIIHexDecode": lambda d: binascii.hexlify(d) + b">",
+    "ASCII85Decode": lambda d: base64.a85encode(d) + b"~>",
+}
+
+
+def encode_chain(data: bytes, filters: list[str]) -> bytes:
+    """Encode for a /Filter [F1 F2 ...] chain (decode order F1→F2 ⇒ encode
+    order reversed)."""
+    for name in reversed(filters):
+        data = _ENCODERS[name](data)
+    return data
 
 
 def esc_string(s: str) -> bytes:
@@ -35,9 +132,21 @@ class PdfFileWriter:
         self._objs.append(body)
         return len(self._objs) - 1
 
-    def add_stream(self, dict_extra: bytes, data: bytes, compress: bool = True) -> tuple[int, bytes]:
-        """Returns (objnum, raw_encoded_bytes_as_stored)."""
-        if compress:
+    def add_stream(self, dict_extra: bytes, data: bytes, compress: bool = True,
+                   filters: list[str] | None = None) -> tuple[int, bytes]:
+        """Returns (objnum, raw_encoded_bytes_as_stored). ``filters`` names a
+        decode chain (/Filter order); default Flate when ``compress``."""
+        if filters:
+            raw = encode_chain(data, filters)
+            if len(filters) == 1:
+                filt = f"/Filter /{filters[0]} ".encode()
+            else:
+                filt = (
+                    b"/Filter [ "
+                    + b" ".join(b"/" + f.encode() for f in filters)
+                    + b" ] "
+                )
+        elif compress:
             raw = zlib.compress(data, 6)
             filt = b"/Filter /FlateDecode "
         else:

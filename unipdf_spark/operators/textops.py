@@ -158,11 +158,40 @@ ORDER BY doc_id
 """
 
 
+def term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term search with positions — the relational analog of the reference's
+    ``Editor.Search`` (extractor/extractor.go:82): per-doc occurrence count
+    and first-hit offset for a fixed term set."""
+    d = _docs(spark, sf_dir)
+    out = None
+    for term in ("spark", "query", "stream"):
+        hits = d.select(
+            "doc_id",
+            F.lit(term).alias("term"),
+            (F.size(F.split(F.col("text"), term)) - 1).alias("n_hits"),
+            F.instr(F.col("text"), term).alias("first_pos"),
+        ).filter(F.col("n_hits") > 0)
+        out = hits if out is None else out.unionByName(hits)
+    return out.orderBy("doc_id", "term")
+
+
+TERM_SEARCH_SQL = """
+WITH terms(term) AS (VALUES ('spark'), ('query'), ('stream'))
+SELECT doc_id, term,
+       LEN(STRING_SPLIT(text, term)) - 1 AS n_hits,
+       POSITION(term IN text)            AS first_pos
+FROM documents CROSS JOIN terms
+WHERE LEN(STRING_SPLIT(text, term)) - 1 > 0
+ORDER BY doc_id, term
+"""
+
+
 QUERIES = {
     "token_counts": token_counts,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
+    "term_search": term_search,
 }
 
 ORACLES = {
@@ -170,4 +199,5 @@ ORACLES = {
     "quality_scores": QUALITY_SQL,
     "lang_id": LANG_ID_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
+    "term_search": TERM_SEARCH_SQL,
 }

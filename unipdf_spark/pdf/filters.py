@@ -133,15 +133,24 @@ def lzw_decode(data: bytes, parms: dict | None = None) -> bytes:
                 entry = table[code]
             elif code < dict_size:
                 entry = table.get(code, b"")
-                table[dict_size] = prev + entry[:1]
-                dict_size += 1
-            else:
+                if dict_size < 4096:
+                    table[dict_size] = prev + entry[:1]
+                    dict_size += 1
+            elif code == dict_size or dict_size >= 4096:
                 entry = prev + prev[:1]
-                table[dict_size] = entry
-                dict_size += 1
+                if dict_size < 4096:
+                    table[dict_size] = entry
+                    dict_size += 1
+            else:
+                # code beyond next assignable entry: corrupt stream —
+                # stop here (relaxed mode) rather than emit garbage
+                return _undo_predictor(bytes(out), parms)
             out.extend(entry)
             prev = entry
-            if dict_size + early - 1 >= (1 << code_len) and code_len < 12:
+            # EarlyChange=1 (default): width grows one code early (PDF 32000
+            # §7.4.4.2), checked after the decoder-side table insert — the
+            # pairing used by the standard decoders (pdfminer/Ghostscript).
+            if dict_size + early >= (1 << code_len) and code_len < 12:
                 code_len += 1
     return _undo_predictor(bytes(out), parms)
 

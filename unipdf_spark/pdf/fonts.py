@@ -335,8 +335,14 @@ def load_font(doc, font_dict) -> Font:
         return f
 
     if f.subtype == "Type3":
+        # Type3 glyph space is defined by /FontMatrix, not the fixed 1/1000
+        # (renderText ratio=1, e:356; width loading model/model.go:869).
+        # Fold the matrix x-scale into the widths so downstream advance math
+        # treats them as em units (ratio 1).
         f.is_type3 = True
         f.font_matrix_scale = 1.0
+        fm = r(fd.get("FontMatrix"))
+        f._t3_scale = float(r(fm[0])) if isinstance(fm, list) and fm else 1.0
 
     # simple font: base encoding + /Differences
     enc = r(fd.get("Encoding"))
@@ -367,10 +373,11 @@ def load_font(doc, font_dict) -> Font:
     widths = r(fd.get("Widths"))
     if isinstance(widths, list) and first is not None:
         first = int(first)
+        t3 = getattr(f, "_t3_scale", None) if f.is_type3 else None
         for i, w in enumerate(widths):
             w = r(w)
             if isinstance(w, (int, float)):
-                f.widths[first + i] = float(w)
+                f.widths[first + i] = float(w) * (t3 if t3 is not None else 1.0)
     return f
 
 

@@ -352,8 +352,9 @@ class Interpreter:
                 f = cum * mb + F0
                 # page-bounds check (newTextMark e:712) on the glyph origin
                 if pb0 - 10 <= e <= pb2 + 10 and pb1 - 10 <= f <= pb3 + 10:
-                    w_norm = w if ratio != 1.0 else 1.0
-                    wa, wb = w_norm * A, w_norm * B
+                    # w is the advance in em units for all font kinds (Type3
+                    # widths are FontMatrix-scaled at load time)
+                    wa, wb = w * A, w * B
                     x0 = e + (wa if wa < 0 else 0.0) + minC
                     x1 = e + (wa if wa > 0 else 0.0) + maxC
                     y0 = f + (wb if wb < 0 else 0.0) + minD
