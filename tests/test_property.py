@@ -1,0 +1,53 @@
+"""Property-based round-trip tests (SURVEY §5.4): arbitrary external text →
+rendered PDF → extracted spans must equal golden, with offset invariants."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from unipdf_spark.fixtures.gen import make_text_doc
+from unipdf_spark.pdf.extract import extract_spans
+
+# text including ASCII, punctuation that needs escaping, unicode to sanitize,
+# runs of whitespace, very long tokens
+TEXT = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=32, max_codepoint=126),
+        st.sampled_from("äöü€日本語֐\t\n\r"),
+    ),
+    max_size=4000,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXT, st.integers(min_value=0, max_value=10_000))
+def test_text_doc_roundtrip(text, salt):
+    doc_id = f"doc_prop_{salt:05d}"
+    golden, pdf = make_text_doc(doc_id, text)
+    res = extract_spans(pdf)
+    assert res.error is None
+    assert res.spans == golden
+
+
+@settings(max_examples=30, deadline=None)
+@given(TEXT)
+def test_offsets_invariant(text):
+    golden, pdf = make_text_doc("doc_prop_off", text)
+    res = extract_spans(pdf)
+    cum = 0
+    for s in res.spans:
+        assert s["offset"] == cum
+        if s["kind"] == "text":
+            cum += len(s["text"])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_generation_is_pure(i):
+    from unipdf_spark.fixtures import gen
+
+    doc_id = f"doc_{i:08d}"
+    cls = gen._class_for(i, gen.DEFAULT_MIX)
+    a = gen.make_doc(doc_id, cls)
+    b = gen.make_doc(doc_id, cls)
+    assert a == b

@@ -57,11 +57,12 @@ WORDS = (
     "metric golden render wrap column rotate glyph font width advance state"
 ).split()
 CID_WORDS = WORDS[:20] + ["café", "naïve", "résumé", "データ", "解析", "引擎", "数据", "模型"]
+RTL_WORDS = ["שלום", "עולם", "ספר", "מידע", "נתונים", "بيانات", "تحليل", "نص"]
 
 FIXTURE_CLASSES = [
     "simple", "kerned", "multicolumn", "rotated", "cid", "interleaved",
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
-    "filters", "type3",
+    "filters", "type3", "bidi",
 ]
 
 
@@ -236,6 +237,57 @@ def _kerned_para(rng: random.Random, x: float, v_cursor: float, width: float
     return plan, v + FS * 1.2 - PARA_SKIP
 
 
+def _bidi_para(rng: random.Random, x: float, v_cursor: float, width: float
+               ) -> tuple[ParaPlan, float]:
+    """Mixed LTR/RTL paragraph (CID font). Logical token order drives the
+    golden text; the PDF shows words in VISUAL order (RTL runs reversed,
+    chars within RTL words reversed) — the engine's bidi pass must recover
+    the logical order."""
+    n = rng.randint(6, 14)
+    logical: list[str] = []
+    while len(logical) < n:
+        if rng.random() < 0.45:
+            logical.extend(rng.choice(RTL_WORDS) for _ in range(rng.randint(1, 3)))
+        else:
+            logical.append(rng.choice(WORDS[:20]))
+
+    def is_rtl(wd: str) -> bool:
+        return any("\u0590" <= ch <= "\u08ff" for ch in wd)
+
+    # greedy wrap on logical tokens (uniform CID width)
+    lines_logical: list[list[str]] = [[]]
+    cur_w = 0.0
+    for wd in logical:
+        cost = _cid_text_w(wd + " ", FS)
+        if cur_w + cost > width and lines_logical[-1]:
+            lines_logical.append([])
+            cur_w = 0.0
+        lines_logical[-1].append(wd)
+        cur_w += cost
+
+    seg_lines: list[list[Seg]] = []
+    baselines: list[float] = []
+    v = v_cursor - FS
+    for toks in lines_logical:
+        visual: list[str] = []
+        i = 0
+        while i < len(toks):
+            if is_rtl(toks[i]):
+                j = i
+                while j < len(toks) and is_rtl(toks[j]):
+                    j += 1
+                visual.extend(t[::-1] for t in reversed(toks[i:j]))
+                i = j
+            else:
+                visual.append(toks[i])
+                i += 1
+        seg_lines.append([Seg(" ".join(visual), golden=" ".join(toks))])
+        baselines.append(v)
+        v -= LEADING
+    plan = ParaPlan(lines=seg_lines, x=x, baselines=baselines, font="F2")
+    return plan, v + LEADING - PARA_SKIP
+
+
 def _hyphen_para(rng: random.Random, x: float, v_cursor: float, width: float
                  ) -> tuple[ParaPlan, float]:
     pre = [rng.choice(WORDS) for _ in range(rng.randint(3, 6))]
@@ -277,6 +329,12 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         for _ in range(rng.randint(2, 4)):
             p, v = _para(rng, MARGIN, v, budget, (6, 16))
             p.rot_via_cm = via_cm
+            plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "bidi":
+        for _ in range(rng.randint(2, 4)):
+            p, v = _bidi_para(rng, MARGIN, v, width)
             plan.blocks.append(p)
         return plan
 
@@ -742,14 +800,14 @@ DEFAULT_MIX = [
     ("simple", 26), ("kerned", 12), ("multicolumn", 12), ("rotated", 8),
     ("cid", 10), ("interleaved", 12), ("form_xobject", 6), ("hyphenated", 5),
     ("tagged", 3), ("malformed", 2), ("objstm", 4), ("filters", 4),
-    ("type3", 3),
+    ("type3", 3), ("bidi", 3),
 ]
 
 BENCH_MIX = [
     ("simple", 37), ("kerned", 30), ("interleaved", 10), ("multicolumn", 10),
     ("rotated", 3), ("cid", 3), ("form_xobject", 2), ("hyphenated", 1),
     ("tagged", 0.5), ("malformed", 0.5), ("objstm", 3), ("filters", 2),
-    ("type3", 1),
+    ("type3", 1), ("bidi", 1),
 ]
 
 

@@ -100,6 +100,22 @@ _HELV = {
 DEFAULT_WIDTH = 500.0
 MISSING_RUNE = "�"
 
+# Ligature expansion (ExpandLigatures, internal/textencoding — applied during
+# renderText, SURVEY §2.4 step 3).
+LIGATURES = {
+    "ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl", "ﬃ": "ffi", "ﬄ": "ffl",
+    "ﬅ": "ft", "ﬆ": "st", "Ĳ": "IJ", "ĳ": "ij",
+}
+
+
+def expand_ligatures(s: str) -> str:
+    if not s:
+        return s
+    for lig, rep in LIGATURES.items():
+        if lig in s:
+            s = s.replace(lig, rep)
+    return s
+
 
 # --- CMap (ToUnicode + CID) --------------------------------------------------
 

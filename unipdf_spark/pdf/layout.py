@@ -35,6 +35,17 @@ DUP_TOL = 0.2  # _cdgdb
 HYPHENS = "-­‐‑"
 
 
+def _is_rtl_word(t: str) -> bool:
+    """First strong character decides (Hebrew/Arabic blocks incl. extensions)."""
+    for ch in t:
+        o = ord(ch)
+        if 0x0590 <= o <= 0x08FF or 0xFB1D <= o <= 0xFDFF or 0xFE70 <= o <= 0xFEFF:
+            return True
+        if ch.isalpha():
+            return False
+    return False
+
+
 @dataclass(slots=True)
 class Word:
     text: str
@@ -63,7 +74,25 @@ class Line:
         return max(w.fontsize for w in self.words)
 
     def text(self) -> str:
-        return " ".join(w.text for w in sorted(self.words, key=lambda w: w.u0))
+        """Visual-order words → logical text, with per-line RTL run
+        reordering (BidiText `_fd`, extractor/extractor.go:649/:622: Hebrew
+        U+0590–U+05F4, Arabic U+0600–U+06FF classes)."""
+        ws = [w.text for w in sorted(self.words, key=lambda w: w.u0)]
+        out: list[str] = []
+        i = 0
+        n = len(ws)
+        while i < n:
+            if _is_rtl_word(ws[i]):
+                j = i
+                while j < n and _is_rtl_word(ws[j]):
+                    j += 1
+                # visual→logical: reverse the run and each word's chars
+                out.extend(t[::-1] for t in reversed(ws[i:j]))
+                i = j
+            else:
+                out.append(ws[i])
+                i += 1
+        return " ".join(out)
 
 
 @dataclass
