@@ -62,7 +62,7 @@ RTL_WORDS = ["שלום", "עולם", "ספר", "מידע", "נתונים", "بي
 FIXTURE_CLASSES = [
     "simple", "kerned", "multicolumn", "rotated", "cid", "interleaved",
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
-    "filters", "type3", "bidi",
+    "filters", "type3", "bidi", "annot",
 ]
 
 
@@ -153,6 +153,7 @@ class DocPlan:
     content_filters: list | None = None  # /Filter chain for content streams
     use_forms: bool = False  # first/last paras become Form XObjects
     images: dict[int, bytes] = field(default_factory=dict)  # key -> rgb bytes
+    annot_text: str | None = None  # FreeText annotation appearance content
 
 
 # --- text planning ------------------------------------------------------------
@@ -330,6 +331,19 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
             p, v = _para(rng, MARGIN, v, budget, (6, 16))
             p.rot_via_cm = via_cm
             plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "annot":
+        for _ in range(rng.randint(2, 3)):
+            p, v = _para(rng, MARGIN, v, width, (5, 12))
+            plan.blocks.append(p)
+        note_words = [rng.choice(WORDS) for _ in range(rng.randint(3, 7))]
+        plan.annot_text = "Note: " + " ".join(note_words)
+        # golden span for the annotation (bottom of page → last in order)
+        ap = ParaPlan(lines=[[Seg(plan.annot_text)]], x=MARGIN,
+                      baselines=[110.0])
+        ap.is_annot = True
+        plan.blocks.append(ap)
         return plan
 
     if fixture_class == "bidi":
@@ -679,7 +693,30 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
     if plan.use_forms:
         form_blocks = [0, len(plan.blocks) - 1]
 
+    annot_refs: list[int] = []
     for bi, block in enumerate(plan.blocks):
+        if isinstance(block, ParaPlan) and getattr(block, "is_annot", False):
+            # FreeText annotation: text lives in the /AP /N appearance form,
+            # not in the page content stream
+            ap_ops = (b"BT\n/F1 %g Tf\n1 0 0 1 0 10 Tm\n(" % block.fs
+                      + esc_string(block.lines[0][0].text) + b") Tj\nET\n")
+            ap_num, _ = w.add_stream(
+                b"/Type /XObject /Subtype /Form /BBox [0 0 400 30] "
+                b"/Resources << /Font << " + font_res + b">> >> ",
+                ap_ops, compress=True,
+            )
+            annot_num = w.add(
+                b"<< /Type /Annot /Subtype /FreeText /Rect [72 100 472 130] "
+                b"/F 4 /AP << /N " + str(ap_num).encode() + b" 0 R >> "
+                b"/Contents (" + esc_string(block.lines[0][0].text) + b") >>"
+            )
+            annot_refs.append(annot_num)
+            t = block.golden_text()
+            golden.append(
+                {"kind": "text", "text": t, "media_ref": "", "offset": offset}
+            )
+            offset += len(t)
+            continue
         if isinstance(block, ParaPlan):
             ops = _para_content(block, plan.theta)
             if bi in form_blocks:
@@ -726,11 +763,15 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
     for pi, pnum in enumerate(page_nums):
         cnum, _ = w.add_stream(b"", bytes(page_content[pi]), compress=True,
                                filters=plan.content_filters)
+        annots = b""
+        if pi == 0 and annot_refs:
+            annots = (b" /Annots [ "
+                      + b" ".join(b"%d 0 R" % a for a in annot_refs) + b" ]")
         w.set_obj(
             pnum,
             b"<< /Type /Page /Parent " + str(pages).encode() + b" 0 R "
             b"/MediaBox [0 0 612 792] /Resources " + res + b" /Contents "
-            + str(cnum).encode() + b" 0 R >>",
+            + str(cnum).encode() + b" 0 R" + annots + b" >>",
         )
     kids = b" ".join(b"%d 0 R" % p for p in page_nums)
     w.set_obj(
@@ -800,14 +841,14 @@ DEFAULT_MIX = [
     ("simple", 26), ("kerned", 12), ("multicolumn", 12), ("rotated", 8),
     ("cid", 10), ("interleaved", 12), ("form_xobject", 6), ("hyphenated", 5),
     ("tagged", 3), ("malformed", 2), ("objstm", 4), ("filters", 4),
-    ("type3", 3), ("bidi", 3),
+    ("type3", 3), ("bidi", 3), ("annot", 3),
 ]
 
 BENCH_MIX = [
     ("simple", 37), ("kerned", 30), ("interleaved", 10), ("multicolumn", 10),
     ("rotated", 3), ("cid", 3), ("form_xobject", 2), ("hyphenated", 1),
     ("tagged", 0.5), ("malformed", 0.5), ("objstm", 3), ("filters", 2),
-    ("type3", 1), ("bidi", 1),
+    ("type3", 1), ("bidi", 1), ("annot", 0.5),
 ]
 
 

@@ -129,10 +129,47 @@ class Interpreter:
         self.page_box = (llx, lly, urx, ury)
 
     # -- public -------------------------------------------------------------
-    def run(self) -> None:
+    def run(self, include_annotations: bool = True) -> None:
         content = self.doc.page_content(self.page)
         ops = parse_content(content)
         self._exec(ops, _GState(), self.resources, 0)
+        if include_annotations:
+            self._run_annotations()
+
+    def _run_annotations(self) -> None:
+        """Annotation appearance streams appended after page content
+        (extractor/extractor.go:1022 block, IncludeAnnotations): the /AP /N
+        form is interpreted with its BBox anchored at /Rect."""
+        doc = self.doc
+        annots = doc.resolve(self.page.get("Annots")) or []
+        for a in annots:
+            try:
+                ad = doc.resolve(a)
+                if not isinstance(ad, dict):
+                    continue
+                flags = int(doc.resolve(ad.get("F")) or 0)
+                if flags & 2:  # hidden
+                    continue
+                ap = doc.resolve(ad.get("AP"))
+                n = doc.resolve(ap.get("N")) if isinstance(ap, dict) else None
+                if not isinstance(n, Stream):
+                    continue
+                rect = [
+                    float(doc.resolve(v))
+                    for v in (doc.resolve(ad.get("Rect")) or [0, 0, 0, 0])
+                ]
+                bbox = doc.resolve(n.dict.get("BBox")) or [0, 0, 0, 0]
+                tx = min(rect[0], rect[2]) - float(doc.resolve(bbox[0]))
+                ty = min(rect[1], rect[3]) - float(doc.resolve(bbox[1]))
+                gs = _GState(ctm=translation(tx, ty))
+                fm = doc.resolve(n.dict.get("Matrix"))
+                if isinstance(fm, list) and len(fm) == 6:
+                    gs.ctm = mmul(tuple(float(v) for v in fm), gs.ctm)
+                res = doc.resolve(n.dict.get("Resources")) or self.resources
+                ops = parse_content(n.decoded(doc.resolve))
+                self._exec(ops, gs, res, 1)
+            except Exception:
+                continue  # relaxed: a bad annotation never kills the page
 
     # -- helpers ------------------------------------------------------------
     def _get_font(self, name: str, resources: PdfDict) -> fonts_mod.Font:
