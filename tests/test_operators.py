@@ -60,9 +60,11 @@ def test_minhash_similar_docs_collide(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, other]})
     )
-    sh = df.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
+    sh = df.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+    ).withColumn("sh64", F.xxhash64("shingle"))
     aggs = [
-        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("sh64"), F.lit(i))).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs).collect()

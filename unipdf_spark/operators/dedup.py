@@ -44,7 +44,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "group_size",
             (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -55,7 +54,6 @@ g AS (SELECT text_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS group_size
 SELECT doc_id, canonical_doc_id, group_size,
        doc_id = canonical_doc_id AS is_canonical
 FROM h JOIN g USING (text_hash)
-ORDER BY doc_id
 """
 
 
@@ -75,7 +73,6 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         h.join(groups, "norm_hash")
         .select("doc_id", "canonical_doc_id", "group_size")
-        .orderBy("doc_id")
     )
 
 
@@ -91,7 +88,6 @@ g AS (SELECT norm_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS group_size
       FROM h GROUP BY norm_hash)
 SELECT doc_id, canonical_doc_id, group_size
 FROM h JOIN g USING (norm_hash)
-ORDER BY doc_id
 """
 
 
@@ -108,14 +104,24 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature (k=32 xxhash64 families over 3-gram
     shingles). Engine-specific hash → rows-only correctness check."""
     d = _docs(spark, sf_dir)
-    sh = d.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+    # hash each shingle string once, then derive the k families as cheap
+    # long+seed hashes — all WITHIN the row (array_min over transform):
+    # no explode, no shuffle; identical values to the explode+min form
+    sh64 = F.transform(_shingles(F.col("text")), lambda s: F.xxhash64(s))
+    base = d.select("doc_id", sh64.alias("sh64"))
+    def _family(i: int):
+        # NB: a two-parameter lambda would be taken as Spark's
+        # (element, index) form and silently drop the family seed
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    sigs = [
+        F.array_min(F.transform(F.col("sh64"), _family(i))).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    # no orderBy: a global sort adds a range-partition SAMPLING pass that
+    # recomputes this whole projection twice; the correctness check is
+    # order-insensitive
+    return base.select("doc_id", *sigs)
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,31 +129,32 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; candidates are then verified with true shingle Jaccard. Only
     bucket-mates join — no cross product at any scale."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = []
-    for b in range(N_HASHES // BAND_SIZE):
-        cols = [F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("band_hash"),
-            )
+    # one pass: explode all 8 band keys from a single signature computation
+    # (separate per-band projections would recompute the shingle aggregation
+    # once per band), then bucket via collect_list — pairs are generated
+    # INSIDE buckets, so the signature plan is never self-joined
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+            ).alias("band_hash"),
         )
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
-    a = all_bands.alias("a")
-    bdf = all_bands.alias("b")
+        for b in range(N_HASHES // BAND_SIZE)
+    ])
+    band_tbl = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"),
+             F.col("bb.band_hash").alias("band_hash"))
+    buckets = (
+        band_tbl.groupBy("band", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cand = (
-        a.join(
-            bdf,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     # verify candidates with true Jaccard over shingle sets
@@ -167,36 +174,35 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return j.orderBy("doc_a", "doc_b")
+    return j
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per doc: weighted bit votes of token hashes. Pure
     JVM-side expressions (bit ops + conditional sums over exploded tokens)."""
     d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-        ).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+    th = F.transform(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""),
+        lambda t: F.xxhash64(t),
     )
-    sim = votes.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i))
-            for i in range(63)
-        ).alias("simhash"),
+    base = d.select("doc_id", th.alias("th"))
+
+    def _bit_vote(i: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(F.col("th"), F.lit(0), merge)
+
+    # within-row bit votes (no explode/shuffle); final 63-bit fingerprint
+    votes = base.select(
+        "doc_id", *[(_bit_vote(i) > 0).cast("int").alias(f"b{i}") for i in range(63)]
     )
-    return sim.orderBy("doc_id")
+    return votes.select(
+        "doc_id",
+        sum((F.col(f"b{i}") * F.lit(2**i)) for i in range(63)).alias("simhash"),
+    )
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,7 +23,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.length("text").alias("n_chars_actual"),
-    ).orderBy("doc_id")
+    )  # no sort: order-insensitive check; global sorts double the scan
 
 
 TOKEN_COUNTS_SQL = """
@@ -33,7 +33,6 @@ SELECT doc_id,
                                      x -> x <> '')))                    AS n_distinct_tokens,
        LENGTH(text)                                                     AS n_chars_actual
 FROM documents
-ORDER BY doc_id
 """
 
 
@@ -60,7 +59,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(n_tok, F.lit(1)),
             4,
         ).alias("mean_token_len"),
-    ).orderBy("doc_id")
+    )  # no sort: order-insensitive check; global sorts double the scan
 
 
 QUALITY_SQL = """
@@ -78,7 +77,6 @@ SELECT doc_id,
              / GREATEST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
                                         x -> x <> '')), 1), 4) AS mean_token_len
 FROM documents
-ORDER BY doc_id
 """
 
 
@@ -104,7 +102,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("lang_pred"),
         hits("the").cast("int").alias("en_hits"),
         non_ascii.cast("int").alias("non_ascii_chars"),
-    ).orderBy("doc_id")
+    )  # no sort: order-insensitive check; global sorts double the scan
 
 
 LANG_ID_SQL = """
@@ -133,7 +131,6 @@ SELECT doc_id,
        CAST(h_the AS INT)     AS en_hits,
        CAST(non_ascii AS INT) AS non_ascii_chars
 FROM hits
-ORDER BY doc_id
 """
 
 
@@ -144,7 +141,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.lower(F.regexp_replace("text", r"[^A-Za-z0-9 ]", " "))
     toks = F.filter(F.split(norm, r"\s+"), lambda x: x != "")
     fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
-    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    return d.select("doc_id", fp.alias("fingerprint"))
 
 
 FINGERPRINT_SQL = """
@@ -154,7 +151,6 @@ SELECT doc_id,
                LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9 ]', ' ', 'g')), '\\s+'),
                x -> x <> ''))), ' ')) AS fingerprint
 FROM documents
-ORDER BY doc_id
 """
 
 
@@ -172,7 +168,7 @@ def term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.instr(F.col("text"), term).alias("first_pos"),
         ).filter(F.col("n_hits") > 0)
         out = hits if out is None else out.unionByName(hits)
-    return out.orderBy("doc_id", "term")
+    return out
 
 
 TERM_SEARCH_SQL = """
@@ -182,7 +178,6 @@ SELECT doc_id, term,
        POSITION(term IN text)            AS first_pos
 FROM documents CROSS JOIN terms
 WHERE LEN(STRING_SPLIT(text, term)) - 1 > 0
-ORDER BY doc_id, term
 """
 
 

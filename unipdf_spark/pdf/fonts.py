@@ -109,8 +109,8 @@ LIGATURES = {
 
 
 def expand_ligatures(s: str) -> str:
-    if not s:
-        return s
+    if len(s) == 1:  # the common per-glyph case
+        return LIGATURES.get(s, s)
     for lig, rep in LIGATURES.items():
         if lig in s:
             s = s.replace(lig, rep)
@@ -267,6 +267,7 @@ class Font:
         self.name = ""
         self.is_type3 = False
         self.font_matrix_scale = 0.001  # Type3 uses 1.0 (renderText e:356)
+        self._u_cache: dict[int, tuple[str, bool]] = {}
 
     # decode chain ----------------------------------------------------------
     def bytes_to_charcodes(self, raw: bytes) -> list[int]:
@@ -283,16 +284,27 @@ class Font:
         return list(raw)
 
     def charcode_to_unicode(self, code: int) -> tuple[str, bool]:
-        """Returns (text, missed). Priority mirrors CharcodesToStrings
-        (model/model.go:547): ToUnicode → encoder → U+FFFD."""
+        """Returns (expanded text, missed). Priority mirrors
+        CharcodesToStrings (model/model.go:547): ToUnicode → encoder →
+        U+FFFD; ligatures expanded (textencoding.ExpandLigatures). Memoized —
+        fonts repeat across a corpus (cross-doc object cache keeps one Font
+        per distinct font object)."""
+        hit = self._u_cache.get(code)
+        if hit is not None:
+            return hit
+        u = None
         if self.to_unicode is not None:
             u = self.to_unicode.to_unicode.get(code)
-            if u is not None and not _is_private_use(u):
-                return u, False
-        u = self.encoding_map.get(code)
-        if u is not None:
-            return u, False
-        return MISSING_RUNE, True
+            if u is not None and _is_private_use(u):
+                u = None
+        if u is None:
+            u = self.encoding_map.get(code)
+        if u is None:
+            res = (MISSING_RUNE, True)
+        else:
+            res = (expand_ligatures(u), False)
+        self._u_cache[code] = res
+        return res
 
     def charcode_width(self, code: int) -> float:
         """Glyph-space width (units of 1/1000 text space; Type3 exempt)."""

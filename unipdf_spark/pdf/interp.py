@@ -357,9 +357,8 @@ class Interpreter:
                 (actual_text if i == 0 else "", False) for i in range(len(codes))
             ]
         else:
-            c2u = font.charcode_to_unicode
-            exp = fonts_mod.expand_ligatures
-            texts = [(exp(u), m) for u, m in (c2u(c) for c in codes)]
+            c2u = font.charcode_to_unicode  # memoized; expands ligatures
+            texts = [c2u(c) for c in codes]
 
         ratio = font.font_matrix_scale  # 1/1000, Type3: 1 (e:356)
         pb0, pb1, pb2, pb3 = self.page_box
