@@ -62,7 +62,7 @@ RTL_WORDS = ["שלום", "עולם", "ספר", "מידע", "נתונים", "بي
 FIXTURE_CLASSES = [
     "simple", "kerned", "multicolumn", "rotated", "cid", "interleaved",
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
-    "filters", "type3", "bidi", "annot",
+    "filters", "type3", "bidi", "annot", "encrypted",
 ]
 
 
@@ -154,6 +154,7 @@ class DocPlan:
     use_forms: bool = False  # first/last paras become Form XObjects
     images: dict[int, bytes] = field(default_factory=dict)  # key -> rgb bytes
     annot_text: str | None = None  # FreeText annotation appearance content
+    encrypt_id: bytes | None = None  # std-handler RC4 encryption (/ID)
 
 
 # --- text planning ------------------------------------------------------------
@@ -454,6 +455,9 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
     )
     plan.corrupt_xref = fixture_class == "malformed"
     plan.modern = fixture_class == "objstm"
+    if fixture_class == "encrypted":
+        import hashlib as _h
+        plan.encrypt_id = _h.md5(doc_id.encode()).digest()
     if fixture_class == "filters":
         plan.content_filters = rng.choice([
             ["LZWDecode"],
@@ -783,7 +787,8 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
     if plan.modern:
         pdf = w.build_modern(catalog)
     else:
-        pdf = w.build(catalog, corrupt_startxref=plan.corrupt_xref)
+        pdf = w.build(catalog, corrupt_startxref=plan.corrupt_xref,
+                      encrypt_id=plan.encrypt_id)
     return pdf, golden
 
 
@@ -841,14 +846,14 @@ DEFAULT_MIX = [
     ("simple", 26), ("kerned", 12), ("multicolumn", 12), ("rotated", 8),
     ("cid", 10), ("interleaved", 12), ("form_xobject", 6), ("hyphenated", 5),
     ("tagged", 3), ("malformed", 2), ("objstm", 4), ("filters", 4),
-    ("type3", 3), ("bidi", 3), ("annot", 3),
+    ("type3", 3), ("bidi", 3), ("annot", 3), ("encrypted", 3),
 ]
 
 BENCH_MIX = [
     ("simple", 37), ("kerned", 30), ("interleaved", 10), ("multicolumn", 10),
     ("rotated", 3), ("cid", 3), ("form_xobject", 2), ("hyphenated", 1),
     ("tagged", 0.5), ("malformed", 0.5), ("objstm", 3), ("filters", 2),
-    ("type3", 1), ("bidi", 1), ("annot", 0.5),
+    ("type3", 1), ("bidi", 1), ("annot", 0.5), ("encrypted", 1),
 ]
 
 

@@ -9,7 +9,66 @@ from __future__ import annotations
 
 import base64
 import binascii
+import hashlib
+import struct
 import zlib
+
+_CRYPT_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, ch in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = ch ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def std_encrypt_params(file_id: bytes, p: int = -44, nbits: int = 128):
+    """Standard security handler V2/R3 with empty user+owner passwords
+    (PDF 32000 §7.6.3 Algorithms 2/3/5). Generator-side, independent of the
+    engine's decryptor."""
+    n = nbits // 8
+    padded = _CRYPT_PAD[:32]  # empty passwords
+    # Algorithm 3: /O
+    h = hashlib.md5(padded).digest()
+    for _ in range(50):
+        h = hashlib.md5(h).digest()
+    key_o = h[:n]
+    o = _rc4(key_o, padded)
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in key_o), o)
+    # Algorithm 2: file key
+    h = hashlib.md5(padded + o + struct.pack("<i", p) + file_id).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    # Algorithm 5: /U
+    u = hashlib.md5(_CRYPT_PAD + file_id).digest()
+    u = _rc4(key, u)
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u = u + b"\x00" * 16
+    return o, u, key
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    h = hashlib.md5(
+        file_key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
 
 
 def lzw_encode(data: bytes) -> bytes:
@@ -160,13 +219,34 @@ class PdfFileWriter:
         self._is_stream.add(num)
         return num, raw
 
-    def build(self, root_num: int, corrupt_startxref: bool = False) -> bytes:
+    def build(self, root_num: int, corrupt_startxref: bool = False,
+              encrypt_id: bytes | None = None) -> bytes:
+        enc_num = None
+        file_key = None
+        if encrypt_id is not None:
+            o, u, file_key = std_encrypt_params(encrypt_id)
+            enc_num = self.add(
+                b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 /O <"
+                + binascii.hexlify(o) + b"> /U <" + binascii.hexlify(u)
+                + b"> >>"
+            )
         out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
         offsets = [0] * len(self._objs)
         for num in range(1, len(self._objs)):
             body = self._objs[num]
             if body is None:
                 raise ValueError(f"object {num} reserved but never set")
+            if file_key is not None and num != enc_num:
+                marker = body.find(b"stream\n")
+                if marker >= 0:
+                    start = marker + len(b"stream\n")
+                    end = body.rfind(b"\nendstream")
+                    payload = body[start:end]
+                    body = (
+                        body[:start]
+                        + _rc4(_object_key(file_key, num, 0), payload)
+                        + body[end:]
+                    )
             offsets[num] = len(out)
             out += str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
         xref_pos = len(out)
@@ -175,10 +255,17 @@ class PdfFileWriter:
         out += b"0000000000 65535 f \n"
         for num in range(1, n):
             out += ("%010d 00000 n \n" % offsets[num]).encode()
-        out += (
+        trailer = (
             b"trailer\n<< /Size " + str(n).encode()
-            + b" /Root " + str(root_num).encode() + b" 0 R >>\n"
+            + b" /Root " + str(root_num).encode() + b" 0 R"
         )
+        if enc_num is not None:
+            hid = binascii.hexlify(encrypt_id)
+            trailer += (
+                b" /Encrypt " + str(enc_num).encode() + b" 0 R /ID [ <"
+                + hid + b"> <" + hid + b"> ]"
+            )
+        out += trailer + b" >>\n"
         sx = 1 if corrupt_startxref else xref_pos  # broken offset → repair path
         out += b"startxref\n" + str(sx).encode() + b"\n%%EOF\n"
         return bytes(out)

@@ -365,7 +365,10 @@ class PdfDocument:
         self.trailer = PdfDict()
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._crypt = None
+        self._encrypt_num = -1
         self._load()
+        self._init_crypt()
 
     # -- xref loading -------------------------------------------------------
     def _load(self) -> None:
@@ -500,6 +503,54 @@ class PdfDocument:
         for m in _OBJ_RE.finditer(self.data):
             self.xref[int(m.group(1))] = ("f", m.start())
 
+    def _init_crypt(self) -> None:
+        """Standard security handler init (PdfCrypt, core/core.go:1916) —
+        relaxed empty-user-password path. Strings/streams are decrypted at
+        object fetch; the Encrypt dict itself and xref streams never are."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        try:
+            if isinstance(enc_ref, Ref):
+                self._encrypt_num = enc_ref.num
+                enc = self._fetch_direct(enc_ref)
+            else:
+                enc = enc_ref
+            if not isinstance(enc, dict):
+                return
+            if str(enc.get("Filter", "Standard")) != "Standard":
+                return  # unsupported handler: leave data as-is (relaxed)
+            fid = b""
+            idarr = self.trailer.get("ID")
+            if isinstance(idarr, list) and idarr:
+                first = idarr[0]
+                if isinstance(first, bytes):
+                    fid = first
+            from .crypt import StdSecurityHandler
+
+            self._crypt = StdSecurityHandler(enc, fid, self.resolve)
+        except Exception:
+            if not self.relaxed:
+                raise
+
+    def _decrypt_obj(self, obj, num: int, gen: int):
+        """Deep-copy decrypt: fresh containers so shared cached objects are
+        never mutated."""
+        if isinstance(obj, bytes):
+            return self._crypt.decrypt(num, gen, obj)
+        if isinstance(obj, list):
+            return [self._decrypt_obj(v, num, gen) for v in obj]
+        if isinstance(obj, Stream):
+            d = PdfDict(
+                {k: self._decrypt_obj(v, num, gen) for k, v in obj.dict.items()}
+            )
+            return Stream(d, self._crypt.decrypt(num, gen, obj.raw))
+        if isinstance(obj, dict):
+            return PdfDict(
+                {k: self._decrypt_obj(v, num, gen) for k, v in obj.items()}
+            )
+        return obj
+
     def _recover_trailer(self) -> None:
         # find trailer dict anywhere, else find the Catalog object
         idx = self.data.rfind(b"trailer")
@@ -541,9 +592,10 @@ class PdfDocument:
             m = _OBJ_RE.match(self.data, lx0.pos)
             if not m:
                 raise PdfError(f"no obj header at {offset}")
-        cached = _obj_cache_lookup(self.data, m.end())
-        if cached is not None:
-            return cached
+        if self._crypt is None:
+            cached = _obj_cache_lookup(self.data, m.end())
+            if cached is not None:
+                return cached
         lx = Lexer(self.data, m.end())
         obj = lx.parse_object()
         if isinstance(obj, tuple):
@@ -569,10 +621,11 @@ class PdfDocument:
                     b"\r\n"
                 )
             st = Stream(d, raw)
-            if cacheable:
+            if cacheable and self._crypt is None:
                 _obj_cache_insert(self.data, m.end(), data_start + len(raw), st)
             return st
-        _obj_cache_insert(self.data, m.end(), lx.pos, obj)
+        if self._crypt is None:
+            _obj_cache_insert(self.data, m.end(), lx.pos, obj)
         return obj
 
     def get_object(self, num: int, gen: int = 0):
@@ -585,7 +638,11 @@ class PdfDocument:
             raise PdfError(f"object {num} not in xref")
         if ent[0] == "f":
             obj = self._parse_at(ent[1], num)
+            if self._crypt is not None and num != self._encrypt_num:
+                obj = self._decrypt_obj(obj, num, 0)
         else:
+            # objects inside object streams are NOT individually encrypted
+            # (the containing ObjStm stream already was)
             obj = self._get_from_objstm(ent[1], ent[2], num)
         self._cache[num] = obj
         return obj
