@@ -62,7 +62,7 @@ RTL_WORDS = ["שלום", "עולם", "ספר", "מידע", "נתונים", "بي
 FIXTURE_CLASSES = [
     "simple", "kerned", "multicolumn", "rotated", "cid", "interleaved",
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
-    "filters", "type3", "bidi", "annot", "encrypted",
+    "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
 ]
 
 
@@ -131,6 +131,17 @@ class ParaPlan:
             else:
                 out = out + "\n" + t
         return out
+
+
+@dataclass
+class RulePlan:
+    """Painted horizontal rule (thin filled rect) — no golden span; must
+    BLOCK paragraph merging across it."""
+
+    x: float
+    y: float
+    w: float
+    page: int = 0
 
 
 @dataclass
@@ -332,6 +343,28 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
             p, v = _para(rng, MARGIN, v, budget, (6, 16))
             p.rot_via_cm = via_cm
             plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "rules":
+        p, v = _para(rng, MARGIN, v, width, (4, 8))
+        plan.blocks.append(p)
+        # two paragraphs at pitch 20 (< the (1+1.0)*fs=24 merge cap): ONLY
+        # the painted rule between them keeps them apart
+        a_words = (4, 7)
+        pa, _ = _para(rng, MARGIN, v, width, a_words)
+        plan.blocks.append(pa)
+        va_last = pa.baselines[-1]
+        # clear band between A's baseline (va) and B's glyph-box top
+        # (vb + fs = va - 8): place the rule mid-band
+        rule_y = va_last - 4.5
+        plan.blocks.append(RulePlan(x=MARGIN, y=rule_y, w=width))
+        vb = va_last - 20.0  # next baseline, 20pt pitch
+        pb_words = [rng.choice(WORDS) for _ in range(rng.randint(4, 7))]
+        lines_b = _wrap(pb_words, FS, width, 0.0, 1.0, cid=False)
+        baselines_b = [vb - k * LEADING for k in range(len(lines_b))]
+        pb = ParaPlan(lines=[[Seg(t)] for t in lines_b], x=MARGIN,
+                      baselines=baselines_b)
+        plan.blocks.append(pb)
         return plan
 
     if fixture_class == "annot":
@@ -741,6 +774,10 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
                 {"kind": "text", "text": t, "media_ref": "", "offset": offset}
             )
             offset += len(t)
+        elif isinstance(block, RulePlan):
+            page_content[block.page] += b"%g %g %g 1 re f\n" % (
+                block.x, block.y, block.w)
+            continue
         else:  # ImagePlan
             if block.inline:
                 data = plan.images[-1]
@@ -795,9 +832,78 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
 def make_doc(doc_id: str, fixture_class: str, seed: int = 42
              ) -> tuple[list[dict], bytes]:
     """(golden_spans, pdf_bytes) — pure function of (seed, doc_id, class)."""
+    if fixture_class == "incremental":
+        return _make_incremental_doc(doc_id, seed)
     plan = _plan_doc(doc_id, fixture_class, seed)
     pdf, golden = render_doc(plan)
     return golden, pdf
+
+
+def _make_incremental_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
+    """Original document + appended incremental update that REPLACES the page
+    content stream (new xref section with /Prev chaining to the original).
+    The engine must surface the updated revision's spans."""
+    import re as _re
+    import zlib as _z
+
+    rng = random.Random(f"{seed}:{doc_id}")
+    width = PAGE_W - 2 * MARGIN
+
+    def paras(n_lo, n_hi):
+        blocks, v = [], PAGE_H - MARGIN
+        for _ in range(rng.randint(n_lo, n_hi)):
+            p, v = _para(rng, MARGIN, v, width, (4, 10))
+            blocks.append(p)
+        return blocks
+
+    old_blocks = paras(2, 3)
+    new_blocks = paras(2, 4)  # the revision that must win
+
+    w = PdfFileWriter()
+    catalog = w.reserve()
+    pages = w.reserve()
+    page = w.reserve()
+    widths_list = [int(_W.get(chr(c), 500)) for c in range(32, 127)]
+    f1 = w.add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding /FirstChar 32 /LastChar 126 /Widths [ "
+        + b" ".join(str(x).encode() for x in widths_list) + b" ] >>"
+    )
+    old_content = b"".join(_para_content(p, 0) for p in old_blocks)
+    cnum, _ = w.add_stream(b"", old_content, compress=True)
+    res = b"<< /Font << /F1 " + str(f1).encode() + b" 0 R >> >>"
+    w.set_obj(page, b"<< /Type /Page /Parent " + str(pages).encode()
+              + b" 0 R /MediaBox [0 0 612 792] /Resources " + res
+              + b" /Contents " + str(cnum).encode() + b" 0 R >>")
+    w.set_obj(pages, b"<< /Type /Pages /Kids [ " + str(page).encode()
+              + b" 0 R ] /Count 1 >>")
+    w.set_obj(catalog, b"<< /Type /Catalog /Pages " + str(pages).encode()
+              + b" 0 R >>")
+    base = w.build(catalog)
+
+    prev_xref = int(_re.findall(rb"startxref\s+(\d+)", base)[-1])
+    new_content = b"".join(_para_content(p, 0) for p in new_blocks)
+    comp = _z.compress(new_content, 6)
+    out = bytearray(base)
+    obj_off = len(out)
+    out += (str(cnum).encode() + b" 0 obj\n<< /Filter /FlateDecode /Length "
+            + str(len(comp)).encode() + b" >>\nstream\n" + comp
+            + b"\nendstream\nendobj\n")
+    xref_off = len(out)
+    out += (b"xref\n" + str(cnum).encode() + b" 1\n"
+            + ("%010d 00000 n \n" % obj_off).encode()
+            + b"trailer\n<< /Size " + str(cnum + 1).encode()
+            + b" /Root " + str(catalog).encode() + b" 0 R /Prev "
+            + str(prev_xref).encode() + b" >>\nstartxref\n"
+            + str(xref_off).encode() + b"\n%%EOF\n")
+
+    golden = []
+    offset = 0
+    for p in new_blocks:
+        t = p.golden_text()
+        golden.append({"kind": "text", "text": t, "media_ref": "", "offset": offset})
+        offset += len(t)
+    return golden, bytes(out)
 
 
 def make_text_doc(doc_id: str, text: str, seed: int = 42
@@ -846,7 +952,8 @@ DEFAULT_MIX = [
     ("simple", 26), ("kerned", 12), ("multicolumn", 12), ("rotated", 8),
     ("cid", 10), ("interleaved", 12), ("form_xobject", 6), ("hyphenated", 5),
     ("tagged", 3), ("malformed", 2), ("objstm", 4), ("filters", 4),
-    ("type3", 3), ("bidi", 3), ("annot", 3), ("encrypted", 3),
+    ("type3", 3), ("bidi", 3), ("annot", 3), ("encrypted", 3), ("rules", 3),
+    ("incremental", 2),
 ]
 
 BENCH_MIX = [
@@ -854,6 +961,7 @@ BENCH_MIX = [
     ("rotated", 3), ("cid", 3), ("form_xobject", 2), ("hyphenated", 1),
     ("tagged", 0.5), ("malformed", 0.5), ("objstm", 3), ("filters", 2),
     ("type3", 1), ("bidi", 1), ("annot", 0.5), ("encrypted", 1),
+    ("rules", 1),
 ]
 
 

@@ -79,7 +79,8 @@ def extract_spans(pdf_bytes: bytes, dehyphenate: bool = True) -> ExtractResult:
         for page in pages:
             interp = Interpreter(doc, page, mcid_actual_text=mcid_at)
             interp.run()
-            spans = assemble_spans(interp.marks, interp.media, dehyphenate)
+            spans = assemble_spans(interp.marks, interp.media, dehyphenate,
+                                   rulings=interp.rulings)
             for s in spans:
                 s["offset"] += offset_base
             if spans:

@@ -83,6 +83,22 @@ class MediaMark:
 
 
 @dataclass(slots=True)
+class Ruling:
+    """Thin stroked/filled line (rulings feed paragraph blocking + table
+    detection — extractor/extractor.go:235 `_gfbgf`/`_fcfg`; thinness
+    threshold `_cdgf`=4.0)."""
+
+    kind: str  # 'h' | 'v'
+    pos: float  # y for horizontal, x for vertical (device coords)
+    lo: float
+    hi: float
+
+
+RULING_THICKNESS = 4.0  # _cdgf (extractor/extractor.go:16)
+RULING_MIN_LEN = 8.0
+
+
+@dataclass(slots=True)
 class _TextState:
     """textState (extractor/extractor.go:836)."""
 
@@ -120,6 +136,9 @@ class Interpreter:
         self.resources = doc.page_resources(page)
         self.marks: list[TextMark] = []
         self.media: list[MediaMark] = []
+        self.rulings: list[Ruling] = []
+        self._path_pts: list[tuple[float, float]] = []
+        self._path_rects: list[tuple[float, float, float, float]] = []
         self.n_misses = 0
         self._font_cache: dict[object, fonts_mod.Font] = {}
         self._form_ops_cache: dict[int, list[Operation]] = {}
@@ -305,6 +324,34 @@ class Interpreter:
                         )
                         actual_consumed = False
                         mc_depth_at_actual = mc_depth
+                elif o == "m" and len(p) == 2:
+                    self._path_pts.append(
+                        mapply(gs.ctm, float(p[0]), float(p[1]))
+                    )
+                elif o == "l" and len(p) == 2:
+                    self._path_pts.append(
+                        mapply(gs.ctm, float(p[0]), float(p[1]))
+                    )
+                elif o in ("c", "v", "y") and len(p) >= 2:
+                    # curves: endpoint only (rulings are straight lines)
+                    self._path_pts.append(
+                        mapply(gs.ctm, float(p[-2]), float(p[-1]))
+                    )
+                elif o == "re" and len(p) == 4:
+                    x, y, w_, h_ = (float(v) for v in p)
+                    pts = [
+                        mapply(gs.ctm, x, y),
+                        mapply(gs.ctm, x + w_, y),
+                        mapply(gs.ctm, x + w_, y + h_),
+                        mapply(gs.ctm, x, y + h_),
+                    ]
+                    xs = [q[0] for q in pts]
+                    ys = [q[1] for q in pts]
+                    self._path_rects.append((min(xs), min(ys), max(xs), max(ys)))
+                elif o in ("S", "s", "f", "F", "f*", "B", "B*", "b", "b*"):
+                    self._flush_path(paint=True)
+                elif o == "n":
+                    self._flush_path(paint=False)
                 elif o == "BMC":
                     mc_depth += 1
                 elif o == "EMC":
@@ -315,6 +362,29 @@ class Interpreter:
             except Exception:
                 # relaxed mode: log-and-continue philosophy (c:575)
                 continue
+
+    def _flush_path(self, paint: bool) -> None:
+        """Painted thin rects / axis-aligned segments become rulings
+        (derivation from stroke/fill paths, getParagraphs e:235)."""
+        if paint:
+            for x0, y0, x1, y1 in self._path_rects:
+                w_, h_ = x1 - x0, y1 - y0
+                if h_ <= RULING_THICKNESS and w_ >= RULING_MIN_LEN:
+                    self.rulings.append(Ruling("h", (y0 + y1) / 2, x0, x1))
+                elif w_ <= RULING_THICKNESS and h_ >= RULING_MIN_LEN:
+                    self.rulings.append(Ruling("v", (x0 + x1) / 2, y0, y1))
+            pts = self._path_pts
+            for (ax, ay), (bx, by) in zip(pts, pts[1:]):
+                if abs(ay - by) <= RULING_THICKNESS and abs(bx - ax) >= RULING_MIN_LEN:
+                    self.rulings.append(
+                        Ruling("h", (ay + by) / 2, min(ax, bx), max(ax, bx))
+                    )
+                elif abs(ax - bx) <= RULING_THICKNESS and abs(by - ay) >= RULING_MIN_LEN:
+                    self.rulings.append(
+                        Ruling("v", (ax + bx) / 2, min(ay, by), max(ay, by))
+                    )
+        self._path_pts = []
+        self._path_rects = []
 
     def _do_xobject(self, name, gs, resources, op_index, depth):
         xo = self._xobject(name, resources)

@@ -255,11 +255,25 @@ def _split_line_columns(line: Line) -> list[Line]:
     return out
 
 
-def make_paras(lines: list[Line], orientation_rank: int) -> list[Para]:
-    """Greedy vertical growth with horizontal-overlap gating (e:277)."""
+def make_paras(lines: list[Line], orientation_rank: int,
+               h_rulings: list[tuple[float, float, float]] | None = None
+               ) -> list[Para]:
+    """Greedy vertical growth with horizontal-overlap gating (e:277) and
+    ruling blocking (wordBag.blocked, e:257): a horizontal ruling lying
+    between two lines prevents them from joining one paragraph."""
     split: list[Line] = []
     for ln in lines:
         split.extend(_split_line_columns(ln))
+    h_rulings = h_rulings or []
+
+    def blocked(last: Line, ln: Line) -> bool:
+        for rdepth, lo, hi in h_rulings:
+            if last.depth < rdepth < ln.depth:
+                ov = min(hi, ln.u1) - max(lo, ln.u0)
+                if ov > 0:
+                    return True
+        return False
+
     paras: list[Para] = []
     for ln in sorted(split, key=lambda l: (l.depth, l.u0)):
         fs = ln.fontsize
@@ -268,6 +282,8 @@ def make_paras(lines: list[Line], orientation_rank: int) -> list[Para]:
             last = max(pa.lines, key=lambda l: l.depth)
             pitch_cap = (1.0 + PARA_LINE_GAP) * max(fs, last.fontsize)
             if not (0 < ln.depth - last.depth <= pitch_cap):
+                continue
+            if blocked(last, ln):
                 continue
             # horizontal overlap gate
             ov = min(pa.u1, ln.u1) - max(pa.u0, ln.u0)
@@ -330,8 +346,13 @@ def assemble_spans(
     marks: list[TextMark],
     media: list[MediaMark],
     dehyphenate: bool = True,
+    rulings=None,
 ) -> list[dict]:
     """Full page assembly → span dicts (kind, text, media_ref, offset)."""
+    # horizontal rulings in the orientation-0 reading frame (depth, lo, hi)
+    h_rulings = [
+        (-r.pos, r.lo, r.hi) for r in (rulings or []) if r.kind == "h"
+    ]
     ordered_paras: list[Para] = []
     for rank, orientation in enumerate((0, 90, 180, 270)):
         group = [m for m in marks if m.orientation == orientation]
@@ -339,7 +360,7 @@ def assemble_spans(
             continue
         words = make_words(group, orientation)
         lines = make_lines(words)
-        paras = make_paras(lines, rank)
+        paras = make_paras(lines, rank, h_rulings if orientation == 0 else None)
         ordered_paras.extend(reading_order(paras))
 
     media_sorted = sorted(media, key=lambda m: m.op_index)
