@@ -94,8 +94,23 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule input shape end to end: docs(doc_id, spans) table →
+    rendered PDFs → extraction → span equality vs the normalized golden."""
+    docs = pipeline.gen_docs_pdf(spark, 48, partitions=4).select(
+        "doc_id", F.col("golden_spans").alias("spans")
+    )
+    docs_pdf = pipeline.docs_pdf_from_spans_table(docs).persist()
+    eq = pipeline.span_equality(docs_pdf, pipeline.run_extraction(docs_pdf))
+    return eq.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("match").cast("int")).alias("n_match"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(all_queries())
+    q["extract_docs_table"] = _extract_docs_table
     q["extract_fixture_roundtrip"] = _extract_fixture_corpus
     q["extract_external_text"] = _extract_external_text
     q["extract_spans_flat"] = _extract_spans_flat

@@ -94,3 +94,22 @@ def test_salted_repartition_isolates_large_docs(spark):
         by_pid.setdefault(r["pid"], []).append(r["doc_id"])
     big_pid = [p for p, ids in by_pid.items() if "doc_00000000" in ids]
     assert len(big_pid) == 1
+
+
+def test_spans_table_input_shape_roundtrip(spark):
+    """The north-rule input shape: docs(doc_id, spans) → render → extract →
+    span equality against the normalized golden."""
+    from pyspark.sql import functions as F
+
+    # build an input docs table from fixture goldens (already renderable)
+    src = pipeline.gen_docs_pdf(spark, 24, partitions=2).select(
+        "doc_id", F.col("golden_spans").alias("spans")
+    )
+    docs_pdf = pipeline.docs_pdf_from_spans_table(src).persist()
+    eq = pipeline.span_equality(docs_pdf, pipeline.run_extraction(docs_pdf, 2))
+    rows = eq.collect()
+    assert len(rows) == 24
+    assert all(r["match"] for r in rows), [
+        r["doc_id"] for r in rows if not r["match"]
+    ]
+    docs_pdf.unpersist()

@@ -906,6 +906,77 @@ def _make_incremental_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
     return golden, bytes(out)
 
 
+def make_spans_doc(doc_id: str, spans: list[dict], seed: int = 42
+                   ) -> tuple[list[dict], bytes]:
+    """Render a row of the AUTHORITATIVE input shape — docs(doc_id,
+    spans array<struct<kind,text,media_ref,offset>>) — into a PDF.
+
+    Text spans render line-for-line (text is normalized to the renderable
+    subset: ASCII, single-spaced, overlong tokens hard-split); media spans
+    embed a deterministic payload derived from the input media_ref, so the
+    output ref is the payload hash (input refs are opaque — a hash preimage
+    cannot be forged). Returns the NORMALIZED golden spans the engine must
+    reproduce; repeated input refs reuse one XObject (ref identity
+    preserved)."""
+    plan = DocPlan()
+    width = PAGE_W - 2 * MARGIN
+    v = PAGE_H - MARGIN
+    page = 0
+    rng = random.Random(f"{seed}:{doc_id}:tbl")
+    ref_keys: dict[str, int] = {}
+
+    def norm_line(line: str) -> list[str]:
+        clean = "".join(ch if 32 <= ord(ch) <= 126 else " " for ch in line)
+        words = []
+        for wd in clean.split():
+            while len(wd) > 40:
+                words.append(wd[:40])
+                wd = wd[40:]
+            if wd:
+                words.append(wd)
+        return words
+
+    for s in spans:
+        if s["kind"] == "media":
+            ref = s["media_ref"]
+            if ref not in ref_keys:
+                key = len(ref_keys)
+                seed_bytes = __import__("hashlib").md5(ref.encode()).digest()
+                plan.images[key] = (seed_bytes * 12)[: 8 * 8 * 3]
+                ref_keys[ref] = key
+            h = 36.0
+            plan.blocks.append(
+                ImagePlan(key=ref_keys[ref], x=MARGIN, y=v - h, w=h, h=h,
+                          page=page)
+            )
+            v -= h + 12.0
+        else:
+            out_lines: list[str] = []
+            for line in (s["text"] or "").split("\n"):
+                words = norm_line(line)
+                if not words:
+                    words = ["-"]
+                out_lines.extend(_wrap(words, FS, width, 0.0, 1.0, cid=False))
+            baselines = []
+            vv = v - FS
+            for _ in out_lines:
+                baselines.append(vv)
+                vv -= LEADING
+            plan.blocks.append(
+                ParaPlan(lines=[[Seg(t)] for t in out_lines], x=MARGIN,
+                         baselines=baselines, page=page)
+            )
+            v = vv + LEADING - PARA_SKIP
+        if v < MARGIN + 140:
+            page += 1
+            v = PAGE_H - MARGIN
+    if not plan.blocks:
+        p, _ = _para(rng, MARGIN, PAGE_H - MARGIN, width, (1, 2))
+        plan.blocks.append(p)
+    pdf, golden = render_doc(plan)
+    return golden, pdf
+
+
 def make_text_doc(doc_id: str, text: str, seed: int = 42
                   ) -> tuple[list[dict], bytes]:
     """Render arbitrary external text (e.g. the `documents` table) into a

@@ -135,6 +135,44 @@ def docs_pdf_from_documents(spark: SparkSession, sf_dir: str,
     return docs.mapInPandas(render_batch, schema=out_schema)
 
 
+def docs_pdf_from_spans_table(docs: DataFrame) -> DataFrame:
+    """AUTHORITATIVE input shape → rendered PDFs: takes docs(doc_id,
+    spans array<struct<kind,text,media_ref,offset>>) per BASELINE.json
+    input_hint and renders each row (distributed), carrying the normalized
+    golden spans (text normalized to the renderable subset; media payloads
+    derived from the opaque input refs — see fixtures.gen.make_spans_doc)."""
+
+    def render_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .fixtures.gen import make_spans_doc
+
+        for b in batches:
+            rows = []
+            for doc_id, spans in zip(b["doc_id"], b["spans"]):
+                span_dicts = [
+                    {"kind": s["kind"], "text": s["text"],
+                     "media_ref": s["media_ref"], "offset": s["offset"]}
+                    for s in spans
+                ]
+                golden, pdf_bytes = make_spans_doc(doc_id, span_dicts)
+                rows.append(
+                    (doc_id, pdf_bytes, len(golden), "spans_table",
+                     [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in golden])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "pdf_bytes", "n_spans", "fixture_class",
+                         "golden_spans"],
+            )
+
+    out_schema = (
+        schema.DOCS_PDF_DDL
+        + ", golden_spans array<struct<kind:string,text:string,"
+          "media_ref:string,offset:int>>"
+    )
+    return docs.mapInPandas(render_batch, schema=out_schema)
+
+
 # --- extraction stage -----------------------------------------------------------
 
 
