@@ -91,3 +91,25 @@ def test_ann_topk_sane(spark):
         cosines = [r["cosine"] for r in rs]
         assert cosines == sorted(cosines, reverse=True)
         assert all(-1.0 <= c <= 1.0 for c in cosines)
+
+
+def test_ann_ivf_structure_and_recall(spark):
+    from unipdf_spark.operators.similarity import (
+        TOP_K,
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+
+    ivf = ann_ivf_topk(spark, SF).collect()
+    bf = ann_bruteforce_topk(spark, SF).collect()
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) <= TOP_K
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+    ivf_set = {(r["query_id"], r["cand_id"]) for r in ivf}
+    bf_set = {(r["query_id"], r["cand_id"]) for r in bf}
+    recall = len(ivf_set & bf_set) / len(bf_set)
+    assert recall >= 0.3, recall  # random vectors, nprobe=4/16

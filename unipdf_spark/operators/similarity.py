@@ -151,6 +151,81 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (scale path #2): a k-means coarse quantizer trained on a
+    bounded driver-side sample assigns every vector to a cluster; queries
+    probe only the nprobe nearest clusters, so the scored candidate set is
+    ~nprobe/k of the corpus. At 10^9 vectors the assignment and scoring
+    stages are the same Arrow-batched numpy; only the (tiny) codebook is
+    driver-side. Engine-specific fit → rows-only check."""
+    import numpy as np
+    import pandas as pd
+
+    k, nprobe, iters = 16, 4, 5
+    e = _emb(spark, sf_dir)
+
+    # train the codebook on a bounded sample (standard IVF practice)
+    sample = np.stack(
+        e.select("embedding").limit(2048).toPandas()["embedding"].to_numpy()
+    ).astype("float64")
+    rng_idx = [(i * 2654435761) % len(sample) for i in range(k)]
+    cent = sample[rng_idx].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    cent_list = [[float(x) for x in row] for row in cent]
+    bc = spark.sparkContext.broadcast(cent_list)
+
+    def assign_batch(batches):
+        c = np.asarray(bc.value)
+        for b in batches:
+            m = np.stack(b["embedding"].to_numpy()).astype("float64")
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            order = np.argsort(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": b["vec_id"],
+                    "embedding": b["embedding"],
+                    "cluster": order[:, 0],
+                    "probes": [list(map(int, o[:nprobe])) for o in order],
+                }
+            )
+
+    assigned = e.select("vec_id", "embedding").mapInPandas(
+        assign_batch,
+        "vec_id long, embedding array<float>, cluster int, probes array<int>",
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode("probes").alias("cluster"),
+    )
+    c = assigned.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"),
+        "cluster",
+    )
+    from pyspark.sql.window import Window
+
+    scored = (
+        F.broadcast(q)
+        .join(c, "cluster")
+        .select(
+            "query_id", "cand_id",
+            F.round(_cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate vector pairs: label-blocked join (same label only),
     cosine ≥ 0.95. Blocking keeps the pair space linear-ish; at 10^9 rows the
@@ -232,6 +307,7 @@ ORDER BY label, dim
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "label_centroids": label_centroids,
 }
