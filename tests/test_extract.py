@@ -76,3 +76,27 @@ def test_miss_counting_on_unknown_glyph():
     res = extract_spans(pdf)
     assert res.n_misses == 0
     assert res.n_chars == sum(len(s["text"]) for s in res.spans)
+
+
+def test_corruption_never_raises():
+    """Relaxed-mode contract: arbitrary corruption must yield an error field
+    or partial spans — never an exception (web-corpus survival)."""
+    import random as _r
+
+    rng = _r.Random(99)
+    golden, pdf = make_doc("doc_corrupt_base", "simple")
+    for trial in range(60):
+        b = bytearray(pdf)
+        mode = trial % 4
+        if mode == 0:  # truncate
+            b = b[: rng.randrange(1, len(b))]
+        elif mode == 1:  # flip random bytes
+            for _ in range(rng.randrange(1, 12)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif mode == 2:  # chop the head
+            b = b[rng.randrange(1, len(b) // 2) :]
+        else:  # splice garbage in the middle
+            pos = rng.randrange(len(b))
+            b[pos:pos] = bytes(rng.randrange(256) for _ in range(64))
+        res = extract_spans(bytes(b))  # must not raise
+        assert res.spans is not None

@@ -63,6 +63,7 @@ FIXTURE_CLASSES = [
     "simple", "kerned", "multicolumn", "rotated", "cid", "interleaved",
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
+    "gridtable",
 ]
 
 
@@ -135,12 +136,13 @@ class ParaPlan:
 
 @dataclass
 class RulePlan:
-    """Painted horizontal rule (thin filled rect) — no golden span; must
-    BLOCK paragraph merging across it."""
+    """Painted rule (thin filled rect) — no golden span; blocks paragraph
+    merges and feeds grid-table detection."""
 
     x: float
     y: float
     w: float
+    h: float = 1.0
     page: int = 0
 
 
@@ -343,6 +345,34 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
             p, v = _para(rng, MARGIN, v, budget, (6, 16))
             p.rot_via_cm = via_cm
             plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "gridtable":
+        p, v = _para(rng, MARGIN, v, width, (4, 8))
+        plan.blocks.append(p)
+        # 2x2 ruled grid; cells hold single words; golden = one table span
+        # serialized row-major ("c00 c01\nc10 c11")
+        top = 640.0
+        xs = [MARGIN, MARGIN + 150.0, MARGIN + 300.0]
+        ys = [top, top - 40.0, top - 80.0]  # device y of horizontal rules
+        for y in ys:
+            plan.blocks.append(RulePlan(x=xs[0], y=y, w=xs[-1] - xs[0]))
+        for x in xs:
+            plan.blocks.append(RulePlan(x=x, y=ys[-1], w=1.0, h=ys[0] - ys[-1]))
+        cellw = [rng.choice(WORDS[:20]) for _ in range(4)]
+        cell_paras = []
+        for r in range(2):
+            for c in range(2):
+                bx = xs[c] + 12.0
+                by = ys[r] - 26.0  # baseline inside row band (box top +12<40)
+                cp = ParaPlan(lines=[[Seg(cellw[r * 2 + c])]], x=bx,
+                              baselines=[by])
+                cp.is_table_cell = True
+                cell_paras.append(cp)
+                plan.blocks.append(cp)
+        plan.table_golden = (
+            f"{cellw[0]} {cellw[1]}\n{cellw[2]} {cellw[3]}"
+        )
         return plan
 
     if fixture_class == "rules":
@@ -754,6 +784,15 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             )
             offset += len(t)
             continue
+        if isinstance(block, ParaPlan) and getattr(block, "is_table_cell", False):
+            page_content[block.page] += _para_content(block, plan.theta)
+            if getattr(plan, "_table_emitted", False) is False:
+                t = plan.table_golden
+                golden.append({"kind": "text", "text": t, "media_ref": "",
+                               "offset": offset})
+                offset += len(t)
+                plan._table_emitted = True
+            continue
         if isinstance(block, ParaPlan):
             ops = _para_content(block, plan.theta)
             if bi in form_blocks:
@@ -775,8 +814,8 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             )
             offset += len(t)
         elif isinstance(block, RulePlan):
-            page_content[block.page] += b"%g %g %g 1 re f\n" % (
-                block.x, block.y, block.w)
+            page_content[block.page] += b"%g %g %g %g re f\n" % (
+                block.x, block.y, block.w, block.h)
             continue
         else:  # ImagePlan
             if block.inline:
@@ -1024,7 +1063,7 @@ DEFAULT_MIX = [
     ("cid", 10), ("interleaved", 12), ("form_xobject", 6), ("hyphenated", 5),
     ("tagged", 3), ("malformed", 2), ("objstm", 4), ("filters", 4),
     ("type3", 3), ("bidi", 3), ("annot", 3), ("encrypted", 3), ("rules", 3),
-    ("incremental", 2),
+    ("incremental", 2), ("gridtable", 2),
 ]
 
 BENCH_MIX = [

@@ -297,6 +297,81 @@ def make_paras(lines: list[Line], orientation_rank: int,
     return paras
 
 
+class TablePara:
+    """Detected grid table folded into the paragraph stream as one block —
+    text serialized row-major, cells joined by ' ', rows by '\\n'
+    (textPara.writeText cell/row joiners, extractor/extractor.go:66/:76)."""
+
+    __slots__ = ("u0", "u1", "depth0", "depth1", "min_op", "orientation_rank",
+                 "_text", "n_rows", "n_cols")
+
+    def __init__(self, u0, u1, d0, d1, min_op, rank, text, n_rows, n_cols):
+        self.u0, self.u1 = u0, u1
+        self.depth0, self.depth1 = d0, d1
+        self.min_op = min_op
+        self.orientation_rank = rank
+        self._text = text
+        self.n_rows, self.n_cols = n_rows, n_cols
+
+    def text(self, dehyphenate: bool = True) -> str:
+        return self._text
+
+
+def detect_grid_table(paras: list, h_rulings, v_rulings, rank: int):
+    """Grid-table detection (findGridTables, e:414): ≥2 horizontal and ≥2
+    vertical rulings forming a lattice; paragraphs inside the lattice become
+    cells addressed by their center point. Returns (table or None, rest)."""
+    import bisect
+
+    if len(h_rulings) < 2 or len(v_rulings) < 2 or not paras:
+        return None, paras
+    ys = sorted(d for d, _, _ in h_rulings)      # depths of horizontal rules
+    xs = sorted(p for p, _, _ in v_rulings)      # x of vertical rules
+    # merge near-duplicate rules (tolerance _egcb=2.0, extractor.go:16)
+    def dedup(vals):
+        out = [vals[0]]
+        for v in vals[1:]:
+            if v - out[-1] > 2.0:
+                out.append(v)
+        return out
+
+    ys, xs = dedup(ys), dedup(xs)
+    if len(ys) < 2 or len(xs) < 2:
+        return None, paras
+    inside, outside = [], []
+    for pa in paras:
+        cx = (pa.u0 + pa.u1) / 2
+        cy = (pa.depth0 + pa.depth1) / 2
+        if xs[0] <= cx <= xs[-1] and ys[0] <= cy <= ys[-1]:
+            inside.append(pa)
+        else:
+            outside.append(pa)
+    if not inside:
+        return None, paras
+    n_rows, n_cols = len(ys) - 1, len(xs) - 1
+    cells: dict[tuple[int, int], list] = {}
+    for pa in inside:
+        r = min(bisect.bisect_right(ys, (pa.depth0 + pa.depth1) / 2) - 1,
+                n_rows - 1)
+        c = min(bisect.bisect_right(xs, (pa.u0 + pa.u1) / 2) - 1, n_cols - 1)
+        cells.setdefault((r, c), []).append(pa)
+    rows_txt = []
+    for r in range(n_rows):
+        row = []
+        for c in range(n_cols):
+            members = sorted(cells.get((r, c), []),
+                             key=lambda p: (p.depth0, p.u0))
+            row.append(" ".join(m.text() for m in members))
+        rows_txt.append(" ".join(x for x in row if x))
+    text = "\n".join(t for t in rows_txt if t)
+    table = TablePara(
+        min(p.u0 for p in inside), max(p.u1 for p in inside),
+        min(p.depth0 for p in inside), max(p.depth1 for p in inside),
+        min(p.min_op for p in inside), rank, text, n_rows, n_cols,
+    )
+    return table, outside
+
+
 def _gap_cut(intervals: list[tuple[float, float]], min_gap: float) -> float | None:
     """Largest whitespace band splitting the interval set, or None."""
     ivs = sorted(intervals)
@@ -322,9 +397,12 @@ def reading_order(paras: list[Para]) -> list[Para]:
     def order(group: list[Para], depth: int) -> list[Para]:
         if len(group) <= 1 or depth > 32:
             return sorted(group, key=lambda p: (p.depth0, p.u0))
-        med_fs = sorted(ln.fontsize for p in group for ln in p.lines)[
-            len([ln for p in group for ln in p.lines]) // 2
-        ]
+        fss = sorted(
+            ln.fontsize
+            for p in group
+            for ln in getattr(p, "lines", [])  # TablePara has no lines
+        )
+        med_fs = fss[len(fss) // 2] if fss else 12.0
         x_cut = _gap_cut([(p.u0, p.u1) for p in group], 2.0 * med_fs)
         if x_cut is not None:
             left = [p for p in group if p.u1 <= x_cut]
@@ -349,9 +427,12 @@ def assemble_spans(
     rulings=None,
 ) -> list[dict]:
     """Full page assembly → span dicts (kind, text, media_ref, offset)."""
-    # horizontal rulings in the orientation-0 reading frame (depth, lo, hi)
+    # rulings in the orientation-0 reading frame (depth/x, lo, hi)
     h_rulings = [
         (-r.pos, r.lo, r.hi) for r in (rulings or []) if r.kind == "h"
+    ]
+    v_rulings = [
+        (r.pos, -r.hi, -r.lo) for r in (rulings or []) if r.kind == "v"
     ]
     ordered_paras: list[Para] = []
     for rank, orientation in enumerate((0, 90, 180, 270)):
@@ -361,6 +442,10 @@ def assemble_spans(
         words = make_words(group, orientation)
         lines = make_lines(words)
         paras = make_paras(lines, rank, h_rulings if orientation == 0 else None)
+        if orientation == 0:
+            table, paras = detect_grid_table(paras, h_rulings, v_rulings, rank)
+            if table is not None:
+                paras = list(paras) + [table]
         ordered_paras.extend(reading_order(paras))
 
     media_sorted = sorted(media, key=lambda m: m.op_index)
