@@ -157,13 +157,22 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    # verify candidates with true Jaccard over shingle sets
-    d = _docs(spark, sf_dir).select(
-        "doc_id", _shingles(F.col("text")).alias("sh")
+    # verify candidates with true Jaccard over shingle sets — computed ONLY
+    # for docs that appear in a candidate pair (semi-join before the shingle
+    # expression: at corpus scale candidates ≪ corpus)
+    pair_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .join(F.broadcast(pair_ids), "doc_id", "left_semi")
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
     )
     j = (
-        cand.join(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(d.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        cand.join(F.broadcast(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")), "doc_a")
+        .join(F.broadcast(d.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")), "doc_b")
         .select(
             "doc_a",
             "doc_b",
