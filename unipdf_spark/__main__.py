@@ -1,0 +1,90 @@
+"""CLI: the library as a tool (a reference user's drop-in entry point).
+
+    python -m unipdf_spark gen     --out DIR --n 1000          # docs_pdf table
+    python -m unipdf_spark extract --in DIR_OR_PARQUET --out DIR [--salt]
+    python -m unipdf_spark verify  --docs DIR --spans DIR       # span equality
+    python -m unipdf_spark bench   [--n 6000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="unipdf_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a fixture docs_pdf parquet table")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n", type=int, default=1000)
+    g.add_argument("--mix", default="default", choices=["default", "bench"])
+
+    e = sub.add_parser("extract", help="extract spans from a docs_pdf table")
+    e.add_argument("--in", dest="inp", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--salt", action="store_true",
+                   help="salted repartition (size-skewed inputs)")
+    e.add_argument("--checkpoint", action="store_true",
+                   help="bucketed checkpoint/resume mode")
+
+    v = sub.add_parser("verify", help="span-equality report")
+    v.add_argument("--docs", required=True)
+    v.add_argument("--spans", required=True)
+
+    b = sub.add_parser("bench", help="extraction throughput")
+    b.add_argument("--n", type=int, default=6000)
+
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from . import pipeline
+
+    spark = pipeline.get_spark(f"unipdf-cli-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "gen":
+            df = pipeline.gen_docs_pdf(spark, args.n, mix=args.mix)
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"written": args.n, "out": args.out}))
+        elif args.cmd == "extract":
+            docs = spark.read.parquet(args.inp)
+            if args.checkpoint:
+                pipeline.run_with_checkpoint(docs, args.out)
+            else:
+                out = pipeline.run_extraction(docs, salt=args.salt)
+                out.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(
+                args.out if not args.checkpoint else f"{args.out}/spans"
+            ).count()
+            print(json.dumps({"extracted": n, "out": args.out}))
+        elif args.cmd == "verify":
+            docs = spark.read.parquet(args.docs)
+            spans = spark.read.parquet(args.spans)
+            eq = pipeline.span_equality(docs, spans)
+            total = eq.count()
+            ok = eq.filter(F.col("match")).count()
+            print(json.dumps({"docs": total, "match": ok,
+                              "pass_rate": ok / max(total, 1)}))
+            return 0 if ok == total else 1
+        elif args.cmd == "bench":
+            import time
+
+            docs = pipeline.gen_docs_pdf(spark, args.n, mix="bench").persist()
+            docs.count()
+            pipeline.run_extraction(docs.limit(256)).count()
+            t0 = time.perf_counter()
+            pipeline.run_extraction(docs).count()
+            dt = time.perf_counter() - t0
+            print(json.dumps({"n_docs": args.n, "seconds": round(dt, 2),
+                              "docs_per_sec": round(args.n / dt, 1)}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
