@@ -58,17 +58,24 @@ WORDS = (
 ).split()
 CID_WORDS = WORDS[:20] + ["café", "naïve", "résumé", "データ", "解析", "引擎", "数据", "模型"]
 RTL_WORDS = ["שלום", "עולם", "ספר", "מידע", "נתונים", "بيانات", "تحليل", "نص"]
+MAC_WORDS = WORDS[:16] + ["café", "naïve", "résumé", "señor", "garçon",
+                          "über", "crème", "brûlée"]
 
 FIXTURE_CLASSES = [
     "simple", "kerned", "multicolumn", "rotated", "cid", "interleaved",
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
-    "gridtable",
+    "gridtable", "macroman",
 ]
 
 
 def _char_w(ch: str) -> float:
-    return float(_W.get(ch, 500))
+    w = _W.get(ch)
+    if w is not None:
+        return float(w)
+    import unicodedata
+    base = unicodedata.normalize("NFD", ch)[:1]
+    return float(_W.get(base, 500))
 
 
 T3_W = 500.0  # Type3 glyph width in glyph units (FontMatrix 0.001 scale)
@@ -439,6 +446,13 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
                 plan.blocks.append(p)
         return plan
 
+    if fixture_class == "macroman":
+        for _ in range(rng.randint(2, 4)):
+            p, v = _para(rng, MARGIN, v, width, (5, 12), font="F4",
+                         pool=MAC_WORDS)
+            plan.blocks.append(p)
+        return plan
+
     if fixture_class == "cid":
         for _ in range(rng.randint(2, 4)):
             p, v = _para(rng, MARGIN, v, width, (5, 12), font="F2",
@@ -595,9 +609,10 @@ def _para_content(p: ParaPlan, theta: int) -> bytes:
             hexes = "".join("%04X" % ord(ch) for seg in segs for ch in seg.text)
             out += b"<" + hexes.encode() + b"> Tj\n"
             continue
+        enc = "mac_roman" if p.font == "F4" else "latin-1"
         simple = len(segs) == 1 and segs[0].kern_after is None and i != p.lig_line
         if simple:
-            out += b"(" + esc_string(segs[0].text) + b") Tj\n"
+            out += b"(" + esc_string(segs[0].text, enc) + b") Tj\n"
         else:
             for seg in segs:
                 if seg.text == "ﬁ" and i == p.lig_line:
@@ -606,7 +621,7 @@ def _para_content(p: ParaPlan, theta: int) -> bytes:
                     out += b"EMC\n"
                     continue
                 arr = bytearray(b"[")
-                arr += b"(" + esc_string(seg.text) + b")"
+                arr += b"(" + esc_string(seg.text, enc) + b")"
                 if seg.kern_after is not None:
                     arr += b" %g" % seg.kern_after
                 arr += b"] TJ\n"
@@ -679,6 +694,31 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             + str(tounicode).encode() + b" 0 R >>"
         )
         font_res += b"/F2 " + str(f2).encode() + b" 0 R "
+
+    # MacRoman simple font (F4): same Helvetica metrics, different encoding
+    used_mac: set[str] = set()
+    for b in plan.blocks:
+        if isinstance(b, ParaPlan) and b.font == "F4":
+            for segs in b.lines:
+                for seg in segs:
+                    used_mac.update(seg.text)
+    if used_mac:
+        codes4 = sorted(ch.encode("mac_roman", "replace")[0] for ch in used_mac)
+        first4, last4 = min(codes4), max(codes4)
+        by_code = {}
+        for ch in used_mac:
+            by_code[ch.encode("mac_roman", "replace")[0]] = ch
+        widths4 = b" ".join(
+            str(int(_char_w(by_code[c])) if c in by_code else 500).encode()
+            for c in range(first4, last4 + 1)
+        )
+        f4 = w.add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /MacRomanEncoding /FirstChar " + str(first4).encode()
+            + b" /LastChar " + str(last4).encode() + b" /Widths [ "
+            + widths4 + b" ] >>"
+        )
+        font_res += b"/F4 " + str(f4).encode() + b" 0 R "
 
     # Type3 font (glyph procs; FontMatrix 0.001; ToUnicode for text)
     used_t3: set[int] = set()
@@ -1063,7 +1103,7 @@ DEFAULT_MIX = [
     ("cid", 10), ("interleaved", 12), ("form_xobject", 6), ("hyphenated", 5),
     ("tagged", 3), ("malformed", 2), ("objstm", 4), ("filters", 4),
     ("type3", 3), ("bidi", 3), ("annot", 3), ("encrypted", 3), ("rules", 3),
-    ("incremental", 2), ("gridtable", 2),
+    ("incremental", 2), ("gridtable", 2), ("macroman", 3),
 ]
 
 BENCH_MIX = [

@@ -166,9 +166,9 @@ def encode_chain(data: bytes, filters: list[str]) -> bytes:
     return data
 
 
-def esc_string(s: str) -> bytes:
-    """Escape a text string for a PDF literal string (latin-1 payload)."""
-    b = s.encode("latin-1", errors="replace")
+def esc_string(s: str, encoding: str = "latin-1") -> bytes:
+    """Escape a text string for a PDF literal string (encoded payload)."""
+    b = s.encode(encoding, errors="replace")
     return (
         b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
     )
