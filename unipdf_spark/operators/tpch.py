@@ -331,6 +331,92 @@ ORDER BY hour, event_type
 """
 
 
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets shape: ROLLUP over (returnflag, linestatus) — subtotal
+    and grand-total rows come from the same single scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                    ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) per-user value over event time — the ordered
+    window frame family."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.count("*").over(w).alias("event_seq"),
+    ).orderBy("user_id", "event_seq")
+
+
+RUNNING_SQL = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER w, 2) AS running_value,
+       COUNT(*) OVER w AS event_seq
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_seq
+"""
+
+
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dimension aggregate: lineitem joined to part (broadcast) rolled
+    up by brand/type."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                    ).alias("revenue"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_SQL = """
+SELECT p_brand,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(AVG(p_retailprice), 4) AS avg_retail,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -340,6 +426,9 @@ QUERIES = {
     "top_customers_per_segment": top_customers_per_segment,
     "events_sessionize": events_sessionize,
     "events_hourly_rollup": events_hourly_rollup,
+    "revenue_rollup": revenue_rollup,
+    "user_running_value": user_running_value,
+    "brand_revenue": brand_revenue,
 }
 
 ORACLES = {
@@ -351,4 +440,7 @@ ORACLES = {
     "top_customers_per_segment": TOP_CUST_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "events_hourly_rollup": HOURLY_SQL,
+    "revenue_rollup": ROLLUP_SQL,
+    "user_running_value": RUNNING_SQL,
+    "brand_revenue": BRAND_SQL,
 }
