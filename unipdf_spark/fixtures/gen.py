@@ -65,7 +65,7 @@ FIXTURE_CLASSES = [
     "simple", "kerned", "multicolumn", "rotated", "cid", "interleaved",
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
-    "gridtable", "macroman",
+    "gridtable", "macroman", "wstable",
 ]
 
 
@@ -352,6 +352,24 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
             p, v = _para(rng, MARGIN, v, budget, (6, 16))
             p.rot_via_cm = via_cm
             plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "wstable":
+        p, v = _para(rng, MARGIN, v, width, (4, 8))
+        plan.blocks.append(p)
+        # 3x3 whitespace-aligned grid (no rulings): golden = one row-major
+        # table span
+        n_r, n_c = 3, 3
+        xs = [MARGIN + c * 150.0 for c in range(n_c)]
+        ys = [600.0 - r * 40.0 for r in range(n_r)]
+        cellw = [[rng.choice(WORDS[:20]) for _ in range(n_c)] for _ in range(n_r)]
+        for r in range(n_r):
+            for c in range(n_c):
+                cp = ParaPlan(lines=[[Seg(cellw[r][c])]], x=xs[c],
+                              baselines=[ys[r]])
+                cp.is_table_cell = True
+                plan.blocks.append(cp)
+        plan.table_golden = "\n".join(" ".join(row) for row in cellw)
         return plan
 
     if fixture_class == "gridtable":
@@ -1103,7 +1121,7 @@ DEFAULT_MIX = [
     ("cid", 10), ("interleaved", 12), ("form_xobject", 6), ("hyphenated", 5),
     ("tagged", 3), ("malformed", 2), ("objstm", 4), ("filters", 4),
     ("type3", 3), ("bidi", 3), ("annot", 3), ("encrypted", 3), ("rules", 3),
-    ("incremental", 2), ("gridtable", 2), ("macroman", 3),
+    ("incremental", 2), ("gridtable", 2), ("macroman", 3), ("wstable", 2),
 ]
 
 BENCH_MIX = [

@@ -372,6 +372,52 @@ def detect_grid_table(paras: list, h_rulings, v_rulings, rank: int):
     return table, outside
 
 
+def detect_aligned_table(paras: list, rank: int):
+    """Whitespace-aligned table detection (findTextTables, e:378) —
+    conservative gate: a COMPLETE grid of ≥3 rows × ≥3 columns of short
+    single-line paragraphs whose row depths and column x-origins align
+    within tight tolerance. Multi-column body text never satisfies this
+    (paragraphs are multi-line, counts differ per band, origins drift)."""
+    singles = [
+        p for p in paras
+        if len(getattr(p, "lines", [])) == 1 and len(p.lines[0].words) <= 3
+    ]
+    if len(singles) < 9:
+        return None, paras
+    rows: dict[float, list] = {}
+    for p in singles:
+        key = round(p.depth0)
+        placed = False
+        for k in rows:
+            if abs(k - key) <= 1.0:
+                rows[k].append(p)
+                placed = True
+                break
+        if not placed:
+            rows[key] = [p]
+    bands = [sorted(v, key=lambda p: p.u0) for v in rows.values() if len(v) >= 3]
+    if len(bands) < 3:
+        return None, paras
+    bands.sort(key=lambda b: b[0].depth0)
+    ncols = len(bands[0])
+    if any(len(b) != ncols for b in bands):
+        return None, paras
+    col_x = [p.u0 for p in bands[0]]
+    for b in bands[1:]:
+        if any(abs(p.u0 - x) > 2.0 for p, x in zip(b, col_x)):
+            return None, paras
+    members = {id(p) for b in bands for p in b}
+    text = "\n".join(" ".join(p.text() for p in b) for b in bands)
+    inside = [p for b in bands for p in b]
+    table = TablePara(
+        min(p.u0 for p in inside), max(p.u1 for p in inside),
+        min(p.depth0 for p in inside), max(p.depth1 for p in inside),
+        min(p.min_op for p in inside), rank, text, len(bands), ncols,
+    )
+    rest = [p for p in paras if id(p) not in members]
+    return table, rest
+
+
 def _gap_cut(intervals: list[tuple[float, float]], min_gap: float) -> float | None:
     """Largest whitespace band splitting the interval set, or None."""
     ivs = sorted(intervals)
@@ -444,6 +490,8 @@ def assemble_spans(
         paras = make_paras(lines, rank, h_rulings if orientation == 0 else None)
         if orientation == 0:
             table, paras = detect_grid_table(paras, h_rulings, v_rulings, rank)
+            if table is None:
+                table, paras = detect_aligned_table(paras, rank)
             if table is not None:
                 paras = list(paras) + [table]
         ordered_paras.extend(reading_order(paras))
