@@ -113,3 +113,14 @@ def test_spans_table_input_shape_roundtrip(spark):
         r["doc_id"] for r in rows if not r["match"]
     ]
     docs_pdf.unpersist()
+
+
+def test_partition_lineage_metrics(spark):
+    docs = pipeline.gen_docs_pdf(spark, 24, partitions=4)
+    out = pipeline.run_extraction(docs)
+    lin = pipeline.partition_lineage(out).collect()
+    assert sum(r["n_docs"] for r in lin) == 24
+    for r in lin:
+        assert r["n_errors"] == 0
+        assert r["cpu_ms"] > 0 and r["p99_ms"] >= r["p50_ms"]
+        assert r["total_chars"] > 0

@@ -237,6 +237,33 @@ def run_extraction(docs_pdf: DataFrame, partitions: int | None = None,
     return df.mapInPandas(extract_batch, schema=schema.SPANS_OUT_DDL)
 
 
+def partition_lineage(spans_out: DataFrame) -> DataFrame:
+    """Per-partition lineage & metrics (north rule): doc counts, error counts,
+    char volume, and latency percentiles per physical partition — built from
+    the side-channel columns the extraction stage emits, aggregated with
+    built-in aggs (SURVEY §4 'per-partition metrics')."""
+    return (
+        spans_out.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_misses").alias("total_misses"),
+            F.round(F.sum("elapsed_ms"), 1).alias("cpu_ms"),
+            F.round(F.expr("percentile_approx(elapsed_ms, 0.5)"), 2).alias(
+                "p50_ms"
+            ),
+            F.round(F.expr("percentile_approx(elapsed_ms, 0.99)"), 2).alias(
+                "p99_ms"
+            ),
+            F.round(F.max("elapsed_ms"), 2).alias("max_ms"),
+        )
+        .orderBy("partition_id")
+    )
+
+
 # --- verification ---------------------------------------------------------------
 
 
