@@ -70,3 +70,103 @@ def test_xref_repair_on_corrupt_startxref():
 def test_strict_mode_raises_on_garbage():
     with pytest.raises(PdfError):
         PdfDocument(b"not a pdf at all", relaxed=False)
+
+
+def _mini_pdf(extra_objs: dict[int, bytes] | None = None,
+              trailer_extra: bytes = b"") -> bytes:
+    """Hand-assembled minimal PDF: 1=Catalog 2=Pages 3=Page, plus extras."""
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>",
+    }
+    objs.update(extra_objs or {})
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += str(num).encode() + b" 0 obj\n" + objs[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    n = max(objs) + 1
+    out += b"xref\n0 " + str(n).encode() + b"\n0000000000 65535 f \n"
+    for num in range(1, n):
+        if num in offsets:
+            out += ("%010d 00000 n \n" % offsets[num]).encode()
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (b"trailer\n<< /Size " + str(n).encode() + b" /Root 1 0 R"
+            + trailer_extra + b" >>\nstartxref\n" + str(xref_pos).encode()
+            + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def test_freed_object_shadows_older_revision():
+    # revision 2 frees object 4: the older revision's value must NOT resurrect
+    base = _mini_pdf({4: b"(stale secret)"})
+    prev = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    out = bytearray(base)
+    xref_pos = len(out)
+    out += (b"xref\n4 1\n0000000000 65535 f \ntrailer\n"
+            b"<< /Size 5 /Root 1 0 R /Prev " + str(prev).encode()
+            + b" >>\nstartxref\n" + str(xref_pos).encode() + b"\n%%EOF\n")
+    doc = PdfDocument(bytes(out))
+    assert doc.get_object(4) is None
+    # and the un-freed base document still returns it
+    assert PdfDocument(base).get_object(4) == b"stale secret"
+
+
+def test_stream_cache_not_shared_across_filter_targets():
+    # two docs with byte-identical stream objects (obj 5) whose /DecodeParms
+    # is an indirect ref resolving to DIFFERENT predictors — decoded output
+    # must be per-document, not served from a cross-document cache
+    import zlib
+
+    plain = b"\x00AAAAAAAAA"  # 1 PNG filter-type byte + 9 payload bytes
+    raw = zlib.compress(plain, 6)
+    # /Length is DIRECT (so the old cacheable guard passed) but /DecodeParms
+    # is indirect — the hashed span excludes the referenced parms object
+    stream_obj = (b"<< /Length " + str(len(raw)).encode()
+                  + b" /Filter /FlateDecode /DecodeParms 7 0 R >>\n"
+                  b"stream\n" + raw + b"\nendstream")
+    doc_a = PdfDocument(_mini_pdf({5: stream_obj, 7: b"<< >>"}))
+    doc_b = PdfDocument(_mini_pdf({
+        5: stream_obj, 7: b"<< /Predictor 12 /Columns 9 >>"}))
+    out_a = doc_a.get_object(5).decoded(doc_a.resolve)
+    out_b = doc_b.get_object(5).decoded(doc_b.resolve)
+    assert out_a == plain
+    assert out_b == b"AAAAAAAAA"  # PNG up-predictor applied
+
+
+def test_identity_crypt_filter_is_noop():
+    # V4 Encrypt dict with StmF/StrF absent => Identity (PDF 32000-1 §7.6.5):
+    # plaintext strings/streams must come back unchanged, not RC4-garbled
+    enc = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44 "
+           b"/O <" + b"00" * 32 + b"> /U <" + b"00" * 32 + b"> "
+           b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> >>")
+    pdf = _mini_pdf({4: b"(plain text)", 5: enc},
+                    trailer_extra=b" /Encrypt 5 0 R /ID [ <0011> <0011> ]")
+    doc = PdfDocument(pdf)
+    assert doc.get_object(4) == b"plain text"
+
+
+def test_crypt_stmf_strf_tracked_separately():
+    from unipdf_spark.pdf.crypt import StdSecurityHandler
+
+    enc = {
+        "Filter": "Standard", "V": 4, "R": 4, "Length": 128, "P": -44,
+        "O": b"\x00" * 32, "U": b"\x00" * 32,
+        "CF": {"StdCF": {"CFM": "AESV2", "Length": 16}},
+        "StmF": "StdCF",  # streams AES, strings default Identity
+    }
+    h = StdSecurityHandler(enc, b"\x00\x11")
+    assert h.stm_cfm == "AESV2"
+    assert h.str_cfm == "Identity"
+    assert h.decrypt(4, 0, b"plain", kind="string") == b"plain"
+
+
+def test_content_null_operand_is_none():
+    from unipdf_spark.pdf.content import parse_content
+
+    ops = parse_content(b"null false true sc")
+    assert ops[-1].op == "sc"
+    assert ops[-1].params == [None, False, True]

@@ -154,9 +154,24 @@ def resize_thumbnails(media: DataFrame, max_side: int = 4) -> DataFrame:
 
 
 def media_feature_dedup(media: DataFrame) -> DataFrame:
-    """Near-dup media via stub-feature cosine within payload-size blocks —
-    the multimodal analog of embedding near-dup (same join shape)."""
+    """Near-dup media via stub-feature cosine within blocks.
+
+    Blocking key = (feat_dim, 8-bit feature-sign LSH): the join is an
+    equality shuffle join on the block, never a cross product — near-dup
+    features share sign bits, so candidates stay within a block while block
+    cardinality bounds the per-task pair count at corpus scale.
+    """
     feats = extract_features(media).filter(F.col("decode_ok"))
+    sign_bits = F.concat_ws(
+        "",
+        *[
+            (F.element_at(F.col("feature"), i + 1) > 0).cast("int").cast("string")
+            for i in range(8)
+        ],
+    )
+    feats = feats.withColumn(
+        "block", F.concat_ws(":", F.col("feat_dim").cast("string"), sign_bits)
+    )
     a = feats.alias("a")
     b = feats.alias("b")
     dot = F.aggregate(
@@ -168,7 +183,11 @@ def media_feature_dedup(media: DataFrame) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, F.col("a.media_ref") < F.col("b.media_ref"))
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.media_ref") < F.col("b.media_ref")),
+        )
         .select(
             F.col("a.media_ref").alias("ref_a"),
             F.col("b.media_ref").alias("ref_b"),

@@ -266,17 +266,17 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_session",
             (
                 F.col("prev_ts").isNull()
-                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800)
+                # ts carries microseconds: compare fractional-second gaps
+                # via interval arithmetic (unix_timestamp() truncates to
+                # whole seconds; NTZ timestamps don't cast to double).
+                | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 1800 SECONDS"))
             ).cast("int"),
         )
-        .withColumn("session_id", F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ))
     )
     return (
         sess.groupBy("user_id")
         .agg(
-            F.max("session_id").alias("n_sessions"),
+            F.sum("new_session").cast("long").alias("n_sessions"),
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
@@ -294,7 +294,7 @@ WITH marked AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id,
-       SUM(new_session)         AS n_sessions,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
        COUNT(*)                 AS n_events,
        ROUND(SUM(value), 2)     AS total_value
 FROM marked

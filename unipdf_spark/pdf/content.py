@@ -68,7 +68,7 @@ def parse_content(data: bytes) -> list[Operation]:
             params = []
             continue
         if op in ("true", "false", "null"):
-            params.append(op == "true")
+            params.append(None if op == "null" else op == "true")
             continue
         ops.append(Operation(op, params))
         params = []

@@ -334,6 +334,17 @@ _OBJ_CACHE_MAX = 4096
 _PROBE_LEN = 96
 
 
+def _contains_ref(obj) -> bool:
+    """True if any Ref occurs anywhere inside a parsed object tree."""
+    if isinstance(obj, Ref):
+        return True
+    if isinstance(obj, dict):
+        return any(_contains_ref(v) for v in obj.values())
+    if isinstance(obj, list):
+        return any(_contains_ref(v) for v in obj)
+    return False
+
+
 def _obj_cache_lookup(data: bytes, start: int):
     import hashlib as _h
 
@@ -447,8 +458,11 @@ class PdfDocument:
                 if len(parts) >= 3:
                     off, _gen, typ = int(parts[0]), int(parts[1]), parts[2][:1]
                     num = first + i
-                    if typ == b"n" and num not in self.xref:
-                        self.xref[num] = ("f", off)
+                    # record free ("z") entries too: the Prev chain is walked
+                    # newest-first, so a newer free entry must shadow an older
+                    # revision's in-use entry (no object resurrection)
+                    if num not in self.xref:
+                        self.xref[num] = ("f", off) if typ == b"n" else ("z",)
                 # rows are 20 bytes, but be tolerant of 19/18-byte rows
                 nl = self.data.find(b"\n", lx.pos, lx.pos + 21)
                 lx.pos = nl + 1 if nl >= 0 else lx.pos + 20
@@ -494,6 +508,8 @@ class PdfDocument:
                     self.xref[num] = ("f", fields[1])
                 elif typ == 2:
                     self.xref[num] = ("o", fields[1], fields[2])
+                else:  # type 0: free — shadow older in-use entries
+                    self.xref[num] = ("z",)
         return d
 
     def _rebuild_xref_topdown(self) -> None:
@@ -537,14 +553,14 @@ class PdfDocument:
         """Deep-copy decrypt: fresh containers so shared cached objects are
         never mutated."""
         if isinstance(obj, bytes):
-            return self._crypt.decrypt(num, gen, obj)
+            return self._crypt.decrypt(num, gen, obj, kind="string")
         if isinstance(obj, list):
             return [self._decrypt_obj(v, num, gen) for v in obj]
         if isinstance(obj, Stream):
             d = PdfDict(
                 {k: self._decrypt_obj(v, num, gen) for k, v in obj.dict.items()}
             )
-            return Stream(d, self._crypt.decrypt(num, gen, obj.raw))
+            return Stream(d, self._crypt.decrypt(num, gen, obj.raw, kind="stream"))
         if isinstance(obj, dict):
             return PdfDict(
                 {k: self._decrypt_obj(v, num, gen) for k, v in obj.items()}
@@ -601,8 +617,12 @@ class PdfDocument:
         if isinstance(obj, tuple):
             d, data_start = obj
             length = d.get("Length")
-            cacheable = not isinstance(length, Ref)  # indirect /Length: the
-            # true data extent lives outside the hashed span — never cache
+            # Never cache a stream whose dict references other objects
+            # (/Length, /Filter, /DecodeParms, ...): the referenced content
+            # lives outside the hashed span, so two byte-identical stream
+            # objects in different documents could resolve differently —
+            # and Stream memoizes _decoded with the first resolver it sees.
+            cacheable = not _contains_ref(d)
             if isinstance(length, Ref):
                 length = self._fetch_direct(length)
             if isinstance(length, (int, float)) and int(length) >= 0:
@@ -636,6 +656,8 @@ class PdfDocument:
             if self.relaxed:
                 return None
             raise PdfError(f"object {num} not in xref")
+        if ent[0] == "z":  # freed in the newest revision that mentions it
+            return None
         if ent[0] == "f":
             obj = self._parse_at(ent[1], num)
             if self._crypt is not None and num != self._encrypt_num:

@@ -71,16 +71,27 @@ class StdSecurityHandler:
         self.p = int(resolve(enc.get("P")) or -1)
         self.file_id = file_id
         self.metadata_encrypted = bool(resolve(enc.get("EncryptMetadata", True)))
-        self.cfm = "V2"  # RC4 default
+        # Per-class crypt filters (PDF 32000-1 §7.6.5): streams use /StmF,
+        # strings use /StrF; both default to Identity (no-op) for V>=4 —
+        # the reference registers Identity as a no-op filter (core/core.go:515).
+        self.stm_cfm = "V2"  # pre-V4: one RC4 algorithm for everything
+        self.str_cfm = "V2"
         if self.v >= 4:
             cf = resolve(enc.get("CF")) or {}
-            stmf = str(resolve(enc.get("StmF")) or "Identity")
-            entry = resolve(cf.get(stmf)) if isinstance(cf, dict) else None
-            if isinstance(entry, dict):
-                self.cfm = str(resolve(entry.get("CFM")) or "V2")
-                if "Length" in entry:
-                    ln = int(resolve(entry["Length"]))
-                    self.length = ln * 8 if ln <= 32 else ln
+
+            def _cfm(filter_name: str) -> str:
+                if filter_name == "Identity":
+                    return "Identity"
+                entry = resolve(cf.get(filter_name)) if isinstance(cf, dict) else None
+                if isinstance(entry, dict):
+                    if "Length" in entry:
+                        ln = int(resolve(entry["Length"]))
+                        self.length = ln * 8 if ln <= 32 else ln
+                    return str(resolve(entry.get("CFM")) or "V2")
+                return "Identity"
+
+            self.stm_cfm = _cfm(str(resolve(enc.get("StmF")) or "Identity"))
+            self.str_cfm = _cfm(str(resolve(enc.get("StrF")) or "Identity"))
         self.key = self._file_key(b"")
 
     def _file_key(self, user_pw: bytes) -> bytes:
@@ -107,7 +118,10 @@ class StdSecurityHandler:
             h.update(b"sAlT")
         return h.digest()[: min(len(self.key) + 5, 16)]
 
-    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
-        if self.cfm == "AESV2":
+    def decrypt(self, num: int, gen: int, data: bytes, kind: str = "stream") -> bytes:
+        cfm = self.stm_cfm if kind == "stream" else self.str_cfm
+        if cfm == "Identity":
+            return data
+        if cfm == "AESV2":
             return _aes_cbc_decrypt(self._object_key(num, gen, True), data)
         return rc4(self._object_key(num, gen, False), data)
