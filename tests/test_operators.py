@@ -48,10 +48,12 @@ def test_dedup_exact_finds_injected_duplicates(spark):
 
 
 def test_minhash_similar_docs_collide(spark):
-    """Two near-identical docs must share LSH buckets; a disjoint doc not."""
+    """Two near-identical docs must share LSH buckets; a disjoint doc not.
+    Uses the operator's portable hash families (phash)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
+    from unipdf_spark.operators import phash
     from unipdf_spark.operators.dedup import BAND_SIZE, N_HASHES, _shingles
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
@@ -62,9 +64,9 @@ def test_minhash_similar_docs_collide(spark):
     )
     sh = df.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
-    ).withColumn("sh64", F.xxhash64("shingle"))
+    ).withColumn("h32", phash.h32(F.col("shingle")))
     aggs = [
-        F.min(F.xxhash64(F.col("sh64"), F.lit(i))).alias(f"h{i}")
+        F.min(phash.family(i, F.col("h32"))).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs).collect()
@@ -113,3 +115,52 @@ def test_ann_ivf_structure_and_recall(spark):
     bf_set = {(r["query_id"], r["cand_id"]) for r in bf}
     recall = len(ivf_set & bf_set) / len(bf_set)
     assert recall >= 0.3, recall  # random vectors, nprobe=4/16
+
+
+def _write_docs(spark, tmp_path, texts):
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_simhash_near_dup_pairs_finds_near_dupes(spark, tmp_path):
+    from unipdf_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    near = base.replace("dog", "cat", 1)  # one token differs
+    far = "entirely unrelated content about spark shuffles and parquet " * 8
+    sf = _write_docs(spark, tmp_path, [base, near, far])
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_dup_pairs(spark, sf).collect()}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] <= 3
+    assert all(2 not in p for p in pairs)
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark, tmp_path):
+    """Skew armor: a bucket of (MAX_BUCKET+many) identical docs is dropped
+    before pair generation — no n² blowup, no pairs from the hot bucket —
+    while a normal near-dup pair elsewhere is still found."""
+    from unipdf_spark.operators.dedup import MAX_BUCKET, minhash_lsh_pairs
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 6
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    b = a.replace("kappa", "kappa2", 1)
+    texts = [boiler] * (MAX_BUCKET + 36) + [a, b]
+    sf = _write_docs(spark, tmp_path, texts)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(spark, sf).collect()}
+    n_hot = MAX_BUCKET + 36
+    assert (n_hot, n_hot + 1) in pairs  # the real near-dup pair survives
+    assert not any(x < n_hot and y < n_hot for x, y in pairs)  # hot bucket dropped
+
+
+def test_ann_lsh_recall_bounds(spark):
+    from unipdf_spark.operators.similarity import ann_lsh_recall
+
+    rows = ann_lsh_recall(spark, SF).collect()
+    assert len(rows) == 8  # one row per query, even for empty buckets
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)

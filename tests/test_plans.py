@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from unipdf_spark.plans import (
     has_broadcast_join,
+    n_broadcast_hints,
     pushed_filters,
     read_schema_columns,
 )
@@ -34,16 +35,31 @@ def test_column_pruning_reaches_scan(spark):
     assert cols and set(cols[0]) == {"l_orderkey", "l_extendedprice"}
 
 
-def test_q3_uses_broadcast_joins(spark):
+def test_q3_no_forced_broadcast_hints(spark):
+    # orders/customer are fact-sized at 100×: they must NOT carry a forced
+    # broadcast hint; at this SF Catalyst/AQE still selects broadcast joins
+    # from size stats, so the plan stays broadcast WITHOUT the hint
     from unipdf_spark.operators.tpch import q3_shipping_priority
 
-    assert has_broadcast_join(q3_shipping_priority(spark, SF))
+    df = q3_shipping_priority(spark, SF)
+    assert n_broadcast_hints(df) == 0
+    assert has_broadcast_join(df)
 
 
-def test_q5_uses_broadcast_joins(spark):
+def test_q5_hints_only_on_dimensions(spark):
+    # supplier/nation/region stay hinted (true dimensions, bounded size);
+    # orders/customer must be unhinted (AQE decides at runtime)
     from unipdf_spark.operators.tpch import q5_local_supplier_volume
 
-    assert has_broadcast_join(q5_local_supplier_volume(spark, SF))
+    df = q5_local_supplier_volume(spark, SF)
+    assert n_broadcast_hints(df) == 3
+    assert has_broadcast_join(df)
+
+
+def test_top_customers_no_forced_broadcast_hints(spark):
+    from unipdf_spark.operators.tpch import top_customers_per_segment
+
+    assert n_broadcast_hints(top_customers_per_segment(spark, SF)) == 0
 
 
 def test_textops_prune_to_two_columns(spark):

@@ -8,24 +8,35 @@ Spark-first shapes that survive 100 TB:
 * MinHash — explode(shingles) → per-doc min of k hash families (single
   shuffle on doc_id, partial min map-side); LSH banding turns O(n²) pair
   search into a groupBy on band keys — only co-bucketed docs pair up;
-* SimHash — 64 conditional-sum aggregates over exploded tokens, then
-  16-bit-chunk blocking for Hamming≤k candidate pairs;
-* verification joins stay on candidate pairs only (never cross join).
+* SimHash — ONE within-row aggregate pass with a 60-wide vote-array
+  accumulator, then 15-bit-chunk blocking for Hamming≤3 candidate pairs
+  (4 chunks: ≤3 differing bits leaves ≥1 chunk equal by pigeonhole);
+* verification joins stay on candidate pairs only (never cross join);
+* skew armor: LSH/Hamming buckets above MAX_BUCKET members are dropped
+  before any pair generation (a full bucket is near-identical boilerplate;
+  capping it bounds the worst task at ~MAX_BUCKET² pairs instead of n²).
 
-Exact/fingerprint have DuckDB oracles; MinHash/SimHash use engine hash
-functions (xxhash64) with no portable SQL analog → rows-only checks.
+Every operator here is oracle-checked: hashes come from
+:mod:`unipdf_spark.operators.phash` (md5-derived modular arithmetic), which
+DuckDB evaluates to identical values.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import phash
+
 N_HASHES = 32
 BAND_SIZE = 4  # 8 bands × 4 rows
+MAX_BUCKET = 64  # LSH bucket cap (skew armor)
+SIM_BITS = 60  # SimHash width (= portable base60 hash width)
+SIM_CHUNKS = 4  # 15-bit chunks → Hamming ≤ 3 guarantees a shared chunk
+MAX_HAMMING = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phash.spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), spark)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,43 +112,96 @@ def _shingles(col, n: int = 3):
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature (k=32 xxhash64 families over 3-gram
-    shingles). Engine-specific hash → rows-only correctness check."""
+    """Per-doc MinHash signature: k=32 portable universal-hash families
+    ((A·h32 + B) mod P over md5-derived shingle hashes) — DuckDB computes
+    identical values, so this is fully oracle-checked."""
     d = _docs(spark, sf_dir)
-    # hash each shingle string once, then derive the k families as cheap
-    # long+seed hashes — all WITHIN the row (array_min over transform):
-    # no explode, no shuffle; identical values to the explode+min form
-    sh64 = F.transform(_shingles(F.col("text")), lambda s: F.xxhash64(s))
-    base = d.select("doc_id", sh64.alias("sh64"))
-    def _family(i: int):
-        # NB: a two-parameter lambda would be taken as Spark's
-        # (element, index) form and silently drop the family seed
-        return lambda h: F.xxhash64(h, F.lit(i))
+    # hash each shingle string once, then derive the k families as modular
+    # arithmetic — all WITHIN the row and in ONE pass (aggregate with a
+    # 32-wide running-min accumulator; 32 separate array_min(transform)
+    # columns generate 32 re-traversals and a huge codegen class): no
+    # explode, no shuffle; identical values to the explode+min form
+    h32 = F.transform(_shingles(F.col("text")), lambda s: phash.h32(s))
+    base = d.select("doc_id", h32.alias("h32"))
 
-    sigs = [
-        F.array_min(F.transform(F.col("sh64"), _family(i))).alias(f"h{i}")
-        for i in range(N_HASHES)
-    ]
+    def _families(h):
+        # NB: single-parameter lambda only — a two-parameter lambda would be
+        # taken as Spark's (element, index) form
+        return F.array(*[phash.family(i, h) for i in range(N_HASHES)])
+
+    acc = F.aggregate(
+        F.col("h32"),
+        F.array_repeat(F.lit(phash.P).cast("long"), N_HASHES),
+        lambda a, h: F.zip_with(a, _families(h), lambda x, y: F.least(x, y)),
+    )
+    # shingle lists are never empty (empty text yields the [''] shingle),
+    # so the P-initialized accumulator always gets overwritten
+    sigs = [F.element_at(F.col("acc"), i + 1).alias(f"h{i}") for i in range(N_HASHES)]
     # no orderBy: a global sort adds a range-partition SAMPLING pass that
     # recomputes this whole projection twice; the correctness check is
     # order-insensitive
-    return base.select("doc_id", *sigs)
+    return base.select("doc_id", acc.alias("acc")).select("doc_id", *sigs)
+
+
+# shared SQL fragments: tokenize → 3-gram shingles → h32 list (DuckDB's
+# slicing w[i+1:i+3] matches Spark's slice(w, i+1, 3) incl. truncation)
+_SHINGLE_CTE = r"""
+toks AS (
+    SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(0, GREATEST(LEN(w) - 3, 0) + 1),
+               i -> ARRAY_TO_STRING(w[i+1 : i+3], ' '))) AS sh
+    FROM toks
+),
+hs AS (
+    SELECT doc_id,
+           LIST_TRANSFORM(sh, s -> {h32}) AS h32
+    FROM sh
+)""".replace("{h32}", phash.h32_sql("s"))
+
+_SIG_COLS_SQL = ",\n           ".join(
+    f"LIST_MIN(LIST_TRANSFORM(h32, h -> {phash.family_sql(i, 'h')})) AS h{i}"
+    for i in range(N_HASHES)
+)
+
+MINHASH_SIG_SQL = f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_id,
+           {_SIG_COLS_SQL}
+FROM hs
+"""
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: docs sharing any (band, band-hash) bucket become candidate
     pairs; candidates are then verified with true shingle Jaccard. Only
-    bucket-mates join — no cross product at any scale."""
-    sig = minhash_signatures(spark, sf_dir)
+    bucket-mates join — no cross product at any scale.
+
+    Skew armor: bucket sizes are counted FIRST (map-side-combinable groupBy —
+    safe for any skew), buckets outside [2, MAX_BUCKET] are dropped, and only
+    then are pairs generated by a self-join on the surviving band keys. A
+    degenerate boilerplate bucket with millions of docs never materializes a
+    giant row or an n² pair set; the worst task is ~MAX_BUCKET² pairs.
+    """
+    # persist the signature table: the plan below references it three times
+    # (bucket counts, both sides of the candidate self-join); without a cache
+    # the md5-shingle aggregation would be recomputed per reference. At
+    # corpus scale this is the standard 'materialize signatures' step.
+    sig = minhash_signatures(spark, sf_dir).persist()
     # one pass: explode all 8 band keys from a single signature computation
     # (separate per-band projections would recompute the shingle aggregation
-    # once per band), then bucket via collect_list — pairs are generated
-    # INSIDE buckets, so the signature plan is never self-joined
+    # once per band)
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+            phash.fold(
+                [F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
             ).alias("band_hash"),
         )
         for b in range(N_HASHES // BAND_SIZE)
@@ -146,20 +210,26 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(band_structs).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"),
              F.col("bb.band_hash").alias("band_hash"))
-    buckets = (
+    ok = (
         band_tbl.groupBy("band", "band_hash")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= MAX_BUCKET))
+        .select("band", "band_hash")
     )
+    bt = band_tbl.join(ok, ["band", "band_hash"])  # AQE picks the strategy
     cand = (
-        buckets.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        bt.alias("a")
+        .join(bt.alias("b"), ["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .distinct()
     )
     # verify candidates with true Jaccard over shingle sets — computed ONLY
     # for docs that appear in a candidate pair (semi-join before the shingle
-    # expression: at corpus scale candidates ≪ corpus)
+    # expression: at corpus scale candidates ≪ corpus); joins are unhinted —
+    # AQE broadcasts when the candidate side is genuinely small
     pair_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -167,12 +237,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = (
         _docs(spark, sf_dir)
-        .join(F.broadcast(pair_ids), "doc_id", "left_semi")
+        .join(pair_ids, "doc_id", "left_semi")
         .select("doc_id", _shingles(F.col("text")).alias("sh"))
     )
     j = (
-        cand.join(F.broadcast(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a")), "doc_a")
-        .join(F.broadcast(d.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b")), "doc_b")
+        cand.join(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(d.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -186,32 +256,177 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j
 
 
+_BANDS_SQL = "\n    UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    + phash.fold_sql([f"h{b * BAND_SIZE + r}" for r in range(BAND_SIZE)])
+    + " AS band_hash FROM sig"
+    for b in range(N_HASHES // BAND_SIZE)
+)
+
+MINHASH_LSH_SQL = f"""
+WITH {_SHINGLE_CTE},
+sig AS (
+    SELECT doc_id,
+           {_SIG_COLS_SQL}
+    FROM hs
+),
+bands AS (
+    {_BANDS_SQL}
+),
+ok AS (
+    SELECT band, band_hash FROM bands
+    GROUP BY band, band_hash
+    HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN ok USING (band, band_hash)
+    JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(LEN(LIST_INTERSECT(sa.sh, sb.sh))::DOUBLE /
+             LEN(LIST_DISTINCT(LIST_CONCAT(sa.sh, sb.sh))), 4) AS jaccard
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.doc_a
+JOIN sh sb ON sb.doc_id = cand.doc_b
+"""
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc: weighted bit votes of token hashes. Pure
-    JVM-side expressions (bit ops + conditional sums over exploded tokens)."""
+    """60-bit SimHash per doc: bit votes of portable token hashes, computed
+    in ONE within-row aggregate pass with a 60-wide vote-array accumulator
+    (each token hash is decomposed into ±1 bit votes once — not one
+    re-traversal of the token array per bit)."""
     d = _docs(spark, sf_dir)
     th = F.transform(
         F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""),
-        lambda t: F.xxhash64(t),
+        lambda t: phash.base60(t),
     )
-    base = d.select("doc_id", th.alias("th"))
 
-    def _bit_vote(i: int):
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+    def _bit_votes(h):
+        return F.array(*[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            for i in range(SIM_BITS)
+        ])
 
-        return F.aggregate(F.col("th"), F.lit(0), merge)
-
-    # within-row bit votes (no explode/shuffle); final 63-bit fingerprint
-    votes = base.select(
-        "doc_id", *[(_bit_vote(i) > 0).cast("int").alias(f"b{i}") for i in range(63)]
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), SIM_BITS),
+        lambda acc, h: F.zip_with(acc, _bit_votes(h), lambda a, b: a + b),
     )
-    return votes.select(
-        "doc_id",
-        sum((F.col(f"b{i}") * F.lit(2**i)) for i in range(63)).alias("simhash"),
+    fingerprint = sum(
+        (
+            F.when(F.element_at("votes", i + 1) > 0, F.lit(2**i))
+            .otherwise(F.lit(0))
+            .cast("long")
+            for i in range(SIM_BITS)
+        ),
+        start=F.lit(0).cast("long"),
     )
+    return d.select("doc_id", votes.alias("votes")).select(
+        "doc_id", fingerprint.alias("simhash")
+    )
+
+
+_SIMHASH_CTE = (
+    r"""
+t AS (
+    SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+),
+th AS (
+    SELECT doc_id, LIST_TRANSFORM(w, s -> {b60}) AS th FROM t
+),
+fp AS (
+    SELECT doc_id,
+           CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(RANGE(0, {bits}), i ->
+               CASE WHEN COALESCE(LIST_SUM(LIST_TRANSFORM(th, x ->
+                        CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                    THEN (1::BIGINT << i) ELSE 0 END)), 0) AS BIGINT) AS simhash
+    FROM th
+)"""
+    .replace("{b60}", phash.base60_sql("s"))
+    .replace("{bits}", str(SIM_BITS))
+)
+
+SIMHASH_SQL = f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM fp
+"""
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 15-bit-chunk Hamming blocking: docs sharing
+    any of the 4 chunk keys become candidates (Hamming ≤ 3 ⇒ at least one
+    chunk is untouched, by pigeonhole), then the exact Hamming distance
+    filters to ≤ 3. Same skew armor as LSH: chunk buckets are counted first
+    and capped at MAX_BUCKET before any pair generation."""
+    fp = simhash_fingerprints(spark, sf_dir).persist()  # referenced 3x below
+    chunk_structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), 15 * c)
+            .bitwiseAND(F.lit(0x7FFF))
+            .alias("key"),
+        )
+        for c in range(SIM_CHUNKS)
+    ])
+    ch = fp.select(
+        "doc_id", "simhash", F.explode(chunk_structs).alias("cc")
+    ).select(
+        "doc_id", "simhash",
+        F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key"),
+    )
+    ok = (
+        ch.groupBy("chunk", "key")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= MAX_BUCKET))
+        .select("chunk", "key")
+    )
+    bt = ch.join(ok, ["chunk", "key"])
+    return (
+        bt.alias("a")
+        .join(bt.alias("b"), ["chunk", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= MAX_HAMMING)
+    )
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CTE},
+chunks AS (
+    SELECT doc_id, simhash, c.c AS chunk,
+           (simhash >> (15 * c.c)) & 32767 AS key
+    FROM fp, RANGE(0, {SIM_CHUNKS}) c(c)
+),
+ok AS (
+    SELECT chunk, key FROM chunks
+    GROUP BY chunk, key
+    HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM chunks a
+    JOIN ok USING (chunk, key)
+    JOIN chunks b ON a.chunk = b.chunk AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {MAX_HAMMING}
+"""
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,12 +476,16 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_fingerprints": simhash_fingerprints,
+    "simhash_near_dup_pairs": simhash_near_dup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
 }
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_normalized": DEDUP_NORM_SQL,
+    "minhash_signatures": MINHASH_SIG_SQL,
+    "minhash_lsh_pairs": MINHASH_LSH_SQL,
+    "simhash_fingerprints": SIMHASH_SQL,
+    "simhash_near_dup_pairs": SIMHASH_PAIRS_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
-    # minhash_*/simhash_*: engine-hash based → rows-only checks by design
 }

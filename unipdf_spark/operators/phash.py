@@ -1,0 +1,91 @@
+"""Portable hashing: identical 60-bit hashes computable by BOTH engines.
+
+Spark's ``xxhash64`` has no DuckDB analog, so operators built on it can only
+get rows-only correctness checks. Instead we derive a 60-bit integer from the
+first 15 hex chars of MD5 (both engines produce identical MD5 hex), then build
+hash families with plain modular arithmetic — every derived value (MinHash
+families, LSH band keys, SimHash bits, hyperplane weights) is expressible as
+the same arithmetic in Spark Catalyst expressions and ANSI/DuckDB SQL.
+
+All constants are Python-side literals inlined into both plans; arithmetic is
+chosen so intermediates stay under 2^63 (BIGINT-safe in both engines):
+
+* base60(s)   = int(md5(s)[:15], 16)                  (< 2^60)
+* h32(s)      = base60(s) % P,  P = 4294967291        (< 2^32, largest 32-bit prime)
+* family_i(h) = (A[i] * h + B[i]) % P                 (A[i] < 2^30 → product < 2^62)
+* fold(hs)    = iterated (acc * 1000003 + h) % M, M = 2147483647
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+P = 4294967291  # largest prime < 2^32
+M = 2147483647  # 2^31 - 1 (Mersenne prime) — band-key fold modulus
+FOLD_MULT = 1000003
+
+# MinHash family constants: A odd and < 2^30 (keeps A*h32 < 2^62), B < P.
+N_FAMILIES = 32
+A = [((i * 0x9E3779B1 + 0x7F4A7C15) % (1 << 30)) | 1 for i in range(N_FAMILIES)]
+B = [(i * 0xC2B2AE35 + 0x165667B1) % P for i in range(N_FAMILIES)]
+
+
+def base60(col: Column) -> Column:
+    """60-bit integer hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def base60_sql(expr: str) -> str:
+    """The identical hash in DuckDB SQL."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def h32(col: Column) -> Column:
+    return base60(col) % P
+
+
+def h32_sql(expr: str) -> str:
+    return f"({base60_sql(expr)} % {P})"
+
+
+def family(i: int, h: Column) -> Column:
+    """i-th universal-hash family over an h32 value (Spark side)."""
+    return (F.lit(A[i]) * h + F.lit(B[i])) % P
+
+
+def family_sql(i: int, expr: str) -> str:
+    return f"(({A[i]} * {expr} + {B[i]}) % {P})"
+
+
+def fold(cols: list[Column]) -> Column:
+    """Order-dependent fold of h32-range values into one band key."""
+    acc: Column = F.lit(0).cast("long")
+    for c in cols:
+        acc = (acc * FOLD_MULT + c) % M
+    return acc
+
+
+def fold_sql(exprs: list[str]) -> str:
+    acc = "0"
+    for e in exprs:
+        acc = f"(({acc} * {FOLD_MULT} + {e}) % {M})"
+    return acc
+
+
+def hyperplane_weight(v: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1) for flat index ``v``
+    (bit*dim+d). Computed in Python and inlined as the same literal into both
+    engines' plans (exactly representable: multiples of 0.002)."""
+    return (((v * 2654435761 + 40503) % (1 << 32)) % 1000) / 500.0 - 1.0
+
+
+def spread(df, spark):
+    """Repartition a scan up to the session's core count ONLY when the file
+    layout under-parallelizes it (small benchmark files arrive as a single
+    partition, serializing per-row hash work onto one core). At corpus scale
+    the input already has >> cores partitions and this is a no-op — no
+    shuffle is added on the 100 TB path."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -14,14 +14,66 @@ ROUND(·, 6) hashes identically against the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from . import phash
 
 TOP_K = 5
 N_QUERIES = 8
+DIM = 64
+N_BITS = 12
+
+# deterministic hyperplane weights, identical Python-float literals inlined
+# into both engines' plans (multiples of 0.002 — exactly representable)
+_W = [
+    [phash.hyperplane_weight(b * DIM + d) for d in range(DIM)]
+    for b in range(N_BITS)
+]
+
+
+def _lsh_sig(emb_col: Column) -> Column:
+    """12-bit random-hyperplane signature (Spark side): all 12 dot products
+    accumulate in ONE pass over the vector (12-wide double accumulator) —
+    per-bit add order stays d = 0..63, bit-identical to the 12-fold form
+    and to DuckDB's LIST_DOT_PRODUCT."""
+    w_flat = F.array(*[F.lit(w) for row in _W for w in row])  # [b * DIM + d]
+    pairs = F.zip_with(
+        emb_col,
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda x, d: F.struct(x.cast("double").alias("x"), d.alias("d")),
+    )
+    acc = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(0.0), N_BITS),
+        # inner transform's two-param lambda is Spark's (element, index)
+        # form — index b is exactly the bit lane we want
+        lambda a, e: F.transform(
+            a,
+            lambda cur, b: cur
+            + e["x"] * F.element_at(w_flat, b * DIM + e["d"] + 1),
+        ),
+    )
+    bits = [
+        F.when(F.element_at(acc, b + 1) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(N_BITS)
+    ]
+    return sum(bits[1:], bits[0])
+
+
+def _lsh_sig_sql(emb_expr: str) -> str:
+    """The identical signature in DuckDB SQL (emb_expr: DOUBLE[] expression)."""
+    terms = []
+    for b in range(N_BITS):
+        ws = ", ".join(repr(x) for x in _W[b])
+        terms.append(
+            f"(CASE WHEN LIST_DOT_PRODUCT({emb_expr}, [{ws}]) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return phash.spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), spark)
 
 
 def _dot(a, b):
@@ -87,43 +139,14 @@ ORDER BY query_id, rank
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path): 12-bit random-hyperplane signature;
-    query/candidate pairs are scored only within matching buckets. Recall <1
-    by construction — returned as (query_id, cand_id, cosine, rank) over the
-    bucketed candidates. Engine-hash based → rows-only check."""
+    """LSH-bucketed ANN (scale path): 12-bit portable random-hyperplane
+    signature; query/candidate pairs are scored only within matching buckets.
+    Recall <1 by construction (see ann_lsh_recall). The signature arithmetic
+    is engine-portable → fully oracle-checked."""
     from pyspark.sql.window import Window
 
     e = _emb(spark, sf_dir)
-    dim = 64
-    n_bits = 12
-
-    # deterministic pseudo-random hyperplanes: weight(b, d) from xxhash64
-    def signature(emb_col):
-        bits = []
-        for b in range(n_bits):
-            w = F.aggregate(
-                F.zip_with(
-                    emb_col,
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda x, i: x.cast("double")
-                    * (
-                        (
-                            F.xxhash64(
-                                F.concat_ws("_", F.lit(str(b)), i.cast("string"))
-                            )
-                            % 1000
-                        ).cast("double")
-                        / 500.0
-                        - 1.0
-                    ),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(w > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        return sum(bits[1:], bits[0])
-
-    sig = e.select("vec_id", "embedding", signature(F.col("embedding")).alias("sig"))
+    sig = e.select("vec_id", "embedding", _lsh_sig(F.col("embedding")).alias("sig"))
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -149,6 +172,64 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+ANN_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+s AS (SELECT vec_id, emb, {_lsh_sig_sql('emb')} AS sig FROM e),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, sig FROM s
+      WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS cand_id, emb AS c_emb, sig FROM s
+      WHERE vec_id >= {N_QUERIES}),
+scored AS (
+    SELECT query_id, cand_id,
+           ROUND(LIST_DOT_PRODUCT(q_emb, c_emb) /
+                 (SQRT(LIST_DOT_PRODUCT(q_emb, q_emb)) *
+                  SQRT(LIST_DOT_PRODUCT(c_emb, c_emb))), 6) AS cosine
+    FROM q JOIN c USING (sig)
+)
+SELECT query_id, cand_id, cosine, rank
+FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the LSH scale path vs the exact bruteforce baseline,
+    per query — quantifies what bucketing gives up (VERDICT: a scale path
+    without a recall number is unquantified)."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
+    ls = (
+        ann_lsh_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(ls, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(TOP_K), 4
+            ).alias("recall_at_k")
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_LSH_RECALL_SQL = f"""
+SELECT b.query_id,
+       ROUND(SUM(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / {TOP_K}, 4) AS recall_at_k
+FROM ({ANN_SQL}) b
+LEFT JOIN ({ANN_LSH_SQL}) l
+  ON b.query_id = l.query_id AND b.cand_id = l.cand_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,12 +308,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vector pairs: label-blocked join (same label only),
-    cosine ≥ 0.95. Blocking keeps the pair space linear-ish; at 10^9 rows the
-    block key would be an LSH bucket instead of the label. Self-dot norms are
-    computed once per row BEFORE the join (O(n) not O(pairs)); the pairwise
-    work is a single dot product."""
-    e = _emb(spark, sf_dir)
+    """Near-duplicate vector pairs: LSH-signature-blocked (near-identical
+    vectors share all hyperplane signs), cosine ≥ 0.95 within a block.
+    Blocking on the 12-bit signature instead of a data column (label) keeps
+    block cardinality ~n/4096 regardless of label skew — a hot label no
+    longer creates an O(n²) pandas group. The per-block work is one numpy
+    matmul (Arrow-batched)."""
+    e = _emb(spark, sf_dir).withColumn("sig", _lsh_sig(F.col("embedding")))
 
     def find_pairs(pdf):
         import numpy as np
@@ -260,22 +342,22 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreter than per-pair higher-order-function dots (UDF guideline:
     # when built-ins can't express it efficiently, vectorized pandas UDF).
     return (
-        e.groupBy("label")
+        e.groupBy("sig")
         .applyInPandas(find_pairs, "vec_a long, vec_b long, cosine double")
         .orderBy("vec_a", "vec_b")
     )
 
 
-NEAR_DUP_SQL = """
-WITH d AS (SELECT vec_id, label,
-                  LIST_TRANSFORM(embedding, x -> x::DOUBLE) AS emb
-           FROM embeddings),
+NEAR_DUP_SQL = f"""
+WITH d0 AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> x::DOUBLE) AS emb
+            FROM embeddings),
+d AS (SELECT vec_id, emb, {_lsh_sig_sql('emb')} AS sig FROM d0),
 p AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(LIST_DOT_PRODUCT(a.emb, b.emb) /
                  (SQRT(LIST_DOT_PRODUCT(a.emb, a.emb)) *
                   SQRT(LIST_DOT_PRODUCT(b.emb, b.emb))), 6) AS cosine
-    FROM d a JOIN d b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM d a JOIN d b ON a.sig = b.sig AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.95
 ORDER BY vec_a, vec_b
@@ -307,6 +389,7 @@ ORDER BY label, dim
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_recall": ann_lsh_recall,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "label_centroids": label_centroids,
@@ -314,7 +397,9 @@ QUERIES = {
 
 ORACLES = {
     "ann_bruteforce_topk": ANN_SQL,
+    "ann_lsh_topk": ANN_LSH_SQL,
+    "ann_lsh_recall": ANN_LSH_RECALL_SQL,
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
     "label_centroids": CENTROID_SQL,
-    # ann_lsh_topk: engine-hash bucketing → rows-only check
+    # ann_ivf_topk: codebook from a driver-side k-means fit → rows-only
 }

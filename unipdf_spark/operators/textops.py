@@ -12,7 +12,9 @@ _PUNCT = r"[.,;:!?'\"()\-]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .phash import spread
+
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), spark)
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,8 +67,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
     return (
-        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        # no broadcast hints on orders/customer: at 100x they are multi-GB
+        # build sides; AQE picks broadcast when the filtered side is small
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -114,10 +116,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = _t(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        # orders/customer unhinted (fact-sized at scale; AQE decides);
+        # supplier/nation/region stay hinted (true dimensions)
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(c),
+            c,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -219,7 +223,7 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     rev = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment", "c_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
     )

@@ -6,6 +6,7 @@ broadcast joins, codegen spans). Used by tests and `tools/explain_plans.py`.
 from .inspect import (  # noqa: F401
     explain_str,
     has_broadcast_join,
+    n_broadcast_hints,
     pushed_filters,
     read_schema_columns,
 )

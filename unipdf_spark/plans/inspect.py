@@ -39,3 +39,10 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
 
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
+
+
+def n_broadcast_hints(df: DataFrame) -> int:
+    """Count of user-forced broadcast hints in the analyzed logical plan
+    (AQE-chosen broadcasts don't show up here — only explicit hints do)."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return analyzed.count("ResolvedHint")
