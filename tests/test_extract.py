@@ -100,3 +100,30 @@ def test_corruption_never_raises():
             b[pos:pos] = bytes(rng.randrange(256) for _ in range(64))
         res = extract_spans(bytes(b))  # must not raise
         assert res.spans is not None
+
+
+def test_predefined_cmap_registry():
+    from unipdf_spark.pdf.fonts import _utf16_charcode_to_unicode, predefined_cmap
+
+    assert predefined_cmap("Identity-H")[0] == "identity"
+    assert predefined_cmap("UniGB-UCS2-H")[0] == "ucs2"
+    assert predefined_cmap("UniJIS-UCS2-V")[0] == "ucs2"
+    mode, spaces = predefined_cmap("UniKS-UTF16-H")
+    assert mode == "utf16" and (4, 0xD800DC00, 0xDBFFDFFF) in spaces
+    assert predefined_cmap("NotACMap") is None
+    assert _utf16_charcode_to_unicode(0x4E2D) == "中"
+    assert _utf16_charcode_to_unicode(0xD83DDE00) == "\U0001F600"  # surrogate pair
+    assert _utf16_charcode_to_unicode(0xD800) is None  # lone surrogate
+
+
+def test_aes256_r6_fixture_decrypts():
+    from unipdf_spark.fixtures import make_doc
+    from unipdf_spark.pdf.cos import PdfDocument
+    from unipdf_spark.pdf.extract import extract_spans
+
+    golden, pdf = make_doc("aes256doc", "encrypted_aes256")
+    doc = PdfDocument(pdf)
+    assert doc._crypt is not None and doc._crypt.r == 6
+    assert len(doc._crypt.key) == 32
+    res = extract_spans(pdf)
+    assert res.error is None and res.spans == golden

@@ -65,7 +65,7 @@ FIXTURE_CLASSES = [
     "simple", "kerned", "multicolumn", "rotated", "cid", "interleaved",
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
-    "gridtable", "macroman", "wstable",
+    "gridtable", "macroman", "wstable", "cid_predefined", "encrypted_aes256",
 ]
 
 
@@ -175,6 +175,7 @@ class DocPlan:
     images: dict[int, bytes] = field(default_factory=dict)  # key -> rgb bytes
     annot_text: str | None = None  # FreeText annotation appearance content
     encrypt_id: bytes | None = None  # std-handler RC4 encryption (/ID)
+    encrypt_aes256: bytes | None = None  # R6/AES-256 handler (seed)
 
 
 # --- text planning ------------------------------------------------------------
@@ -205,7 +206,7 @@ def _para(rng: random.Random, x: float, v_cursor: float, width: float,
     pool = pool or WORDS
     words = [rng.choice(pool) for _ in range(rng.randint(*n_words))]
     th = tz / 100.0
-    lines = _wrap(words, fs, width, tc, th, cid=(font == "F2"), tw=tw, font=font)
+    lines = _wrap(words, fs, width, tc, th, cid=(font in ("F2", "F5")), tw=tw, font=font)
     leading = fs * 1.2
     baselines = []
     v = v_cursor - fs
@@ -478,6 +479,16 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
             plan.blocks.append(p)
         return plan
 
+    if fixture_class == "cid_predefined":
+        # Type0 font whose /Encoding is a predefined Uni*-UCS2-H CMap NAME
+        # (no embedded CMap stream, no ToUnicode): the engine must decode
+        # charcodes via the predefined mapping (cmap.go:66)
+        for _ in range(rng.randint(2, 4)):
+            p, v = _para(rng, MARGIN, v, width, (5, 12), font="F5",
+                         pool=CID_WORDS)
+            plan.blocks.append(p)
+        return plan
+
     if fixture_class == "interleaved":
         n_imgs = rng.randint(1, 4)
         distinct = rng.randint(1, min(3, n_imgs))
@@ -553,6 +564,9 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
     if fixture_class == "encrypted":
         import hashlib as _h
         plan.encrypt_id = _h.md5(doc_id.encode()).digest()
+    if fixture_class == "encrypted_aes256":
+        import hashlib as _h
+        plan.encrypt_aes256 = _h.md5(doc_id.encode() + b"r6").digest()
     if fixture_class == "filters":
         plan.content_filters = rng.choice([
             ["LZWDecode"],
@@ -623,7 +637,7 @@ def _para_content(p: ParaPlan, theta: int) -> bytes:
                 out += b"%g %g %g %g %g %g Tm\n" % (c, s, -s, c, x, y)
             else:
                 out += b"T*\n"
-        if p.font == "F2":
+        if p.font in ("F2", "F5"):
             hexes = "".join("%04X" % ord(ch) for seg in segs for ch in seg.text)
             out += b"<" + hexes.encode() + b"> Tj\n"
             continue
@@ -712,6 +726,35 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             + str(tounicode).encode() + b" 0 R >>"
         )
         font_res += b"/F2 " + str(f2).encode() + b" 0 R "
+
+    # Predefined-CMap CID font (F5): /Encoding is a bare CMap NAME from the
+    # Uni*-UCS2-H family, no ToUnicode stream — decoding relies entirely on
+    # the engine's predefined-CMap support (cmap.go:66). UCS-2 charcodes.
+    used_f5: set[int] = set()
+    for b in plan.blocks:
+        if isinstance(b, ParaPlan) and b.font == "F5":
+            for segs in b.lines:
+                for seg in segs:
+                    used_f5.update(ord(ch) for ch in seg.text)
+    if used_f5:
+        codes5 = sorted(used_f5)
+        cmap_name = ["UniGB-UCS2-H", "UniJIS-UCS2-H", "UniKS-UCS2-H",
+                     "UniCNS-UCS2-H"][sum(codes5) % 4]
+        wr5 = bytearray(b"[ ")
+        for cde in codes5:
+            wr5 += b"%d %d %d " % (cde, cde, int(CID_W))
+        wr5 += b"]"
+        desc5 = w.add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixturePre "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+            b"/Supplement 5 >> /DW 1000 /W " + bytes(wr5) + b" >>"
+        )
+        f5 = w.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FixturePre "
+            b"/Encoding /" + cmap_name.encode() + b" /DescendantFonts [ "
+            + str(desc5).encode() + b" 0 R ] >>"
+        )
+        font_res += b"/F5 " + str(f5).encode() + b" 0 R "
 
     # MacRoman simple font (F4): same Helvetica metrics, different encoding
     used_mac: set[str] = set()
@@ -922,7 +965,8 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         pdf = w.build_modern(catalog)
     else:
         pdf = w.build(catalog, corrupt_startxref=plan.corrupt_xref,
-                      encrypt_id=plan.encrypt_id)
+                      encrypt_id=plan.encrypt_id,
+                      encrypt_aes256=plan.encrypt_aes256)
     return pdf, golden
 
 
@@ -1122,6 +1166,7 @@ DEFAULT_MIX = [
     ("tagged", 3), ("malformed", 2), ("objstm", 4), ("filters", 4),
     ("type3", 3), ("bidi", 3), ("annot", 3), ("encrypted", 3), ("rules", 3),
     ("incremental", 2), ("gridtable", 2), ("macroman", 3), ("wstable", 2),
+    ("cid_predefined", 3), ("encrypted_aes256", 2),
 ]
 
 BENCH_MIX = [

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import base64
 import binascii
+import re
 import hashlib
 import struct
 import zlib
@@ -62,6 +63,58 @@ def std_encrypt_params(file_id: bytes, p: int = -44, nbits: int = 128):
         u = _rc4(bytes(b ^ i for b in key), u)
     u = u + b"\x00" * 16
     return o, u, key
+
+
+def _w_aes(key: bytes, iv: bytes, data: bytes) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    e = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+    return e.update(data) + e.finalize()
+
+
+def _w_hash2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """Writer-side ISO 32000-2 Algorithm 2.B (independent of the engine's)."""
+    k = hashlib.sha256(pw + salt + udata).digest()
+    rounds = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = _w_aes(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+            e
+        ).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 64:
+            return k[:32]
+
+
+def aes256_encrypt_params(seed: bytes, p: int = -44):
+    """Deterministic R6/AES-256 handler parameters with empty passwords
+    (ISO 32000-2 §7.6.4 Algorithms 8/9/10), generator-side."""
+
+    def d(tag: bytes) -> bytes:
+        return hashlib.sha256(seed + tag).digest()
+
+    file_key = d(b"filekey")[:32]
+    vs_u, ks_u = d(b"vsu")[:8], d(b"ksu")[:8]
+    u = _w_hash2b(b"", vs_u, b"") + vs_u + ks_u
+    ue = _w_aes(_w_hash2b(b"", ks_u, b""), b"\x00" * 16, file_key)
+    vs_o, ks_o = d(b"vso")[:8], d(b"kso")[:8]
+    o = _w_hash2b(b"", vs_o, u) + vs_o + ks_o
+    oe = _w_aes(_w_hash2b(b"", ks_o, u), b"\x00" * 16, file_key)
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    perms_plain = (
+        struct.pack("<i", p) + b"\xff\xff\xff\xff" + b"Tadb" + d(b"prm")[:4]
+    )
+    enc = Cipher(algorithms.AES(file_key), modes.ECB()).encryptor()
+    perms = enc.update(perms_plain) + enc.finalize()
+    return o, u, oe, ue, perms, file_key
+
+
+def _aes256_stream(file_key: bytes, seed: bytes, num: int, payload: bytes) -> bytes:
+    iv = hashlib.md5(seed + str(num).encode()).digest()
+    padn = 16 - len(payload) % 16
+    return iv + _w_aes(file_key, iv, payload + bytes([padn]) * padn)
 
 
 def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
@@ -220,10 +273,25 @@ class PdfFileWriter:
         return num, raw
 
     def build(self, root_num: int, corrupt_startxref: bool = False,
-              encrypt_id: bytes | None = None) -> bytes:
+              encrypt_id: bytes | None = None,
+              encrypt_aes256: bytes | None = None) -> bytes:
         enc_num = None
         file_key = None
-        if encrypt_id is not None:
+        aes_key = None
+        if encrypt_aes256 is not None:
+            encrypt_id = encrypt_aes256[:16]
+            o6, u6, oe6, ue6, perms6, aes_key = aes256_encrypt_params(
+                encrypt_aes256
+            )
+            enc_num = self.add(
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44 "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /O <" + binascii.hexlify(o6)
+                + b"> /U <" + binascii.hexlify(u6) + b"> /OE <"
+                + binascii.hexlify(oe6) + b"> /UE <" + binascii.hexlify(ue6)
+                + b"> /Perms <" + binascii.hexlify(perms6) + b"> >>"
+            )
+        elif encrypt_id is not None:
             o, u, file_key = std_encrypt_params(encrypt_id)
             enc_num = self.add(
                 b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 /O <"
@@ -247,6 +315,21 @@ class PdfFileWriter:
                         + _rc4(_object_key(file_key, num, 0), payload)
                         + body[end:]
                     )
+            elif aes_key is not None and num != enc_num:
+                marker = body.find(b"stream\n")
+                if marker >= 0:
+                    start = marker + len(b"stream\n")
+                    end = body.rfind(b"\nendstream")
+                    ct = _aes256_stream(aes_key, encrypt_aes256, num,
+                                        body[start:end])
+                    # AES adds IV + padding: patch the plaintext /Length
+                    head = re.sub(
+                        rb"/Length \d+",
+                        b"/Length " + str(len(ct)).encode(),
+                        body[:start],
+                        count=1,
+                    )
+                    body = head + ct + body[end:]
             offsets[num] = len(out)
             out += str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
         xref_pos = len(out)

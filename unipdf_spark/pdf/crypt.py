@@ -6,10 +6,10 @@ from the public spec (PDF 32000-1:2008 §7.6.3):
 
 * Algorithm 2 file-key derivation (R2–R4; 40–128-bit RC4, AESV2);
 * per-object keys: MD5(file_key + objnum[3 LE] + gen[2 LE] [+ sAlT]);
-* RC4 (pure Python) and AES-128-CBC (via `cryptography`) for strings/streams.
-
-R6/AES-256 is not implemented in v1 (documented; the fixture corpus and the
-bulk of web PDFs use the RC4/AESV2 handlers).
+* RC4 (pure Python) and AES-128-CBC (via `cryptography`) for strings/streams;
+* AES-256 / R5+R6 (AESV3, ISO 32000-2 §7.6.4): Algorithm 2.B iterated-hash
+  key derivation, /U //O validation salts, /UE //OE file-key unwrap; data
+  uses the 32-byte file key directly (no per-object key).
 """
 
 from __future__ import annotations
@@ -42,6 +42,28 @@ def rc4(key: bytes, data: bytes) -> bytes:
         s[i], s[j] = s[j], s[i]
         out[n] = ch ^ s[(s[i] + s[j]) & 0xFF]
     return bytes(out)
+
+
+def _aes_cbc_raw(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    c = Cipher(algorithms.AES(key), modes.CBC(iv))
+    op = c.decryptor() if decrypt else c.encryptor()
+    return op.update(data) + op.finalize()
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6 iterated SHA-256/384/512 KDF)."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_raw(k[:16], k[16:32], k1, decrypt=False)
+        m = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[m](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 64:
+            return k[:32]
 
 
 def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
@@ -92,7 +114,30 @@ class StdSecurityHandler:
 
             self.stm_cfm = _cfm(str(resolve(enc.get("StmF")) or "Identity"))
             self.str_cfm = _cfm(str(resolve(enc.get("StrF")) or "Identity"))
-        self.key = self._file_key(b"")
+        if self.r >= 5:  # AES-256 handler (R5 deprecated / R6)
+            self.key = self._file_key_r6(
+                b"",
+                bytes(resolve(enc.get("U")) or b""),
+                bytes(resolve(enc.get("O")) or b""),
+                bytes(resolve(enc.get("UE")) or b""),
+                bytes(resolve(enc.get("OE")) or b""),
+            )
+        else:
+            self.key = self._file_key(b"")
+
+    @staticmethod
+    def _file_key_r6(pw: bytes, u: bytes, o: bytes, ue: bytes, oe: bytes) -> bytes:
+        """R6 Algorithm 2.A (empty-password path): validate against /U (user)
+        or /O (owner), then unwrap the 32-byte file key from /UE or /OE
+        (security.go:127 semantics)."""
+        u48, o48 = u[:48], o[:48]
+        if len(u48) >= 48 and hash_2b(pw, u48[32:40], b"") == u48[:32]:
+            inter = hash_2b(pw, u48[40:48], b"")
+            return _aes_cbc_raw(inter, b"\x00" * 16, ue[:32], decrypt=True)
+        if len(o48) >= 48 and hash_2b(pw, o48[32:40], u48) == o48[:32]:
+            inter = hash_2b(pw, o48[40:48], u48)
+            return _aes_cbc_raw(inter, b"\x00" * 16, oe[:32], decrypt=True)
+        raise ValueError("R6: password validation failed (non-empty password?)")
 
     def _file_key(self, user_pw: bytes) -> bytes:
         n = max(5, self.length // 8)
@@ -122,6 +167,8 @@ class StdSecurityHandler:
         cfm = self.stm_cfm if kind == "stream" else self.str_cfm
         if cfm == "Identity":
             return data
+        if cfm == "AESV3":  # AES-256: the file key is used directly
+            return _aes_cbc_decrypt(self.key, data)
         if cfm == "AESV2":
             return _aes_cbc_decrypt(self._object_key(num, gen, True), data)
         return rc4(self._object_key(num, gen, False), data)

@@ -265,6 +265,7 @@ class Font:
         self.widths: dict[int, float] = {}
         self.default_width = DEFAULT_WIDTH
         self.name = ""
+        self.predef_mode: str | None = None  # 'identity' | 'ucs2' | 'utf16'
         self.is_type3 = False
         self.font_matrix_scale = 0.001  # Type3 uses 1.0 (renderText e:356)
         self._u_cache: dict[int, tuple[str, bool]] = {}
@@ -297,6 +298,11 @@ class Font:
             u = self.to_unicode.to_unicode.get(code)
             if u is not None and _is_private_use(u):
                 u = None
+        if u is None and self.predef_mode in ("ucs2", "utf16"):
+            # predefined Uni*-UCS2/UTF16 CMaps define charcodes AS UTF-16BE
+            # code units — unicode is intrinsic to the encoding, no CID→
+            # unicode asset required (LoadPredefinedCMap, cmap.go:66)
+            u = _utf16_charcode_to_unicode(code)
         if u is None:
             u = self.encoding_map.get(code)
         if u is None:
@@ -322,6 +328,46 @@ def _is_private_use(s: str) -> bool:
     return len(s) == 1 and 0xE000 <= ord(s) <= 0xF8FF
 
 
+# --- predefined CMaps ----------------------------------------------------------
+# Reference: LoadPredefinedCMap (internal/cmap/cmap.go:66). The reference ships
+# the full Adobe bcmap assets; for TEXT EXTRACTION the high-frequency families
+# are the Uni*-UCS2/UTF16 ones, whose charcodes are UTF-16BE code units by
+# definition — the charcode→unicode map is intrinsic, no asset needed. CID-
+# keyed /W widths for these collections are approximated by /DW (advance-only
+# effect; extracted text is exact).
+_PREDEF_RE = re.compile(
+    r"^Uni(?:GB|CNS|JIS|JIS2004|JISX0213|JISX02132004|KS|AKR)-(UCS2|UTF16)-(?:H|V)$"
+)
+
+
+def predefined_cmap(name: str):
+    """(mode, codespaces) for a predefined CMap name, or None if unknown."""
+    if name in ("Identity-H", "Identity-V"):
+        return "identity", [(2, 0x0000, 0xFFFF)]
+    m = _PREDEF_RE.match(name)
+    if m is None:
+        return None
+    if m.group(1) == "UTF16":
+        return "utf16", [
+            (2, 0x0000, 0xD7FF),
+            (2, 0xE000, 0xFFFF),
+            (4, 0xD800DC00, 0xDBFFDFFF),
+        ]
+    return "ucs2", [(2, 0x0000, 0xFFFF)]
+
+
+def _utf16_charcode_to_unicode(code: int) -> str | None:
+    """Charcode (2-byte BMP value or 4-byte surrogate pair) → unicode."""
+    if code > 0xFFFF:  # surrogate pair packed big-endian
+        try:
+            return code.to_bytes(4, "big").decode("utf-16-be")
+        except UnicodeDecodeError:
+            return None
+    if 0xD800 <= code <= 0xDFFF:  # lone surrogate: invalid
+        return None
+    return chr(code)
+
+
 def load_font(doc, font_dict) -> Font:
     """Font factory (dispatch on /Subtype — model/model.go:2902)."""
     r = doc.resolve
@@ -339,6 +385,7 @@ def load_font(doc, font_dict) -> Font:
     if f.subtype == "Type0":
         f.is_cid = True
         enc = r(fd.get("Encoding"))
+        predef_codespaces = None
         # Identity-H/V: 2-byte identity codespace; embedded CMap streams parsed
         if hasattr(enc, "decoded"):
             enc_cmap = CMap.parse(enc.decoded(r))
@@ -346,6 +393,10 @@ def load_font(doc, font_dict) -> Font:
                 f.to_unicode = enc_cmap
             else:
                 f.to_unicode.codespaces = enc_cmap.codespaces or f.to_unicode.codespaces
+        elif enc is not None:
+            pre = predefined_cmap(str(enc))
+            if pre is not None:
+                f.predef_mode, predef_codespaces = pre
         desc_list = r(fd.get("DescendantFonts")) or []
         if desc_list:
             desc = r(desc_list[0])
@@ -358,6 +409,10 @@ def load_font(doc, font_dict) -> Font:
             f.default_width = 1000.0
         if f.to_unicode is None:
             f.to_unicode = CMap()  # identity codespace fallback
+        if predef_codespaces is not None:
+            # a document ToUnicode still wins for unicode values, but byte→
+            # charcode splitting follows the predefined CMap's codespaces
+            f.to_unicode.codespaces = predef_codespaces
         if not f.to_unicode.codespaces:
             f.to_unicode.codespaces = [(2, 0x0000, 0xFFFF)]
         return f
