@@ -94,6 +94,18 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTable/TableCell structured API (extractor.go:35/:899): every
+    detected table's (row, col)-addressable cell matrix over a deterministic
+    table-heavy fixture corpus (ruled grids + whitespace-aligned)."""
+    docs_pdf = pipeline.gen_docs_pdf(
+        spark, 40, mix=[("gridtable", 1), ("wstable", 1)]
+    )
+    return pipeline.run_table_extraction(docs_pdf).orderBy(
+        "doc_id", "table_idx", "row", "col"
+    )
+
+
 def _extract_docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule input shape end to end: docs(doc_id, spans) table →
     rendered PDFs → extraction → span equality vs the normalized golden."""
@@ -114,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_fixture_roundtrip"] = _extract_fixture_corpus
     q["extract_external_text"] = _extract_external_text
     q["extract_spans_flat"] = _extract_spans_flat
+    q["table_cells"] = _table_cells
     q["media_features"] = _media_features
     return q
 

@@ -127,3 +127,32 @@ def test_aes256_r6_fixture_decrypts():
     assert len(doc._crypt.key) == 32
     res = extract_spans(pdf)
     assert res.error is None and res.spans == golden
+
+
+def test_table_cells_matrix_gridtable():
+    from unipdf_spark.pdf.extract import extract_tables
+
+    golden, pdf = make_doc("tcells_grid", "gridtable")
+    tables = extract_tables(pdf)
+    assert len(tables) == 1
+    t = tables[0]
+    assert (t["n_rows"], t["n_cols"]) == (2, 2)
+    # the golden table span is the row-major serialization of the matrix
+    table_text = next(s["text"] for s in golden if "\n" in s["text"])
+    expected = [row.split(" ") for row in table_text.split("\n")]
+    assert t["cells"] == expected
+
+
+def test_table_cells_matrix_wstable():
+    from unipdf_spark.pdf.extract import extract_tables
+
+    golden, pdf = make_doc("tcells_ws", "wstable")
+    tables = extract_tables(pdf)
+    assert len(tables) == 1
+    t = tables[0]
+    assert t["n_rows"] >= 3 and t["n_cols"] >= 3
+    assert len(t["cells"]) == t["n_rows"]
+    assert all(len(r) == t["n_cols"] for r in t["cells"])
+    table_text = next(s["text"] for s in golden if "\n" in s["text"])
+    got = "\n".join(" ".join(c for c in row if c) for row in t["cells"])
+    assert got == table_text

@@ -124,3 +124,40 @@ def test_partition_lineage_metrics(spark):
         assert r["n_errors"] == 0
         assert r["cpu_ms"] > 0 and r["p99_ms"] >= r["p50_ms"]
         assert r["total_chars"] > 0
+
+
+def test_checkpoint_partial_resume_one_pass(spark):
+    """Crash simulation: two buckets survive, two are lost — resume must
+    re-extract ONLY the lost buckets (one pass) and reproduce the full
+    output byte-identically."""
+    tmp = tempfile.mkdtemp()
+    try:
+        docs_pdf = pipeline.gen_docs_pdf(spark, 30, partitions=4).persist()
+        pipeline.run_with_checkpoint(docs_pdf, tmp, partitions=2, buckets=4)
+        full = {
+            r["doc_id"]: r["spans"]
+            for r in pipeline.read_checkpointed(spark, tmp).collect()
+        }
+        # drop buckets 2 and 3 from the manifest and the span store
+        kept = [
+            (r["bucket"], r["n_docs"], r["elapsed_s"], r["finished_at"])
+            for r in spark.read.parquet(f"{tmp}/_manifest").collect()
+            if r["bucket"] < 2
+        ]
+        shutil.rmtree(f"{tmp}/_manifest")
+        spark.createDataFrame(
+            kept, "bucket int, n_docs long, elapsed_s double, finished_at double"
+        ).write.parquet(f"{tmp}/_manifest")
+        for b in (2, 3):
+            shutil.rmtree(f"{tmp}/spans/bucket={b}")
+        pipeline.run_with_checkpoint(docs_pdf, tmp, partitions=2, buckets=4)
+        mrows = spark.read.parquet(f"{tmp}/_manifest").collect()
+        assert sorted(r["bucket"] for r in mrows) == [0, 1, 2, 3]
+        resumed = {
+            r["doc_id"]: r["spans"]
+            for r in pipeline.read_checkpointed(spark, tmp).collect()
+        }
+        assert resumed == full and len(resumed) == 30
+        docs_pdf.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -92,3 +92,32 @@ def extract_spans(pdf_bytes: bytes, dehyphenate: bool = True) -> ExtractResult:
         return ExtractResult(all_spans, n_chars, n_misses, None)
     except Exception as e:  # noqa: BLE001 — relaxed mode boundary
         return ExtractResult([], 0, 0, f"{type(e).__name__}: {e}")
+
+
+def extract_tables(pdf_bytes: bytes) -> list[dict]:
+    """Structured table extraction: the TextTable / TableCell API analog
+    (extractor/extractor.go:35 `TextTable`, :899 `TableCell`). Returns one
+    dict per detected table: {page, n_rows, n_cols, cells} with the full
+    (row, col)-addressable cell-text matrix (empty string for empty cells),
+    independent of the row-major serialization in the span stream."""
+    out: list[dict] = []
+    try:
+        doc = PdfDocument(pdf_bytes, relaxed=True)
+        for page_idx, page in enumerate(doc.pages()):
+            interp = Interpreter(doc, page)
+            interp.run()
+            tables: list = []
+            assemble_spans(interp.marks, interp.media, rulings=interp.rulings,
+                           tables_out=tables)
+            for t in tables:
+                out.append(
+                    {
+                        "page": page_idx,
+                        "n_rows": t.n_rows,
+                        "n_cols": t.n_cols,
+                        "cells": t.cells,
+                    }
+                )
+    except Exception:  # noqa: BLE001 — relaxed mode boundary
+        pass
+    return out

@@ -300,18 +300,22 @@ def make_paras(lines: list[Line], orientation_rank: int,
 class TablePara:
     """Detected grid table folded into the paragraph stream as one block —
     text serialized row-major, cells joined by ' ', rows by '\\n'
-    (textPara.writeText cell/row joiners, extractor/extractor.go:66/:76)."""
+    (textPara.writeText cell/row joiners, extractor/extractor.go:66/:76).
+    ``cells`` keeps the full (row, col)-addressable matrix — the TextTable /
+    TableCell structured API (extractor/extractor.go:35/:899)."""
 
     __slots__ = ("u0", "u1", "depth0", "depth1", "min_op", "orientation_rank",
-                 "_text", "n_rows", "n_cols")
+                 "_text", "n_rows", "n_cols", "cells")
 
-    def __init__(self, u0, u1, d0, d1, min_op, rank, text, n_rows, n_cols):
+    def __init__(self, u0, u1, d0, d1, min_op, rank, text, n_rows, n_cols,
+                 cells=None):
         self.u0, self.u1 = u0, u1
         self.depth0, self.depth1 = d0, d1
         self.min_op = min_op
         self.orientation_rank = rank
         self._text = text
         self.n_rows, self.n_cols = n_rows, n_cols
+        self.cells: list[list[str]] = cells or []
 
     def text(self, dehyphenate: bool = True) -> str:
         return self._text
@@ -356,18 +360,21 @@ def detect_grid_table(paras: list, h_rulings, v_rulings, rank: int):
         c = min(bisect.bisect_right(xs, (pa.u0 + pa.u1) / 2) - 1, n_cols - 1)
         cells.setdefault((r, c), []).append(pa)
     rows_txt = []
+    matrix: list[list[str]] = []
     for r in range(n_rows):
         row = []
         for c in range(n_cols):
             members = sorted(cells.get((r, c), []),
                              key=lambda p: (p.depth0, p.u0))
             row.append(" ".join(m.text() for m in members))
+        matrix.append(row)
         rows_txt.append(" ".join(x for x in row if x))
     text = "\n".join(t for t in rows_txt if t)
     table = TablePara(
         min(p.u0 for p in inside), max(p.u1 for p in inside),
         min(p.depth0 for p in inside), max(p.depth1 for p in inside),
         min(p.min_op for p in inside), rank, text, n_rows, n_cols,
+        cells=matrix,
     )
     return table, outside
 
@@ -413,6 +420,7 @@ def detect_aligned_table(paras: list, rank: int):
         min(p.u0 for p in inside), max(p.u1 for p in inside),
         min(p.depth0 for p in inside), max(p.depth1 for p in inside),
         min(p.min_op for p in inside), rank, text, len(bands), ncols,
+        cells=[[p.text() for p in b] for b in bands],
     )
     rest = [p for p in paras if id(p) not in members]
     return table, rest
@@ -471,6 +479,7 @@ def assemble_spans(
     media: list[MediaMark],
     dehyphenate: bool = True,
     rulings=None,
+    tables_out: list | None = None,
 ) -> list[dict]:
     """Full page assembly → span dicts (kind, text, media_ref, offset)."""
     # rulings in the orientation-0 reading frame (depth/x, lo, hi)
@@ -494,6 +503,8 @@ def assemble_spans(
                 table, paras = detect_aligned_table(paras, rank)
             if table is not None:
                 paras = list(paras) + [table]
+                if tables_out is not None:
+                    tables_out.append(table)
         ordered_paras.extend(reading_order(paras))
 
     media_sorted = sorted(media, key=lambda m: m.op_index)

@@ -57,7 +57,7 @@ def get_spark(app: str = "unipdf-spark", cores: int | None = None,
 
 
 def gen_docs_pdf(spark: SparkSession, n_docs: int, seed: int = 42,
-                 mix: str = "default", partitions: int | None = None) -> DataFrame:
+                 mix="default", partitions: int | None = None) -> DataFrame:
     """Distributed fixture corpus: spark.range → mapInPandas(render).
     Generation is a pure function of (seed, doc_id) so any executor can
     (re)produce any doc — no driver-side rendering, no broadcast payloads."""
@@ -66,7 +66,10 @@ def gen_docs_pdf(spark: SparkSession, n_docs: int, seed: int = 42,
     def render_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .fixtures import gen
 
-        use_mix = gen.BENCH_MIX if mix == "bench" else gen.DEFAULT_MIX
+        if isinstance(mix, list):  # explicit [(class, weight), ...]
+            use_mix = mix
+        else:
+            use_mix = gen.BENCH_MIX if mix == "bench" else gen.DEFAULT_MIX
         for pdf_batch in batches:
             rows = []
             for i in pdf_batch["id"]:
@@ -237,6 +240,35 @@ def run_extraction(docs_pdf: DataFrame, partitions: int | None = None,
     return df.mapInPandas(extract_batch, schema=schema.SPANS_OUT_DDL)
 
 
+TABLE_CELLS_DDL = "doc_id string, table_idx int, row int, col int, cell string"
+
+
+def table_cells_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: pdf_bytes → one row per (table, row, col) cell —
+    the TextTable/TableCell structured API (extractor.go:35/:899) lifted to
+    a relational shape."""
+    from .pdf.extract import extract_tables
+
+    for b in batches:
+        rows = []
+        for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
+            for ti, t in enumerate(extract_tables(bytes(pdf_bytes))):
+                for r, rowvals in enumerate(t["cells"]):
+                    for c, cell in enumerate(rowvals):
+                        rows.append((doc_id, ti, r, c, cell))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "table_idx", "row", "col", "cell"]
+        )
+
+
+def run_table_extraction(docs_pdf: DataFrame) -> DataFrame:
+    """Structured table cells for every detected table (map-only, same
+    no-payload-shuffle policy as run_extraction)."""
+    return docs_pdf.select("doc_id", "pdf_bytes").mapInPandas(
+        table_cells_batch, schema=TABLE_CELLS_DDL
+    )
+
+
 def partition_lineage(spans_out: DataFrame) -> DataFrame:
     """Per-partition lineage & metrics (north rule): doc counts, error counts,
     char volume, and latency percentiles per physical partition — built from
@@ -307,10 +339,16 @@ def run_with_checkpoint(docs_pdf: DataFrame, out_dir: str,
                         partitions: int | None = None,
                         buckets: int = 16) -> None:
     """Checkpoint-resumable extraction: docs are bucketed by xxhash64(doc_id);
-    each completed bucket writes spans + one manifest row. On restart,
-    finished buckets are skipped via an anti-join against the manifest
-    (SURVEY §4 'checkpoint/resume'). Output is byte-identical regardless of
-    how many times the job was interrupted (bucket contents are deterministic).
+    finished buckets are skipped on restart via the manifest (SURVEY §4
+    'checkpoint/resume'). Output is byte-identical regardless of how many
+    times the job was interrupted (bucket contents are deterministic).
+
+    All pending buckets are extracted and written in ONE pass
+    (`partitionBy("bucket")`), then each completed bucket directory gets its
+    manifest row — a cold resume pays the upstream plan once, not once per
+    bucket (round-1 ran `buckets` sequential jobs, each re-deriving the full
+    upstream ~16×). Within one attempt, Spark task retries handle transient
+    failures; across attempts, the manifest anti-join skips whole buckets.
     """
     import os
 
@@ -324,23 +362,35 @@ def run_with_checkpoint(docs_pdf: DataFrame, out_dir: str,
             done = {r["bucket"] for r in mdf.select("bucket").collect()}
         except Exception:
             done = set()
+    pending = [b for b in range(buckets) if b not in done]
+    if not pending:
+        return
 
     bucketed = docs_pdf.withColumn(
         "bucket", (F.pmod(F.xxhash64("doc_id"), F.lit(buckets))).cast("int")
     )
-    for bkt in range(buckets):
-        if bkt in done:
-            continue
-        part = bucketed.filter(F.col("bucket") == bkt).drop("bucket")
-        t0 = time.time()
-        out = run_extraction(part, partitions)
-        out.write.mode("overwrite").parquet(os.path.join(spans_dir, f"bucket={bkt}"))
-        n = spark.read.parquet(os.path.join(spans_dir, f"bucket={bkt}")).count()
-        lineage = spark.createDataFrame(
-            [(bkt, n, time.time() - t0, time.time())],
-            "bucket int, n_docs long, elapsed_s double, finished_at double",
-        )
-        lineage.write.mode("append").parquet(manifest_dir)
+    part = bucketed.filter(F.col("bucket").isin(pending))
+    t0 = time.time()
+    # re-derive the bucket from doc_id AFTER extraction (cheap expression,
+    # no join/shuffle) — the extraction stage stays map-only
+    out = run_extraction(part.drop("bucket"), partitions).withColumn(
+        "bucket", (F.pmod(F.xxhash64("doc_id"), F.lit(buckets))).cast("int")
+    )
+    out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"  # never touch completed buckets
+    ).partitionBy("bucket").parquet(spans_dir)
+    elapsed = time.time() - t0
+    counts = {
+        r["bucket"]: r["n"]
+        for r in spark.read.parquet(spans_dir)
+        .filter(F.col("bucket").isin(pending))
+        .groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    lineage = spark.createDataFrame(
+        [(b, counts.get(b, 0), elapsed, time.time()) for b in pending],
+        "bucket int, n_docs long, elapsed_s double, finished_at double",
+    )
+    lineage.write.mode("append").parquet(manifest_dir)
 
 
 def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
