@@ -106,6 +106,66 @@ def _table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-text feature column (render mode 3 / white-on-white fill,
+    per-mark paint metadata e:1018) over a corpus containing keyword-spam
+    docs — the training-data cleanup the span stream alone can't drive."""
+    import pandas as pd
+
+    docs_pdf = pipeline.gen_docs_pdf(
+        spark, 30, mix=[("invisible", 1), ("simple", 1)]
+    )
+
+    def vis_batch(batches):
+        from unipdf_spark.pdf.extract import extract_text_visibility
+
+        for b in batches:
+            rows = []
+            for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
+                v = extract_text_visibility(bytes(pdf_bytes))
+                rows.append((doc_id, v["n_chars"], v["n_invisible"]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_chars", "n_invisible"]
+            )
+
+    return (
+        docs_pdf.select("doc_id", "pdf_bytes")
+        .mapInPandas(vis_batch, "doc_id string, n_chars long, n_invisible long")
+        .orderBy("doc_id")
+    )
+
+
+def _page_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageFonts/PageImages inventories (e:536/:510) lifted to rows."""
+    import pandas as pd
+
+    docs_pdf = pipeline.gen_docs_pdf(spark, 40)
+
+    def inv_batch(batches):
+        from unipdf_spark.pdf.extract import extract_page_inventory
+
+        for b in batches:
+            rows = []
+            for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
+                for pg in extract_page_inventory(bytes(pdf_bytes)):
+                    for name, subtype in pg["fonts"]:
+                        rows.append((doc_id, pg["page"], "font",
+                                     f"{name}/{subtype}"))
+                    for ref in pg["images"]:
+                        rows.append((doc_id, pg["page"], "image", ref))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "kind", "name"]
+            )
+
+    return (
+        docs_pdf.select("doc_id", "pdf_bytes")
+        .mapInPandas(
+            inv_batch, "doc_id string, page int, kind string, name string"
+        )
+        .orderBy("doc_id", "page", "kind", "name")
+    )
+
+
 def _extract_docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule input shape end to end: docs(doc_id, spans) table →
     rendered PDFs → extraction → span equality vs the normalized golden."""
@@ -127,6 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_external_text"] = _extract_external_text
     q["extract_spans_flat"] = _extract_spans_flat
     q["table_cells"] = _table_cells
+    q["text_visibility"] = _text_visibility
+    q["page_inventory"] = _page_inventory
     q["media_features"] = _media_features
     return q
 

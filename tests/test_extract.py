@@ -156,3 +156,25 @@ def test_table_cells_matrix_wstable():
     table_text = next(s["text"] for s in golden if "\n" in s["text"])
     got = "\n".join(" ".join(c for c in row if c) for row in t["cells"])
     assert got == table_text
+
+
+def test_invisible_text_detected_but_extracted():
+    from unipdf_spark.pdf.extract import extract_spans, extract_text_visibility
+
+    golden, pdf = make_doc("inv_t", "invisible")
+    assert extract_spans(pdf).spans == golden  # reference parity: included
+    v = extract_text_visibility(pdf)
+    assert 0 < v["n_invisible"] < v["n_chars"]
+    # visible-only class has none
+    _, pdf2 = make_doc("vis_t", "simple")
+    assert extract_text_visibility(pdf2)["n_invisible"] == 0
+
+
+def test_page_inventory_fonts_and_images():
+    from unipdf_spark.pdf.extract import extract_page_inventory
+
+    _, pdf = make_doc("inv_fonts", "interleaved")
+    inv = extract_page_inventory(pdf)
+    assert len(inv) >= 1
+    assert any(f[0] == "Helvetica" for pg in inv for f in pg["fonts"])
+    assert sum(len(pg["images"]) for pg in inv) >= 1

@@ -66,6 +66,7 @@ FIXTURE_CLASSES = [
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
     "gridtable", "macroman", "wstable", "cid_predefined", "encrypted_aes256",
+    "invisible",
 ]
 
 
@@ -123,6 +124,8 @@ class ParaPlan:
     tz: float = 100.0
     tw: float = 0.0
     rot_via_cm: bool = False  # rotation carried by `cm`, not `Tm`
+    fill_rgb: tuple | None = None  # rg fill before the text (None = default)
+    tr_mode: int | None = None  # Tr render mode (None = default 0)
     lig_line: int = -1  # tagged: line index containing the ligature segment
     page: int = 0
 
@@ -489,6 +492,21 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
             plan.blocks.append(p)
         return plan
 
+    if fixture_class == "invisible":
+        # visible body + white-on-white and render-mode-3 paragraphs (the
+        # classic keyword-spam shape). The reference extracts invisible text
+        # too (PageText carries it) — golden spans INCLUDE it; the per-mark
+        # paint metadata (e:1018) is what lets a cleanup drop it.
+        p, v = _para(rng, MARGIN, v, width, (5, 10))
+        plan.blocks.append(p)
+        p, v = _para(rng, MARGIN, v, width, (4, 8))
+        p.fill_rgb = (1.0, 1.0, 1.0)
+        plan.blocks.append(p)
+        p, v = _para(rng, MARGIN, v, width, (4, 8))
+        p.tr_mode = 3
+        plan.blocks.append(p)
+        return plan
+
     if fixture_class == "interleaved":
         n_imgs = rng.randint(1, 4)
         distinct = rng.randint(1, min(3, n_imgs))
@@ -615,6 +633,10 @@ def _para_content(p: ParaPlan, theta: int) -> bytes:
         offx, offy = _CM_OFFSET[theta]
         out += b"q\n%g %g %g %g %g %g cm\n" % (c, s, -s, c, offx, offy)
     out += b"BT\n"
+    if p.fill_rgb is not None:
+        out += b"%g %g %g rg\n" % p.fill_rgb
+    if p.tr_mode is not None:
+        out += b"%d Tr\n" % p.tr_mode
     out += b"/%s %g Tf\n" % (p.font.encode(), p.fs)
     out += b"%g TL\n" % (p.fs * 1.2)
     if p.tc:
@@ -660,6 +682,10 @@ def _para_content(p: ParaPlan, theta: int) -> bytes:
                 out += arr
     if p.tc:
         out += b"0 Tc\n"
+    if p.fill_rgb is not None:
+        out += b"0 0 0 rg\n"
+    if p.tr_mode is not None:
+        out += b"0 Tr\n"
     if p.tz != 100.0:
         out += b"100 Tz\n"
     if p.tw:
@@ -1166,7 +1192,7 @@ DEFAULT_MIX = [
     ("tagged", 3), ("malformed", 2), ("objstm", 4), ("filters", 4),
     ("type3", 3), ("bidi", 3), ("annot", 3), ("encrypted", 3), ("rules", 3),
     ("incremental", 2), ("gridtable", 2), ("macroman", 3), ("wstable", 2),
-    ("cid_predefined", 3), ("encrypted_aes256", 2),
+    ("cid_predefined", 3), ("encrypted_aes256", 2), ("invisible", 2),
 ]
 
 BENCH_MIX = [

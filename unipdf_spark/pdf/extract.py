@@ -121,3 +121,48 @@ def extract_tables(pdf_bytes: bytes) -> list[dict]:
     except Exception:  # noqa: BLE001 — relaxed mode boundary
         pass
     return out
+
+
+def extract_text_visibility(pdf_bytes: bytes) -> dict:
+    """Per-document invisible-text statistics from the per-mark paint
+    metadata (fill color + render mode, extractor/extractor.go:1018):
+    a mark is invisible when its render mode is 3 (no paint) or its fill
+    is ~white on the (white) page. The span stream still INCLUDES invisible
+    text (reference parity — PageText carries it); this feature column is
+    what a training-data cleanup uses to drop white-on-white keyword spam."""
+    n_chars = n_invisible = 0
+    try:
+        doc = PdfDocument(pdf_bytes, relaxed=True)
+        for page in doc.pages():
+            interp = Interpreter(doc, page)
+            interp.run()
+            for m in interp.marks:
+                n = len(m.text)
+                n_chars += n
+                if m.render_mode == 3 or min(m.fill_rgb) >= 0.99:
+                    n_invisible += n
+    except Exception:  # noqa: BLE001 — relaxed mode boundary
+        pass
+    return {"n_chars": n_chars, "n_invisible": n_invisible}
+
+
+def extract_page_inventory(pdf_bytes: bytes) -> list[dict]:
+    """Per-page font and image inventories (PageFonts / PageImages,
+    extractor/extractor.go:536/:510): one dict per page with the fonts used
+    by shown text and the media refs placed on the page."""
+    out: list[dict] = []
+    try:
+        doc = PdfDocument(pdf_bytes, relaxed=True)
+        for page_idx, page in enumerate(doc.pages()):
+            interp = Interpreter(doc, page)
+            interp.run()
+            out.append(
+                {
+                    "page": page_idx,
+                    "fonts": sorted(interp.fonts_used),
+                    "images": [m.media_ref for m in interp.media],
+                }
+            )
+    except Exception:  # noqa: BLE001 — relaxed mode boundary
+        pass
+    return out

@@ -70,6 +70,11 @@ class TextMark:
     orientation: int
     op_index: int
     missed: bool = False
+    # per-mark paint metadata (reference records fill/stroke per mark,
+    # extractor/extractor.go:1018): enables invisible-text filtering
+    # (render mode 3 / white-on-white) in downstream cleanup
+    fill_rgb: tuple = (0.0, 0.0, 0.0)
+    render_mode: int = 0
 
 
 @dataclass(slots=True)
@@ -116,12 +121,16 @@ class _TextState:
 class _GState:
     ctm: Matrix = IDENTITY
     text: _TextState = field(default_factory=_TextState)
+    fill_rgb: tuple = (0.0, 0.0, 0.0)
+    stroke_rgb: tuple = (0.0, 0.0, 0.0)
 
     def clone(self) -> "_GState":
         t = self.text
         return _GState(
             self.ctm,
             _TextState(t.tc, t.tw, t.th, t.tl, t.ts, t.tmode, t.tfs, t.font),
+            self.fill_rgb,
+            self.stroke_rgb,
         )
 
 
@@ -140,6 +149,7 @@ class Interpreter:
         self._path_pts: list[tuple[float, float]] = []
         self._path_rects: list[tuple[float, float, float, float]] = []
         self.n_misses = 0
+        self.fonts_used: set[tuple[str, str]] = set()  # PageFonts (e:536)
         self._font_cache: dict[object, fonts_mod.Font] = {}
         self._form_ops_cache: dict[int, list[Operation]] = {}
         self._op_index = 0
@@ -199,6 +209,8 @@ class Interpreter:
         if f is None:
             f = fonts_mod.load_font(self.doc, ref)
             self._font_cache[key] = f
+        if f.name or f.subtype:
+            self.fonts_used.add((f.name, f.subtype))
         return f
 
     def _xobject(self, name: str, resources: PdfDict):
@@ -251,6 +263,43 @@ class Interpreter:
                     gs.text.ts = float(p[0])
                 elif o == "Tr" and p:
                     gs.text.tmode = int(p[0])
+                elif o in ("g", "G") and p:
+                    v = float(p[0])
+                    rgb = (v, v, v)
+                    if o == "g":
+                        gs.fill_rgb = rgb
+                    else:
+                        gs.stroke_rgb = rgb
+                elif o in ("rg", "RG") and len(p) == 3:
+                    rgb = tuple(float(v) for v in p)
+                    if o == "rg":
+                        gs.fill_rgb = rgb
+                    else:
+                        gs.stroke_rgb = rgb
+                elif o in ("k", "K") and len(p) == 4:
+                    c_, m_, y_, k_ = (float(v) for v in p)
+                    rgb = ((1 - c_) * (1 - k_), (1 - m_) * (1 - k_),
+                           (1 - y_) * (1 - k_))
+                    if o == "k":
+                        gs.fill_rgb = rgb
+                    else:
+                        gs.stroke_rgb = rgb
+                elif o in ("sc", "scn", "SC", "SCN") and p:
+                    nums = [float(v) for v in p if isinstance(v, (int, float))]
+                    rgb = None
+                    if len(nums) == 1:
+                        rgb = (nums[0],) * 3  # DeviceGray / CalGray / Indexed≈
+                    elif len(nums) == 3:
+                        rgb = tuple(nums)
+                    elif len(nums) == 4:
+                        c_, m_, y_, k_ = nums
+                        rgb = ((1 - c_) * (1 - k_), (1 - m_) * (1 - k_),
+                               (1 - y_) * (1 - k_))
+                    if rgb is not None:
+                        if o in ("sc", "scn"):
+                            gs.fill_rgb = rgb
+                        else:
+                            gs.stroke_rgb = rgb
                 elif o == "Td" and len(p) == 2:
                     tlm = mmul(translation(float(p[0]), float(p[1])), tlm)
                     tm = tlm
@@ -468,7 +517,7 @@ class Interpreter:
                     y1 = f + (wb if wb > 0 else 0.0) + maxD
                     marks_append(
                         TextMark(u, x0, y0, x1, y1, fsize, orient, op_index,
-                                 missed)
+                                 missed, gs.fill_rgb, ts.tmode)
                     )
             cum += dx
         return mmul(translation(cum, 0.0), tm)
