@@ -106,6 +106,39 @@ def _table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _list_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-tree list extraction (PageText.List, e:495) lifted to rows:
+    (doc_id, list_idx, item_idx, label, body)."""
+    import pandas as pd
+
+    docs_pdf = pipeline.gen_docs_pdf(spark, 30, mix=[("tagged_list", 1)])
+
+    def list_batch(batches):
+        from unipdf_spark.pdf.extract import extract_lists
+
+        for b in batches:
+            rows = []
+            for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
+                for li, lst in enumerate(extract_lists(bytes(pdf_bytes))):
+                    for ii, item in enumerate(lst["items"]):
+                        rows.append((doc_id, li, ii, item["label"],
+                                     item["body"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "list_idx", "item_idx", "label", "body"],
+            )
+
+    return (
+        docs_pdf.select("doc_id", "pdf_bytes")
+        .mapInPandas(
+            list_batch,
+            "doc_id string, list_idx int, item_idx int, label string, "
+            "body string",
+        )
+        .orderBy("doc_id", "list_idx", "item_idx")
+    )
+
+
 def _text_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invisible-text feature column (render mode 3 / white-on-white fill,
     per-mark paint metadata e:1018) over a corpus containing keyword-spam
@@ -187,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_external_text"] = _extract_external_text
     q["extract_spans_flat"] = _extract_spans_flat
     q["table_cells"] = _table_cells
+    q["list_items"] = _list_items
     q["text_visibility"] = _text_visibility
     q["page_inventory"] = _page_inventory
     q["media_features"] = _media_features

@@ -178,3 +178,20 @@ def test_page_inventory_fonts_and_images():
     assert len(inv) >= 1
     assert any(f[0] == "Helvetica" for pg in inv for f in pg["fonts"])
     assert sum(len(pg["images"]) for pg in inv) >= 1
+
+
+def test_tagged_list_structured_api():
+    from unipdf_spark.pdf.extract import extract_lists, extract_spans
+
+    golden, pdf = make_doc("tl_api", "tagged_list")
+    assert extract_spans(pdf).spans == golden  # span stream unchanged
+    lists = extract_lists(pdf)
+    assert len(lists) == 1
+    items = lists[0]["items"]
+    assert len(items) == len(golden)
+    for item, g in zip(items, golden):
+        assert item["label"].endswith(".")
+        assert f"{item['label']} {item['body']}" == g["text"]
+    # untagged docs yield no lists
+    _, pdf2 = make_doc("tl_none", "simple")
+    assert extract_lists(pdf2) == []

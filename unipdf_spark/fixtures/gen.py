@@ -66,7 +66,7 @@ FIXTURE_CLASSES = [
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
     "gridtable", "macroman", "wstable", "cid_predefined", "encrypted_aes256",
-    "invisible",
+    "invisible", "tagged_list",
 ]
 
 
@@ -1001,8 +1001,78 @@ def make_doc(doc_id: str, fixture_class: str, seed: int = 42
     """(golden_spans, pdf_bytes) — pure function of (seed, doc_id, class)."""
     if fixture_class == "incremental":
         return _make_incremental_doc(doc_id, seed)
+    if fixture_class == "tagged_list":
+        return _make_tagged_list_doc(doc_id, seed)
     plan = _plan_doc(doc_id, fixture_class, seed)
     pdf, golden = render_doc(plan)
+    return golden, pdf
+
+
+def _make_tagged_list_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
+    """Tagged list: struct tree L → LI → Lbl + LBody with MCID-marked
+    content (PageText.List, extractor/extractor.go:495). Span stream golden
+    is the usual reading-ordered text; the structured list API must resolve
+    each item's label and body through the struct tree."""
+    rng = random.Random(f"{seed}:{doc_id}")
+    items = []
+    for i in range(rng.randint(2, 4)):
+        label = f"{i + 1}."
+        body = " ".join(rng.choice(WORDS[:20])
+                        for _ in range(rng.randint(2, 5)))
+        items.append((label, body))
+
+    w = PdfFileWriter()
+    catalog = w.reserve()
+    pages = w.reserve()
+    page = w.reserve()
+    widths_list = [int(_W.get(chr(c), 500)) for c in range(32, 127)]
+    f1 = w.add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding /FirstChar 32 /LastChar 126 /Widths [ "
+        + b" ".join(str(x).encode() for x in widths_list) + b" ] >>"
+    )
+    content = bytearray(b"BT\n/F1 12 Tf\n")
+    y = 700.0
+    for i, (label, body) in enumerate(items):
+        lw = sum(_W.get(ch, 500) for ch in label) / 1000.0 * 12.0
+        bx = 72.0 + lw + 3.2  # a space-ish gap: one line, two words apart
+        content += b"/Lbl << /MCID %d >> BDC\n" % (2 * i)
+        content += b"1 0 0 1 72 %g Tm\n" % y
+        content += b"(" + esc_string(label) + b") Tj\nEMC\n"
+        content += b"/LBody << /MCID %d >> BDC\n" % (2 * i + 1)
+        content += b"1 0 0 1 %g %g Tm\n" % (bx, y)
+        content += b"(" + esc_string(body) + b") Tj\nEMC\n"
+        y -= 36.0  # > the (1+1.0)*fs para merge cap: one para per item
+    content += b"ET\n"
+    cnum, _ = w.add_stream(b"", bytes(content), compress=True)
+    res = b"<< /Font << /F1 " + str(f1).encode() + b" 0 R >> >>"
+    w.set_obj(page, b"<< /Type /Page /Parent " + str(pages).encode()
+              + b" 0 R /MediaBox [0 0 612 792] /Resources " + res
+              + b" /Contents " + str(cnum).encode() + b" 0 R >>")
+    w.set_obj(pages, b"<< /Type /Pages /Kids [ " + str(page).encode()
+              + b" 0 R ] /Count 1 >>")
+    li_refs = []
+    for i in range(len(items)):
+        lbl = w.add(b"<< /Type /StructElem /S /Lbl /K %d >>" % (2 * i))
+        lbody = w.add(b"<< /Type /StructElem /S /LBody /K %d >>" % (2 * i + 1))
+        li = w.add(b"<< /Type /StructElem /S /LI /K [ %d 0 R %d 0 R ] >>"
+                   % (lbl, lbody))
+        li_refs.append(li)
+    l_elem = w.add(b"<< /Type /StructElem /S /L /K [ "
+                   + b" ".join(b"%d 0 R" % r for r in li_refs) + b" ] >>")
+    st_root = w.add(b"<< /Type /StructTreeRoot /K " + str(l_elem).encode()
+                    + b" 0 R >>")
+    w.set_obj(catalog, b"<< /Type /Catalog /Pages " + str(pages).encode()
+              + b" 0 R /StructTreeRoot " + str(st_root).encode()
+              + b" 0 R /MarkInfo << /Marked true >> >>")
+    pdf = w.build(catalog)
+
+    golden = []
+    offset = 0
+    for label, body in items:
+        t = f"{label} {body}"
+        golden.append({"kind": "text", "text": t, "media_ref": "", "offset": offset})
+        offset += len(t)
     return golden, pdf
 
 
@@ -1193,6 +1263,7 @@ DEFAULT_MIX = [
     ("type3", 3), ("bidi", 3), ("annot", 3), ("encrypted", 3), ("rules", 3),
     ("incremental", 2), ("gridtable", 2), ("macroman", 3), ("wstable", 2),
     ("cid_predefined", 3), ("encrypted_aes256", 2), ("invisible", 2),
+    ("tagged_list", 2),
 ]
 
 BENCH_MIX = [

@@ -166,3 +166,111 @@ def extract_page_inventory(pdf_bytes: bytes) -> list[dict]:
     except Exception:  # noqa: BLE001 — relaxed mode boundary
         pass
     return out
+
+
+def _collect_mcids(doc: PdfDocument, node, depth: int = 0) -> list[int]:
+    """All MCIDs under a struct element's /K (ints, MCR dicts, nested elems)."""
+    if depth > 64:
+        return []
+    node = doc.resolve(node)
+    if isinstance(node, (int, float)):
+        return [int(node)]
+    if isinstance(node, list):
+        out: list[int] = []
+        for kid in node:
+            out.extend(_collect_mcids(doc, kid, depth + 1))
+        return out
+    if isinstance(node, dict):
+        if str(node.get("Type") or "") == "MCR" and "MCID" in node:
+            return [int(doc.resolve(node["MCID"]))]
+        if "K" in node:
+            return _collect_mcids(doc, node["K"], depth + 1)
+    return []
+
+
+def _struct_tree_lists(doc: PdfDocument) -> list[list[tuple[list[int], list[int]]]]:
+    """Struct-tree /L list elements → [(label MCIDs, body MCIDs)] per list
+    (PageText.List, extractor/extractor.go:495: L → LI → Lbl + LBody)."""
+    lists: list[list[tuple[list[int], list[int]]]] = []
+    try:
+        root = doc.resolve(doc.catalog().get("StructTreeRoot"))
+    except PdfError:
+        return lists
+    if not isinstance(root, dict):
+        return lists
+
+    def walk(node, depth: int = 0) -> None:
+        if depth > 64:
+            return
+        node = doc.resolve(node)
+        if isinstance(node, list):
+            for kid in node:
+                walk(kid, depth + 1)
+            return
+        if not isinstance(node, dict):
+            return
+        if str(node.get("S") or "") == "L":
+            items: list[tuple[list[int], list[int]]] = []
+            kids = doc.resolve(node.get("K"))
+            for li in kids if isinstance(kids, list) else [kids]:
+                li = doc.resolve(li)
+                if not isinstance(li, dict) or str(li.get("S") or "") != "LI":
+                    continue
+                lbl: list[int] = []
+                body: list[int] = []
+                lk = doc.resolve(li.get("K"))
+                for part in lk if isinstance(lk, list) else [lk]:
+                    part = doc.resolve(part)
+                    if not isinstance(part, dict):
+                        continue
+                    s = str(part.get("S") or "")
+                    if s == "Lbl":
+                        lbl.extend(_collect_mcids(doc, part.get("K")))
+                    elif s == "LBody":
+                        body.extend(_collect_mcids(doc, part.get("K")))
+                if lbl or body:
+                    items.append((lbl, body))
+            if items:
+                lists.append(items)
+            return
+        if "K" in node:
+            walk(node["K"], depth + 1)
+
+    walk(root)
+    return lists
+
+
+def extract_lists(pdf_bytes: bytes) -> list[dict]:
+    """Structured list extraction (PageText.List, extractor/extractor.go:495):
+    struct-tree L/LI/Lbl/LBody elements resolved to their marked-content
+    text. Returns one dict per list: {items: [{label, body}]}. The span
+    stream is unchanged (list text flows through reading order as usual)."""
+    out: list[dict] = []
+    try:
+        doc = PdfDocument(pdf_bytes, relaxed=True)
+        lists = _struct_tree_lists(doc)
+        if not lists:
+            return out
+        mcid_text: dict[int, str] = {}
+        for page in doc.pages():
+            interp = Interpreter(doc, page)
+            interp.run(include_annotations=False)
+            for m in sorted(interp.marks, key=lambda m: m.op_index):
+                if m.mcid >= 0:
+                    mcid_text[m.mcid] = mcid_text.get(m.mcid, "") + m.text
+
+        def text_of(mcids: list[int]) -> str:
+            return "".join(mcid_text.get(i, "") for i in mcids).strip()
+
+        for items in lists:
+            out.append(
+                {
+                    "items": [
+                        {"label": text_of(lbl), "body": text_of(body)}
+                        for lbl, body in items
+                    ]
+                }
+            )
+    except Exception:  # noqa: BLE001 — relaxed mode boundary
+        pass
+    return out

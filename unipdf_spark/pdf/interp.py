@@ -70,6 +70,7 @@ class TextMark:
     orientation: int
     op_index: int
     missed: bool = False
+    mcid: int = -1  # enclosing marked-content id (struct-tree addressing)
     # per-mark paint metadata (reference records fill/stroke per mark,
     # extractor/extractor.go:1018): enables invisible-text filtering
     # (render mode 3 / white-on-white) in downstream cleanup
@@ -150,6 +151,8 @@ class Interpreter:
         self._path_rects: list[tuple[float, float, float, float]] = []
         self.n_misses = 0
         self.fonts_used: set[tuple[str, str]] = set()  # PageFonts (e:536)
+        self.cur_mcid: int = -1  # innermost /MCID (struct-tree lists e:495)
+        self._mcid_stack: list[int] = []
         self._font_cache: dict[object, fonts_mod.Font] = {}
         self._form_ops_cache: dict[int, list[Operation]] = {}
         self._op_index = 0
@@ -353,6 +356,7 @@ class Interpreter:
                     )
                 elif o == "BDC" and len(p) >= 2:
                     mc_depth += 1
+                    self._mcid_stack.append(self.cur_mcid)
                     props = p[1]
                     if isinstance(props, str):
                         props = self.doc.resolve(
@@ -365,6 +369,8 @@ class Interpreter:
                         at = props.get("ActualText")
                         if at is None and "MCID" in props:
                             at = self.mcid_actual_text.get(int(props["MCID"]))
+                    if isinstance(props, dict) and "MCID" in props:
+                        self.cur_mcid = int(props["MCID"])
                     if at is not None:
                         actual_text = (
                             at.decode("utf-16-be")[1:]
@@ -403,11 +409,14 @@ class Interpreter:
                     self._flush_path(paint=False)
                 elif o == "BMC":
                     mc_depth += 1
+                    self._mcid_stack.append(self.cur_mcid)
                 elif o == "EMC":
                     if actual_text is not None and mc_depth == mc_depth_at_actual:
                         actual_text = None
                         actual_consumed = False
                     mc_depth = max(0, mc_depth - 1)
+                    if self._mcid_stack:
+                        self.cur_mcid = self._mcid_stack.pop()
             except Exception:
                 # relaxed mode: log-and-continue philosophy (c:575)
                 continue
@@ -517,7 +526,7 @@ class Interpreter:
                     y1 = f + (wb if wb > 0 else 0.0) + maxD
                     marks_append(
                         TextMark(u, x0, y0, x1, y1, fsize, orient, op_index,
-                                 missed, gs.fill_rgb, ts.tmode)
+                                 missed, self.cur_mcid, gs.fill_rgb, ts.tmode)
                     )
             cum += dx
         return mmul(translation(cum, 0.0), tm)
