@@ -94,6 +94,20 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fax_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real CCITT G4 pixel decode over fax fixture media (ink ratio per
+    image) — the scanned-document leg of the multimodal path."""
+    from unipdf_spark.operators import multimodal as mm
+
+    media = mm.media_table_from_fixtures(spark, n_docs=30, mix=[("fax", 1)])
+    return (
+        mm.bilevel_features(media)
+        .select("media_ref", "doc_id", "width", "height", "ink_ratio",
+                "decode_ok")
+        .orderBy("media_ref", "doc_id")
+    )
+
+
 def _table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextTable/TableCell structured API (extractor.go:35/:899): every
     detected table's (row, col)-addressable cell matrix over a deterministic
@@ -220,6 +234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_external_text"] = _extract_external_text
     q["extract_spans_flat"] = _extract_spans_flat
     q["table_cells"] = _table_cells
+    q["fax_decode"] = _fax_decode
     q["list_items"] = _list_items
     q["text_visibility"] = _text_visibility
     q["page_inventory"] = _page_inventory

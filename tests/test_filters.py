@@ -106,3 +106,87 @@ def test_multi_filter_compose():
 def test_unknown_filter_raises():
     with pytest.raises(filters.FilterError):
         filters.decode_stream(b"x", ["NoSuchFilter"], [{}])
+
+
+# --- CCITT G3/G4 (ITU-T T.4/T.6) -------------------------------------------
+
+
+def test_ccitt_tables_prefix_free_and_anchors():
+    from unipdf_spark.pdf import ccitt_tables as t
+
+    # spec anchor code words (ITU-T T.4 tables 2/3)
+    assert t.WHITE_TERMINAL[0] == "00110101"
+    assert t.BLACK_TERMINAL[0] == "0000110111"
+    assert t.WHITE_MAKEUP[64] == "11011"
+    assert t.BLACK_MAKEUP[64] == "0000001111"
+    assert t.EXT_MAKEUP[1792] == "00000001000"
+
+    def prefix_free(*dicts):
+        codes = sorted(c for d in dicts for c in d.values())
+        for a, b in zip(codes, codes[1:]):
+            assert not b.startswith(a), (a, b)
+
+    prefix_free(t.WHITE_TERMINAL, t.WHITE_MAKEUP, t.EXT_MAKEUP)
+    prefix_free(t.BLACK_TERMINAL, t.BLACK_MAKEUP, t.EXT_MAKEUP)
+
+
+def _unpack_bilevel(data: bytes, columns: int, black_is_1: bool):
+    stride = (columns + 7) // 8
+    rows = []
+    for r in range(len(data) // stride):
+        row = []
+        for x in range(columns):
+            bit = (data[r * stride + (x >> 3)] >> (7 - (x & 7))) & 1
+            row.append(bool(bit) if black_is_1 else not bit)
+        rows.append(row)
+    return rows
+
+
+def test_ccitt_g4_and_g3_roundtrip_fuzz():
+    import random
+
+    from unipdf_spark.fixtures.render import ccitt_g3_1d_encode, ccitt_g4_encode
+    from unipdf_spark.pdf.ccitt import decode_ccitt
+
+    rng = random.Random(11)
+    for _ in range(20):
+        cols = rng.choice([8, 17, 64, 200])
+        rows = []
+        for _ in range(rng.randint(1, 10)):
+            row, pos, black = [], 0, False
+            while pos < cols:
+                run = min(cols - pos, rng.randint(1, cols))
+                row += [black] * run
+                pos += run
+                black = not black
+            rows.append(row)
+        enc = ccitt_g4_encode(rows, cols)
+        dec = _unpack_bilevel(
+            decode_ccitt(enc, {"K": -1, "Columns": cols}), cols, False
+        )
+        assert dec == rows
+        dec1 = _unpack_bilevel(
+            decode_ccitt(enc, {"K": -1, "Columns": cols, "BlackIs1": True}),
+            cols, True,
+        )
+        assert dec1 == rows
+        enc3 = ccitt_g3_1d_encode(rows, cols)
+        dec3 = _unpack_bilevel(
+            decode_ccitt(enc3, {"K": 0, "Columns": cols}), cols, False
+        )
+        assert dec3 == rows
+
+
+def test_ccitt_fixture_ink_ratio_exact():
+    from unipdf_spark.fixtures.gen import _plan_doc
+    from unipdf_spark.fixtures import make_doc
+    from unipdf_spark.pdf.ccitt import decode_ccitt
+    from unipdf_spark.fixtures.render import ccitt_g4_encode
+
+    plan = _plan_doc("fx_ink", "fax", 42)
+    assert plan.fax_images
+    key, (rows, cols) = next(iter(plan.fax_images.items()))
+    enc = ccitt_g4_encode(rows, cols)
+    bits = decode_ccitt(enc, {"K": -1, "Columns": cols})
+    got = _unpack_bilevel(bits, cols, False)
+    assert got == rows

@@ -66,7 +66,7 @@ FIXTURE_CLASSES = [
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
     "gridtable", "macroman", "wstable", "cid_predefined", "encrypted_aes256",
-    "invisible", "tagged_list",
+    "invisible", "tagged_list", "fax",
 ]
 
 
@@ -170,6 +170,7 @@ class ImagePlan:
 @dataclass
 class DocPlan:
     blocks: list = field(default_factory=list)  # ParaPlan | ImagePlan, doc order
+    fax_images: dict = field(default_factory=dict)  # key>=100 → (rows, cols)
     theta: int = 0
     corrupt_xref: bool = False
     modern: bool = False  # xref stream + object stream container (PDF 1.5+)
@@ -504,6 +505,35 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         plan.blocks.append(p)
         p, v = _para(rng, MARGIN, v, width, (4, 8))
         p.tr_mode = 3
+        plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "fax":
+        # bilevel CCITT Group 4 images (the scanned-document shape): media
+        # spans round-trip on the ENCODED payload hash; the pixel path is
+        # exercised by the multimodal bilevel decode (pdf/ccitt.py)
+        p, v = _para(rng, MARGIN, v, width, (4, 8))
+        plan.blocks.append(p)
+        for k in range(rng.randint(1, 2)):
+            cols = rng.choice([64, 96])
+            nrows = rng.randint(8, 16)
+            rows = []
+            for _ in range(nrows):
+                row, pos, black = [], 0, False
+                while pos < cols:
+                    run = min(cols - pos, rng.randint(2, cols // 2))
+                    row += [black] * run
+                    pos += run
+                    black = not black
+                rows.append(row)
+            key = 100 + k
+            plan.fax_images[key] = (rows, cols)
+            h = 40.0
+            plan.blocks.append(
+                ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h)
+            )
+            v -= h + 10
+        p, v = _para(rng, MARGIN, v, width, (3, 6))
         plan.blocks.append(p)
         return plan
 
@@ -871,6 +901,24 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
             b"/Length " + str(len(data)).encode() + b" >>\nstream\n" + data
             + b"\nendstream"
+        )
+        name = f"Im{key}"
+        img_names[key] = name
+        img_refs[key] = schema.media_ref_for(data)
+        xobj_res += f"/{name} {num} 0 R ".encode()
+
+    for key, (rows, cols) in plan.fax_images.items():
+        from .render import ccitt_g4_encode
+
+        data = ccitt_g4_encode(rows, cols)
+        num = w.add(
+            b"<< /Type /XObject /Subtype /Image /Width " + str(cols).encode()
+            + b" /Height " + str(len(rows)).encode()
+            + b" /ColorSpace /DeviceGray /BitsPerComponent 1 "
+            b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns "
+            + str(cols).encode() + b" /Rows " + str(len(rows)).encode()
+            + b" >> /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream"
         )
         name = f"Im{key}"
         img_names[key] = name
@@ -1263,7 +1311,7 @@ DEFAULT_MIX = [
     ("type3", 3), ("bidi", 3), ("annot", 3), ("encrypted", 3), ("rules", 3),
     ("incremental", 2), ("gridtable", 2), ("macroman", 3), ("wstable", 2),
     ("cid_predefined", 3), ("encrypted_aes256", 2), ("invisible", 2),
-    ("tagged_list", 2),
+    ("tagged_list", 2), ("fax", 2),
 ]
 
 BENCH_MIX = [

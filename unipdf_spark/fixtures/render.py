@@ -413,3 +413,111 @@ class PdfFileWriter:
         )
         out += b"startxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
         return bytes(out)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.nbits = 0
+
+    def write(self, bits: str) -> None:
+        for ch in bits:
+            if self.nbits % 8 == 0:
+                self.buf.append(0)
+            if ch == "1":
+                self.buf[-1] |= 0x80 >> (self.nbits % 8)
+            self.nbits += 1
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+def _ccitt_changes(row_black: list[bool]) -> list[int]:
+    """Positions where pixel color flips (line starts white)."""
+    changes = []
+    prev = False
+    for i, b in enumerate(row_black):
+        if b != prev:
+            changes.append(i)
+            prev = b
+    return changes
+
+
+def _ccitt_run(w: "_BitWriter", run: int, white: bool) -> None:
+    from unipdf_spark.pdf import ccitt_tables as T
+
+    term = T.WHITE_TERMINAL if white else T.BLACK_TERMINAL
+    makeup = T.WHITE_MAKEUP if white else T.BLACK_MAKEUP
+    while run >= 64:
+        m = min(2560, (run // 64) * 64)
+        while m not in makeup and m not in T.EXT_MAKEUP:
+            m -= 64
+        w.write(makeup[m] if m in makeup else T.EXT_MAKEUP[m])
+        run -= m
+    w.write(term[run])
+
+
+def ccitt_g4_encode(rows: list[list[bool]], columns: int) -> bytes:
+    """Generator-side ITU-T T.6 (Group 4) encoder — independent of the
+    engine's decoder; shares only the published T.4 code tables."""
+    w = _BitWriter()
+    ref = [columns, columns]
+    for row in rows:
+        cur = _ccitt_changes(row)
+        a0 = -1
+        white = True
+        while a0 < columns:
+            # a1: next change right of a0 (color flip from current color)
+            a1 = columns
+            for c in cur:
+                if c > (a0 if a0 >= 0 else -1):
+                    a1 = c
+                    break
+            i = 0
+            while i < len(ref) and ref[i] <= (a0 if a0 >= 0 else -1):
+                i += 1
+            if (i % 2 == 0) != white:
+                i += 1
+            b1 = ref[i] if i < len(ref) else columns
+            b2 = ref[i + 1] if i + 1 < len(ref) else columns
+            if b2 < a1:
+                w.write("0001")  # pass
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                w.write({0: "1", 1: "011", -1: "010", 2: "000011",
+                         -2: "000010", 3: "0000011", -3: "0000010"}[a1 - b1])
+                a0 = a1
+                white = not white
+            else:  # horizontal
+                a2 = columns
+                for c in cur:
+                    if c > a1:
+                        a2 = c
+                        break
+                start = a0 if a0 > 0 else 0
+                w.write("001")
+                _ccitt_run(w, a1 - start, white)
+                _ccitt_run(w, a2 - a1, not white)
+                a0 = a2
+        ref = cur
+    w.write("000000000001" * 2)  # EOFB
+    return w.bytes()
+
+
+def ccitt_g3_1d_encode(rows: list[list[bool]], columns: int) -> bytes:
+    """Generator-side ITU-T T.4 Group 3 one-dimensional (MH) encoder."""
+    w = _BitWriter()
+    for row in rows:
+        w.write("000000000001")  # EOL
+        changes = _ccitt_changes(row) + [columns]
+        pos = 0
+        white = True
+        for c in changes:
+            _ccitt_run(w, c - pos, white)
+            pos = c
+            white = not white
+            if pos >= columns:
+                break
+        if pos < columns:
+            _ccitt_run(w, columns - pos, white)
+    return w.bytes()

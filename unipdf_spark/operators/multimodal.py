@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 MEDIA_SCHEMA = (
     "media_ref string, doc_id string, kind string, payload binary, "
-    "width int, height int, n_bytes int"
+    "width int, height int, n_bytes int, codec string, ccitt_k int"
 )
 
 FEATURE_SCHEMA = (
@@ -35,12 +35,12 @@ THUMB_SCHEMA = (
 STUB_FEAT_DIM = 16
 
 
-def media_table_from_fixtures(spark, n_docs: int = 60) -> DataFrame:
+def media_table_from_fixtures(spark, n_docs: int = 60, mix="default") -> DataFrame:
     """Build a media table (one row per media span payload) from the fixture
     corpus — exercises the binary-column path end to end."""
     from .. import pipeline
 
-    docs = pipeline.gen_docs_pdf(spark, n_docs, partitions=4)
+    docs = pipeline.gen_docs_pdf(spark, n_docs, mix=mix, partitions=4)
 
     def emit_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..pdf.cos import PdfDocument, Stream
@@ -65,13 +65,20 @@ def media_table_from_fixtures(spark, n_docs: int = 60) -> DataFrame:
                     ref = "img_" + hashlib.sha256(obj.raw).hexdigest()[:16]
                     w = int(doc.resolve(d.get("Width")) or 0)
                     h = int(doc.resolve(d.get("Height")) or 0)
+                    filt = doc.resolve(d.get("Filter"))
+                    codec = str(filt if not isinstance(filt, list)
+                                else (filt[0] if filt else ""))
+                    parms = doc.resolve(d.get("DecodeParms")) or {}
+                    k = int(doc.resolve(parms.get("K", 0)) or 0) \
+                        if isinstance(parms, dict) else 0
                     rows.append(
-                        (ref, doc_id, "image", obj.raw, w, h, len(obj.raw))
+                        (ref, doc_id, "image", obj.raw, w, h, len(obj.raw),
+                         codec, k)
                     )
             yield pd.DataFrame(
                 rows,
                 columns=["media_ref", "doc_id", "kind", "payload", "width",
-                         "height", "n_bytes"],
+                         "height", "n_bytes", "codec", "ccitt_k"],
             )
 
     return docs.mapInPandas(emit_media, schema=MEDIA_SCHEMA)
@@ -193,4 +200,53 @@ def media_feature_dedup(media: DataFrame) -> DataFrame:
             F.col("b.media_ref").alias("ref_b"),
             F.round(dot, 6).alias("dot"),
         )
+    )
+
+
+BILEVEL_SCHEMA = (
+    "media_ref string, doc_id string, width int, height int, "
+    "ink_ratio double, decode_ok boolean"
+)
+
+
+def bilevel_features(media: DataFrame) -> DataFrame:
+    """REAL pixel decode for bilevel (CCITT fax) media — the scanned-document
+    leg of the multimodal path (reference internal/ccittfax). Computes the
+    ink ratio (fraction of black pixels) per image via the engine's T.4/T.6
+    decoder inside an Arrow-batched mapInPandas; non-CCITT payloads keep the
+    stub path (extract_features)."""
+
+    def fax_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..pdf.ccitt import decode_ccitt
+
+        for b in batches:
+            rows = []
+            for ref, doc_id, payload, w, h, k in zip(
+                b["media_ref"], b["doc_id"], b["payload"], b["width"],
+                b["height"], b["ccitt_k"],
+            ):
+                try:
+                    bits = decode_ccitt(
+                        bytes(payload), {"K": int(k), "Columns": int(w)}
+                    )
+                    stride = (int(w) + 7) // 8
+                    n_black = total = 0
+                    for r in range(len(bits) // stride):
+                        for x in range(int(w)):
+                            bit = (bits[r * stride + (x >> 3)]
+                                   >> (7 - (x & 7))) & 1
+                            n_black += 0 if bit else 1  # 0 = black
+                            total += 1
+                    rows.append((ref, doc_id, int(w), int(h),
+                                 round(n_black / max(total, 1), 6), True))
+                except Exception:  # noqa: BLE001 — per-row error path
+                    rows.append((ref, doc_id, int(w), int(h), 0.0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "doc_id", "width", "height",
+                         "ink_ratio", "decode_ok"],
+            )
+
+    return media.filter(F.col("codec") == "CCITTFaxDecode").mapInPandas(
+        fax_batch, schema=BILEVEL_SCHEMA
     )
