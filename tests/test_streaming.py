@@ -140,3 +140,43 @@ def test_streaming_sessionize_stateful(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Cross-micro-batch dedup state: duplicates split across two batches
+    are still caught; exactly one is_new per distinct text."""
+    import pandas as pd
+
+    from unipdf_spark.streaming.ops import streaming_dedup_exact
+
+    b1 = pd.DataFrame({"doc_id": ["a", "b", "c"],
+                       "text": ["same", "uniq1", "same"]})
+    b2 = pd.DataFrame({"doc_id": ["d", "e"],
+                       "text": ["same", "uniq2"]})
+    src = f"{tmp_path}/in"
+    spark.createDataFrame(b1).coalesce(1).write.json(f"{src}/batch=0")
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/batch=*")
+    )
+    out = streaming_dedup_exact(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2).coalesce(1).write.json(f"{src}/batch=1")
+        q.processAllAvailable()
+        rows = {r["doc_id"]: r["is_new"]
+                for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    finally:
+        q.stop()
+    assert len(rows) == 5
+    # exactly one is_new among the three 'same' docs, and it is the first batch's
+    same = [d for d in ("a", "c", "d") if rows[d]]
+    assert len(same) == 1 and same[0] in ("a", "c")
+    assert rows["b"] and rows["e"]

@@ -183,12 +183,105 @@ WHERE LEN(STRING_SPLIT(text, term)) - 1 > 0
 """
 
 
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 word bigrams — the n-gram frequency table every
+    contamination/boilerplate analysis starts from. explode → groupBy →
+    count is map-side partial-aggregated; the top-k is a tiny final sort."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    bigrams = F.filter(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " ")),
+        lambda s: F.length(s) - F.length(F.replace(s, F.lit(" "), F.lit("")))
+        == 1,  # drop the tail slice with a single word
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
+TOP_BIGRAMS_SQL = r"""
+WITH t AS (
+    SELECT LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+),
+b AS (
+    SELECT UNNEST(LIST_FILTER(
+               LIST_TRANSFORM(RANGE(0, GREATEST(LEN(w) - 2, 0) + 1),
+                              i -> ARRAY_TO_STRING(w[i+1 : i+2], ' ')),
+               s -> LENGTH(s) - LENGTH(REPLACE(s, ' ', '')) = 1)) AS bigram
+    FROM t
+)
+SELECT bigram, COUNT(*) AS n
+FROM b
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 50
+"""
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution in buckets of 50 — the length-filter design
+    table (short-doc and boilerplate cutoffs) for a cleanup pipeline."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    return (
+        d.select((F.floor(F.size(toks) / 50) * 50).alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket_lo")
+    )
+
+
+LENGTH_HIST_SQL = r"""
+SELECT CAST(FLOOR(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+                                  x -> x <> '')) / 50) * 50 AS BIGINT)
+           AS bucket_lo,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY bucket_lo
+ORDER BY bucket_lo
+"""
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution (how much of the corpus is
+    exact-dup boilerplate) — two map-side-combinable aggregations."""
+    d = _docs(spark, sf_dir)
+    groups = (
+        d.select(F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("group_size"))
+    )
+    return (
+        groups.groupBy("group_size")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy("group_size")
+    )
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH g AS (SELECT MD5(text) AS h, COUNT(*) AS group_size
+           FROM documents GROUP BY h)
+SELECT group_size, COUNT(*) AS n_groups
+FROM g GROUP BY group_size ORDER BY group_size
+"""
+
+
 QUERIES = {
     "token_counts": token_counts,
     "quality_scores": quality_scores,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
     "term_search": term_search,
+    "top_bigrams": top_bigrams,
+    "length_histogram": length_histogram,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
 }
 
 ORACLES = {
@@ -197,4 +290,7 @@ ORACLES = {
     "lang_id": LANG_ID_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
     "term_search": TERM_SEARCH_SQL,
+    "top_bigrams": TOP_BIGRAMS_SQL,
+    "length_histogram": LENGTH_HIST_SQL,
+    "dedup_cluster_sizes": DEDUP_CLUSTERS_SQL,
 }

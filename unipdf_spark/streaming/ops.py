@@ -122,3 +122,39 @@ def streaming_extract(docs_pdf: DataFrame) -> DataFrame:
     return docs_pdf.select("doc_id", "pdf_bytes").mapInPandas(
         extract_batch, schema=schema.SPANS_OUT_DDL
     )
+
+
+DEDUP_OUT_SCHEMA = "text_hash string, doc_id string, is_new boolean"
+_DEDUP_STATE_SCHEMA = "seen int"
+
+
+def _dedup_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """First-seen-wins exact dedup across micro-batches: state per text hash
+    remembers whether the hash was ever emitted; later arrivals are flagged
+    duplicates. The state is one int per distinct hash — the streaming analog
+    of dedup_exact's canonical pick."""
+    (text_hash,) = key
+    seen = state.get[0] if state.exists else 0
+    rows = []
+    for pdf in pdfs:
+        for doc_id in sorted(pdf["doc_id"]):
+            rows.append((text_hash, doc_id, seen == 0))
+            seen += 1
+    state.update((seen,))
+    yield pd.DataFrame(rows, columns=["text_hash", "doc_id", "is_new"])
+
+
+def streaming_dedup_exact(docs: DataFrame) -> DataFrame:
+    """Streaming exact dedup: documents keyed by md5(text); the first
+    arrival of each hash is `is_new`, every later one is a duplicate —
+    state survives across micro-batches (applyInPandasWithState)."""
+    hashed = docs.select(F.md5("text").alias("text_hash"), "doc_id")
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
