@@ -32,31 +32,24 @@ _W = [
 
 
 def _lsh_sig(emb_col: Column) -> Column:
-    """12-bit random-hyperplane signature (Spark side): all 12 dot products
-    accumulate in ONE pass over the vector (12-wide double accumulator) —
-    per-bit add order stays d = 0..63, bit-identical to the 12-fold form
-    and to DuckDB's LIST_DOT_PRODUCT."""
-    w_flat = F.array(*[F.lit(w) for row in _W for w in row])  # [b * DIM + d]
-    pairs = F.zip_with(
-        emb_col,
-        F.sequence(F.lit(0), F.lit(DIM - 1)),
-        lambda x, d: F.struct(x.cast("double").alias("x"), d.alias("d")),
-    )
-    acc = F.aggregate(
-        pairs,
-        F.array_repeat(F.lit(0.0), N_BITS),
-        # inner transform's two-param lambda is Spark's (element, index)
-        # form — index b is exactly the bit lane we want
-        lambda a, e: F.transform(
-            a,
-            lambda cur, b: cur
-            + e["x"] * F.element_at(w_flat, b * DIM + e["d"] + 1),
-        ),
-    )
-    bits = [
-        F.when(F.element_at(acc, b + 1) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        for b in range(N_BITS)
-    ]
+    """12-bit random-hyperplane signature (Spark side): one zip_with fold per
+    bit against that bit's 64-literal weight array. (A single-pass 12-wide
+    accumulator was tried and is SLOWER here: dynamic element_at into a
+    768-literal array per element×bit dominates; per-bit folds keep each
+    weight array a constant local.) Add order per bit is d = 0..63,
+    matching DuckDB's LIST_DOT_PRODUCT."""
+    bits = []
+    for b in range(N_BITS):
+        w = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.array(*[F.lit(x) for x in _W[b]]),
+                lambda x, wv: x.cast("double") * wv,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(w > 0, F.lit(1 << b)).otherwise(F.lit(0)))
     return sum(bits[1:], bits[0])
 
 
