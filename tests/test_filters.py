@@ -190,3 +190,29 @@ def test_ccitt_fixture_ink_ratio_exact():
     bits = decode_ccitt(enc, {"K": -1, "Columns": cols})
     got = _unpack_bilevel(bits, cols, False)
     assert got == rows
+
+
+def test_ccitt_g3_2d_roundtrip():
+    import random
+
+    from unipdf_spark.fixtures.render import ccitt_g3_2d_encode
+    from unipdf_spark.pdf.ccitt import decode_ccitt
+
+    rng = random.Random(23)
+    for _ in range(15):
+        cols = rng.choice([16, 64, 128])
+        rows = []
+        for _ in range(rng.randint(2, 10)):
+            row, pos, black = [], 0, False
+            while pos < cols:
+                run = min(cols - pos, rng.randint(1, cols // 2))
+                row += [black] * run
+                pos += run
+                black = not black
+            rows.append(row)
+        k = rng.choice([2, 4])
+        enc = ccitt_g3_2d_encode(rows, cols, k=k)
+        dec = _unpack_bilevel(
+            decode_ccitt(enc, {"K": k, "Columns": cols}), cols, False
+        )
+        assert dec == rows

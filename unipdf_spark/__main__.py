@@ -37,6 +37,14 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("bench", help="extraction throughput")
     b.add_argument("--n", type=int, default=6000)
 
+    t = sub.add_parser("tables", help="structured table cells from a docs_pdf table")
+    t.add_argument("--in", dest="inp", required=True)
+    t.add_argument("--out", required=True)
+
+    li = sub.add_parser("lists", help="struct-tree list items from a docs_pdf table")
+    li.add_argument("--in", dest="inp", required=True)
+    li.add_argument("--out", required=True)
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -70,6 +78,41 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"docs": total, "match": ok,
                               "pass_rate": ok / max(total, 1)}))
             return 0 if ok == total else 1
+        elif args.cmd == "tables":
+            docs = spark.read.parquet(args.inp)
+            out = pipeline.run_table_extraction(docs)
+            out.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"cells": spark.read.parquet(args.out).count(),
+                              "out": args.out}))
+        elif args.cmd == "lists":
+            import pandas as pd  # noqa: F401 — worker dependency
+
+            docs = spark.read.parquet(args.inp)
+
+            def list_batch(batches):
+                import pandas as pd
+
+                from .pdf.extract import extract_lists
+
+                for b in batches:
+                    rows = []
+                    for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
+                        for lidx, lst in enumerate(extract_lists(bytes(pdf_bytes))):
+                            for iidx, item in enumerate(lst["items"]):
+                                rows.append((doc_id, lidx, iidx,
+                                             item["label"], item["body"]))
+                    yield pd.DataFrame(
+                        rows, columns=["doc_id", "list_idx", "item_idx",
+                                       "label", "body"])
+
+            out = docs.select("doc_id", "pdf_bytes").mapInPandas(
+                list_batch,
+                "doc_id string, list_idx int, item_idx int, label string, "
+                "body string",
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"items": spark.read.parquet(args.out).count(),
+                              "out": args.out}))
         elif args.cmd == "bench":
             import time
 

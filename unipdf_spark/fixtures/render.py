@@ -521,3 +521,64 @@ def ccitt_g3_1d_encode(rows: list[list[bool]], columns: int) -> bytes:
         if pos < columns:
             _ccitt_run(w, columns - pos, white)
     return w.bytes()
+
+
+def ccitt_g3_2d_encode(rows: list[list[bool]], columns: int,
+                       k: int = 4) -> bytes:
+    """Generator-side ITU-T T.4 Group 3 two-dimensional encoder (K > 0):
+    every K-th row is 1D-coded (tag bit 1), the rest 2D-coded against the
+    previous row (tag bit 0)."""
+    w = _BitWriter()
+    ref = [columns, columns]
+    for r, row in enumerate(rows):
+        cur = _ccitt_changes(row)
+        w.write("000000000001")  # EOL
+        if r % k == 0:  # 1D row
+            w.write("1")
+            pos, white = 0, True
+            for c in cur + [columns]:
+                _ccitt_run(w, c - pos, white)
+                pos = c
+                white = not white
+                if pos >= columns:
+                    break
+            if pos < columns:
+                _ccitt_run(w, columns - pos, white)
+        else:  # 2D row against ref
+            w.write("0")
+            a0, white = -1, True
+            while a0 < columns:
+                a1 = columns
+                for c in cur:
+                    if c > (a0 if a0 >= 0 else -1):
+                        a1 = c
+                        break
+                i = 0
+                while i < len(ref) and ref[i] <= (a0 if a0 >= 0 else -1):
+                    i += 1
+                if (i % 2 == 0) != white:
+                    i += 1
+                b1 = ref[i] if i < len(ref) else columns
+                b2 = ref[i + 1] if i + 1 < len(ref) else columns
+                if b2 < a1:
+                    w.write("0001")
+                    a0 = b2
+                elif abs(a1 - b1) <= 3:
+                    w.write({0: "1", 1: "011", -1: "010", 2: "000011",
+                             -2: "000010", 3: "0000011",
+                             -3: "0000010"}[a1 - b1])
+                    a0 = a1
+                    white = not white
+                else:
+                    a2 = columns
+                    for c in cur:
+                        if c > a1:
+                            a2 = c
+                            break
+                    start = a0 if a0 > 0 else 0
+                    w.write("001")
+                    _ccitt_run(w, a1 - start, white)
+                    _ccitt_run(w, a2 - a1, not white)
+                    a0 = a2
+        ref = cur
+    return w.bytes()

@@ -3,7 +3,9 @@ spec; code tables in :mod:`ccitt_tables`. Reference parity target:
 internal/ccittfax/ccittfax.go (Decoder.decodeRowType4/Type6, decode2D).
 
 Supported: K < 0 (Group 4 / T.6 pure 2D), K = 0 (Group 3 1D / modified
-Huffman, optional EOLs), BlackIs1, EncodedByteAlign, Columns, Rows.
+Huffman, optional EOLs), K > 0 (Group 3 mixed 1D/2D: each EOL carries a
+tag bit — 1 selects 1D, 0 selects 2D against the previous row), BlackIs1,
+EncodedByteAlign, Columns, Rows.
 Output is the PDF image convention: 1 bit per pixel, rows padded to byte
 boundaries, 0 = black unless BlackIs1 (PDF 32000-1 §7.4.6).
 """
@@ -201,13 +203,25 @@ def decode_ccitt(data: bytes, parms: dict | None = None) -> bytes:
                 if bits.peek_str(24) == "000000000001" * 2:
                     break
                 changes = _decode_2d_row(bits, ref, columns)
-            else:
+            elif k == 0:
                 # G3 1D: optional EOL before each row
                 if bits.peek_str(12) == "000000000001":
                     bits.pos += 12
                     if bits.eof():
                         break
                 changes = _decode_1d_row(bits, columns)
+            else:
+                # G3 2D (K > 0): EOL + tag bit per row (T.4 §4.2.1.2)
+                two_d = False
+                if bits.peek_str(12) == "000000000001":
+                    bits.pos += 12
+                    if bits.eof():
+                        break
+                    two_d = bits.read() == 0
+                if two_d:
+                    changes = _decode_2d_row(bits, ref, columns)
+                else:
+                    changes = _decode_1d_row(bits, columns)
         except CCITTError:
             break  # truncated tail (relaxed, like the reference's EOF path)
         if not changes:
