@@ -195,3 +195,17 @@ def test_tagged_list_structured_api():
     # untagged docs yield no lists
     _, pdf2 = make_doc("tl_none", "simple")
     assert extract_lists(pdf2) == []
+
+
+def test_symbol_and_zapf_builtin_encodings():
+    from unipdf_spark.pdf.fonts import load_font
+
+    class _Doc:
+        resolve = staticmethod(lambda o: o)
+
+    sym = load_font(_Doc(), {"Subtype": "Type1", "BaseFont": "Symbol"})
+    assert sym.charcode_to_unicode(0x61) == ("α", False)
+    assert sym.charcode_to_unicode(0x40) == ("≅", False)
+    zap = load_font(_Doc(), {"Subtype": "Type1", "BaseFont": "ZapfDingbats"})
+    assert zap.charcode_to_unicode(0x21) == ("✁", False)
+    assert zap.charcode_to_unicode(0x6C) == ("●", False)

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import re
 
+from .symbol_enc import SYMBOL, ZAPF_DINGBATS
+
 # --- simple encodings -------------------------------------------------------
 
 # WinAnsiEncoding: latin-1 with the 0x80-0x9F differences (PDF spec annex D).
@@ -439,7 +441,14 @@ def load_font(doc, font_dict) -> Font:
             base_map = _ENCODINGS.get(str(be))
         diffs = r(enc.get("Differences"))
     if base_map is None:
-        base_map = STANDARD if "Symbol" not in f.name else {}
+        # built-in encodings for the symbolic Standard-14 fonts
+        # (textencoding.go NewSymbolEncoder/NewZapfDingbatsEncoder)
+        if "ZapfDingbats" in f.name or "Dingbats" in f.name:
+            base_map = ZAPF_DINGBATS
+        elif "Symbol" in f.name:
+            base_map = SYMBOL
+        else:
+            base_map = STANDARD
     f.encoding_map = dict(base_map)
     if isinstance(diffs, list):
         code = 0
