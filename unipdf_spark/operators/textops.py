@@ -273,6 +273,65 @@ FROM g GROUP BY group_size ORDER BY group_size
 """
 
 
+def corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composite cleanup: per doc, the keep/drop verdict a
+    pre-training pipeline applies — exact-dup canonicalization + length gate
+    + punctuation-density gate, with per-gate reason flags so the drop
+    decision is auditable. One scan + one dedup shuffle; every gate is a
+    JVM expression (no Python). Fully oracle-checked."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    n_tok = F.size(toks)
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", _PUNCT, ""))
+    feats = d.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        n_tok.alias("n_tokens"),
+        F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 4).alias(
+            "punct_ratio"
+        ),
+    )
+    canon = feats.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id")
+    )
+    j = feats.join(canon, "text_hash")
+    is_dup = F.col("doc_id") != F.col("canonical_doc_id")
+    too_short = F.col("n_tokens") < 5
+    too_punct = F.col("punct_ratio") > 0.10
+    return j.select(
+        "doc_id",
+        is_dup.alias("drop_duplicate"),
+        too_short.alias("drop_short"),
+        too_punct.alias("drop_punct"),
+        (~(is_dup | too_short | too_punct)).alias("keep"),
+    )
+
+
+CORPUS_CLEANUP_SQL = r"""
+WITH feats AS (
+    SELECT doc_id,
+           MD5(text) AS text_hash,
+           LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+                           x -> x <> '')) AS n_tokens,
+           ROUND((LENGTH(text) -
+                  LENGTH(REGEXP_REPLACE(text, '[.,;:!?''"()\-]', '', 'g')))
+                 / GREATEST(LENGTH(text), 1), 4) AS punct_ratio
+    FROM documents
+),
+canon AS (
+    SELECT text_hash, MIN(doc_id) AS canonical_doc_id
+    FROM feats GROUP BY text_hash
+)
+SELECT doc_id,
+       doc_id <> canonical_doc_id                AS drop_duplicate,
+       n_tokens < 5                              AS drop_short,
+       punct_ratio > 0.10                        AS drop_punct,
+       NOT (doc_id <> canonical_doc_id OR n_tokens < 5 OR punct_ratio > 0.10)
+                                                 AS keep
+FROM feats JOIN canon USING (text_hash)
+"""
+
+
 QUERIES = {
     "token_counts": token_counts,
     "quality_scores": quality_scores,
@@ -282,6 +341,7 @@ QUERIES = {
     "top_bigrams": top_bigrams,
     "length_histogram": length_histogram,
     "dedup_cluster_sizes": dedup_cluster_sizes,
+    "corpus_cleanup": corpus_cleanup,
 }
 
 ORACLES = {
@@ -293,4 +353,5 @@ ORACLES = {
     "top_bigrams": TOP_BIGRAMS_SQL,
     "length_histogram": LENGTH_HIST_SQL,
     "dedup_cluster_sizes": DEDUP_CLUSTERS_SQL,
+    "corpus_cleanup": CORPUS_CLEANUP_SQL,
 }
