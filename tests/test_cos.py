@@ -170,3 +170,50 @@ def test_content_null_operand_is_none():
     ops = parse_content(b"null false true sc")
     assert ops[-1].op == "sc"
     assert ops[-1].params == [None, False, True]
+
+
+def test_hybrid_xrefstm_wins_over_table_free_entry():
+    """Hybrid-reference file (spec 7.5.8.4): the table marks object 4 free
+    while the /XRefStm supplies its real (type-1) entry — the stream entry
+    must win within the same revision; free recording must not shadow it."""
+    import zlib
+
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>",
+        4: b"(hybrid value)",
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += str(num).encode() + b" 0 obj\n" + objs[num] + b"\nendobj\n"
+    # xref STREAM (object 5) holding the real entry for object 4
+    rows = b""
+    for num in range(6):
+        if num == 0:
+            rows += b"\x00" + (0).to_bytes(4, "big")
+        elif num in offsets:
+            rows += b"\x01" + offsets[num].to_bytes(4, "big")
+        elif num == 5:
+            rows += b"\x01" + (0).to_bytes(4, "big")  # patched below
+        else:
+            rows += b"\x00" + (0).to_bytes(4, "big")
+    xs_off = len(out)
+    rows = (rows[: 5 * 5] + b"\x01" + xs_off.to_bytes(4, "big"))
+    comp = zlib.compress(bytes(rows))
+    out += (b"5 0 obj\n<< /Type /XRef /W [1 4 0] /Size 6 /Index [0 6] "
+            b"/Filter /FlateDecode /Root 1 0 R /Length "
+            + str(len(comp)).encode() + b" >>\nstream\n" + comp
+            + b"\nendstream\nendobj\n")
+    # xref TABLE of the same revision: objects 1-3 in use, 4 FREE, /XRefStm
+    xref_pos = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for num in (1, 2, 3):
+        out += ("%010d 00000 n \n" % offsets[num]).encode()
+    out += b"0000000000 65535 f \n"  # object 4: free in the table
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R /XRefStm " + str(xs_off).encode()
+            + b" >>\nstartxref\n" + str(xref_pos).encode() + b"\n%%EOF\n")
+    doc = PdfDocument(bytes(out))
+    assert doc.get_object(4) == b"hybrid value"

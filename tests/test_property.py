@@ -51,3 +51,46 @@ def test_generation_is_pure(i):
     a = gen.make_doc(doc_id, cls)
     b = gen.make_doc(doc_id, cls)
     assert a == b
+
+
+def test_corrupted_pdfs_never_raise():
+    """Relaxed-mode boundary: every extraction API must degrade to soft
+    errors on arbitrary corruption (truncation, byte flips, zeroed blocks,
+    slice duplication), never raise — at corpus scale one bad document must
+    not fail a task."""
+    import random
+
+    from unipdf_spark.fixtures import FIXTURE_CLASSES, make_doc
+    from unipdf_spark.pdf.extract import (
+        extract_lists,
+        extract_page_inventory,
+        extract_spans,
+        extract_tables,
+        extract_text_visibility,
+    )
+
+    rng = random.Random(5)
+    for trial in range(60):
+        cls = rng.choice(FIXTURE_CLASSES)
+        _, pdf = make_doc(f"fz{trial}", cls, seed=trial % 5)
+        b = bytearray(pdf)
+        mode = rng.randrange(4)
+        if mode == 0:
+            b = b[: rng.randrange(1, len(b))]
+        elif mode == 1:
+            for _ in range(rng.randrange(1, 40)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        elif mode == 2:
+            s = rng.randrange(len(b))
+            e = min(len(b), s + rng.randrange(1, 500))
+            b[s:e] = bytes(e - s)
+        else:
+            s = rng.randrange(len(b))
+            e = min(len(b), s + rng.randrange(1, 300))
+            b = b[:e] + b[s:e] + b[e:]
+        blob = bytes(b)
+        extract_spans(blob)
+        extract_tables(blob)
+        extract_lists(blob)
+        extract_text_visibility(blob)
+        extract_page_inventory(blob)

@@ -418,7 +418,21 @@ class PdfDocument:
             lx = Lexer(self.data, offset)
             lx.skip_ws()
             if self.data.startswith(b"xref", lx.pos):
-                trailer = self._parse_xref_table(lx)
+                # table entries land in a staging dict first: in HYBRID files
+                # the table marks stream-compressed objects free while the
+                # /XRefStm supplies the real entries — the stream must claim
+                # slots BEFORE the same revision's free entries do (spec
+                # 7.5.8.4), while still shadowing older revisions
+                staged: dict[int, tuple] = {}
+                trailer = self._parse_xref_table(lx, staged)
+                xs = trailer.get("XRefStm")
+                if isinstance(xs, (int, float)) and int(xs) not in seen:
+                    seen.add(int(xs))
+                    st = self._parse_xref_stream(Lexer(self.data, int(xs)))
+                    for k, v in st.items():
+                        self.trailer.setdefault(k, v)
+                for num, ent in staged.items():
+                    self.xref.setdefault(num, ent)
             else:
                 trailer = self._parse_xref_stream(lx)
             # earlier revisions must not override later ones
@@ -426,15 +440,8 @@ class PdfDocument:
                 self.trailer.setdefault(k, v)
             prev = trailer.get("Prev")
             offset = int(prev) if isinstance(prev, (int, float)) else None
-            # hybrid-reference files: XRefStm points at an xref stream
-            xs = trailer.get("XRefStm")
-            if isinstance(xs, (int, float)) and int(xs) not in seen:
-                seen.add(int(xs))
-                st = self._parse_xref_stream(Lexer(self.data, int(xs)))
-                for k, v in st.items():
-                    self.trailer.setdefault(k, v)
 
-    def _parse_xref_table(self, lx: Lexer) -> PdfDict:
+    def _parse_xref_table(self, lx: Lexer, out: dict | None = None) -> PdfDict:
         lx.expect(b"xref")
         while True:
             lx.skip_ws()
@@ -461,8 +468,9 @@ class PdfDocument:
                     # record free ("z") entries too: the Prev chain is walked
                     # newest-first, so a newer free entry must shadow an older
                     # revision's in-use entry (no object resurrection)
-                    if num not in self.xref:
-                        self.xref[num] = ("f", off) if typ == b"n" else ("z",)
+                    dst = self.xref if out is None else out
+                    if num not in dst:
+                        dst[num] = ("f", off) if typ == b"n" else ("z",)
                 # rows are 20 bytes, but be tolerant of 19/18-byte rows
                 nl = self.data.find(b"\n", lx.pos, lx.pos + 21)
                 lx.pos = nl + 1 if nl >= 0 else lx.pos + 20
