@@ -244,7 +244,11 @@ def extract_lists(pdf_bytes: bytes) -> list[dict]:
     """Structured list extraction (PageText.List, extractor/extractor.go:495):
     struct-tree L/LI/Lbl/LBody elements resolved to their marked-content
     text. Returns one dict per list: {items: [{label, body}]}. The span
-    stream is unchanged (list text flows through reading order as usual)."""
+    stream is unchanged (list text flows through reading order as usual).
+
+    Scope note: MCIDs are resolved through one document-wide map; documents
+    that REUSE mcid numbers on different pages would need /Pg-qualified
+    resolution (the reference's ParentTree is per page) — not yet wired."""
     out: list[dict] = []
     try:
         doc = PdfDocument(pdf_bytes, relaxed=True)
