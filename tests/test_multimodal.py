@@ -16,7 +16,10 @@ def test_media_table_extraction(spark):
         assert r["media_ref"].startswith("img_")
         assert r["kind"] == "image"
         assert r["n_bytes"] == len(r["payload"]) > 0
-        assert r["width"] == 8 and r["height"] == 8
+        if r["codec"] == "CCITTFaxDecode":  # fax class: bilevel scans
+            assert r["width"] in (64, 96) and r["height"] >= 8
+        else:
+            assert r["width"] == 8 and r["height"] == 8
     media.unpersist()
 
 

@@ -1324,6 +1324,11 @@ BENCH_MIX = [
 
 
 def _class_for(i: int, mix) -> str:
+    # default mix: the first len(FIXTURE_CLASSES) docs cover every class once
+    # (deterministic full-coverage floor for the roundtrip gate), the rest
+    # follow the weights
+    if mix is DEFAULT_MIX and i < len(FIXTURE_CLASSES):
+        return FIXTURE_CLASSES[i]
     total = sum(wt for _, wt in mix)
     r = (i * 2654435761 % 2**32) / 2**32 * total
     acc = 0.0
