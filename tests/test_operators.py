@@ -164,3 +164,12 @@ def test_ann_lsh_recall_bounds(spark):
     rows = ann_lsh_recall(spark, SF).collect()
     assert len(rows) == 8  # one row per query, even for empty buckets
     assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in rows)
+
+
+def test_ann_ivf_recall_floor(spark):
+    from unipdf_spark.operators.similarity import ann_ivf_recall
+
+    rows = ann_ivf_recall(spark, SF).collect()
+    assert len(rows) == 8
+    mean = sum(r["recall_at_k"] for r in rows) / len(rows)
+    assert mean >= 0.3, mean  # random vectors, nprobe=4/16 clusters

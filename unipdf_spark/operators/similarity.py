@@ -225,6 +225,28 @@ ORDER BY b.query_id
 """
 
 
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF scale path vs the exact bruteforce baseline,
+    per query (rows-only: the codebook comes from a driver-side k-means
+    fit, so no SQL analog — the recall floor is asserted in tests)."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
+    iv = (
+        ann_ivf_topk(spark, sf_dir)
+        .select("query_id", "cand_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        bf.join(iv, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(TOP_K), 4
+            ).alias("recall_at_k")
+        )
+        .orderBy("query_id")
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (scale path #2): a k-means coarse quantizer trained on a
     bounded driver-side sample assigns every vector to a cluster; queries
@@ -384,6 +406,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_recall": ann_lsh_recall,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_recall": ann_ivf_recall,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "label_centroids": label_centroids,
 }
@@ -394,5 +417,5 @@ ORACLES = {
     "ann_lsh_recall": ANN_LSH_RECALL_SQL,
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
     "label_centroids": CENTROID_SQL,
-    # ann_ivf_topk: codebook from a driver-side k-means fit → rows-only
+    # ann_ivf_topk / ann_ivf_recall: driver-side k-means fit → rows-only
 }
