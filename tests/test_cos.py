@@ -217,3 +217,78 @@ def test_hybrid_xrefstm_wins_over_table_free_entry():
             + b" >>\nstartxref\n" + str(xref_pos).encode() + b"\n%%EOF\n")
     doc = PdfDocument(bytes(out))
     assert doc.get_object(4) == b"hybrid value"
+
+
+def _spec_hash2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """Third, structurally independent Algorithm 2.B transcription
+    (ISO 32000-2 §7.6.4.3.4, step-by-step as written in the spec text).
+    Exists so an engine/fixture-writer bug pair can't cancel out."""
+    import hashlib as H
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    digest = H.sha256(pw + salt + udata).digest()  # step a: K = SHA-256 input hash
+    round_no = 0
+    while True:
+        round_no += 1
+        # step b.1: K1 = 64 repetitions of (password || K || udata)
+        k1 = b"".join([pw + digest + udata for _ in range(64)])
+        # step b.2: E = AES-128-CBC-NoPad(key=K[0:16], iv=K[16:32], K1)
+        enc = Cipher(algorithms.AES(digest[:16]), modes.CBC(digest[16:32])).encryptor()
+        e_bytes = enc.update(k1) + enc.finalize()
+        # step b.3: modulo-3 of the first 16 bytes of E picks the next hash
+        remainder = sum(e_bytes[0:16]) % 3
+        if remainder == 0:
+            digest = H.sha256(e_bytes).digest()
+        elif remainder == 1:
+            digest = H.sha384(e_bytes).digest()
+        else:
+            digest = H.sha512(e_bytes).digest()
+        # step c: repeat until round >= 64 AND last byte of E <= round - 32
+        if round_no >= 64 and e_bytes[len(e_bytes) - 1] <= round_no - 32:
+            return digest[:32]
+
+
+def test_hash2b_engine_writer_and_spec_transcription_agree():
+    from unipdf_spark.pdf.crypt import hash_2b, hash_r
+    from unipdf_spark.fixtures.render import _w_hash2b
+
+    cases = [
+        (b"", bytes(range(8)), b""),
+        (b"user", b"saltsalt", b"U" * 48),
+        (b"\xf0\x9f\x94\x92", b"\x00" * 8, b"x" * 48),
+    ]
+    for pw, salt, ud in cases:
+        spec = _spec_hash2b(pw, salt, ud)
+        assert hash_2b(pw, salt, ud) == spec
+        assert _w_hash2b(pw, salt, ud) == spec
+    # Frozen known-answer regression anchors (computed from the spec
+    # transcription above; any future drift in either implementation fails):
+    assert hash_2b(b"", bytes(range(8)), b"").hex() == (
+        "1403c04eb647d2e60452dfc4eb0a5e0cf322e8a83a759eabbd17d498a93ba041")
+    assert hash_2b(b"user", b"saltsalt", b"U" * 48).hex() == (
+        "f964f8f205307d93e9a83aef323e6fc81f1e0ecf36b979c68cec08927a66af59")
+    # R5 KDF is a single SHA-256, not the iterated 2.B (reference alg2b R==5).
+    import hashlib
+    assert hash_r(b"", b"saltsalt", b"", 5) == hashlib.sha256(b"saltsalt").digest()
+    assert hash_r(b"", b"saltsalt", b"", 6) == hash_2b(b"", b"saltsalt", b"")
+
+
+def test_r5_document_decrypts_with_single_sha256_kdf():
+    # Build R5 handler params writer-side with the single-SHA-256 KDF and
+    # check StdSecurityHandler validates /U and unwraps the file key.
+    import hashlib
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+    from unipdf_spark.pdf.crypt import StdSecurityHandler
+
+    file_key = hashlib.sha256(b"r5-file-key").digest()
+    vs_u, ks_u = b"VALSALT!", b"KEYSALT!"
+    u = hashlib.sha256(b"" + vs_u).digest() + vs_u + ks_u
+    inter = hashlib.sha256(b"" + ks_u).digest()
+    enc = Cipher(algorithms.AES(inter), modes.CBC(b"\x00" * 16)).encryptor()
+    ue = enc.update(file_key) + enc.finalize()
+    h = StdSecurityHandler(
+        {"V": 5, "R": 5, "Length": 256, "U": u, "UE": ue, "O": b"", "OE": b"",
+         "P": -44, "StmF": "StdCF", "StrF": "StdCF",
+         "CF": {"StdCF": {"CFM": "AESV3", "Length": 32}}},
+        b"")
+    assert h.key == file_key

@@ -61,3 +61,37 @@ def test_thumbnails_schema_and_bounds(spark):
     for r in rows:
         assert r["thumb_w"] <= 4 and r["thumb_h"] <= 4
         assert isinstance(r["thumb"], (bytes, bytearray))
+
+
+def test_bilevel_blackis1_ink_ratio_invariant(spark):
+    """/BlackIs1 only flips the decoded bit convention; ink_ratio (fraction
+    of BLACK pixels) must be identical either way (ADVICE r2 fix)."""
+    import pandas as pd
+
+    from unipdf_spark.fixtures.render import ccitt_g4_encode
+
+    cols, nrows = 64, 8
+    rows = [[(x + r) % 4 == 0 for x in range(cols)] for r in range(nrows)]
+    true_black = sum(sum(r) for r in rows) / (cols * nrows)
+    payload = ccitt_g4_encode(rows, cols)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": ["img_a", "img_b"],
+                "doc_id": ["d", "d"],
+                "kind": ["image", "image"],
+                "payload": [payload, payload],
+                "width": [cols, cols],
+                "height": [nrows, nrows],
+                "n_bytes": [len(payload)] * 2,
+                "codec": ["CCITTFaxDecode"] * 2,
+                "ccitt_k": [-1, -1],
+                "blackis1": [False, True],
+            }
+        ),
+        schema=mm.MEDIA_SCHEMA,
+    )
+    out = {r["media_ref"]: r for r in mm.bilevel_features(media).collect()}
+    assert out["img_a"]["decode_ok"] and out["img_b"]["decode_ok"]
+    assert abs(out["img_a"]["ink_ratio"] - true_black) < 1e-6
+    assert abs(out["img_b"]["ink_ratio"] - true_black) < 1e-6

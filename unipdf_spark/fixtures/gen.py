@@ -911,13 +911,17 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         from .render import ccitt_g4_encode
 
         data = ccitt_g4_encode(rows, cols)
+        # Second image per doc declares /BlackIs1 true: the encoded run
+        # stream is identical (runs are color-relative), only the decoded
+        # bit convention flips — exercises the blackis1 plumbing end-to-end.
+        b1 = b" /BlackIs1 true" if key % 2 == 1 else b""
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width " + str(cols).encode()
             + b" /Height " + str(len(rows)).encode()
             + b" /ColorSpace /DeviceGray /BitsPerComponent 1 "
             b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns "
             + str(cols).encode() + b" /Rows " + str(len(rows)).encode()
-            + b" >> /Length " + str(len(data)).encode()
+            + b1 + b" >> /Length " + str(len(data)).encode()
             + b" >>\nstream\n" + data + b"\nendstream"
         )
         name = f"Im{key}"

@@ -83,7 +83,8 @@ def _w_hash2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
             e
         ).digest()
         rounds += 1
-        if rounds >= 64 and e[-1] <= rounds - 64:
+        # Spec exit (ISO 32000-2 §7.6.4.3.4): last byte of E <= rounds - 32.
+        if rounds >= 64 and e[-1] <= rounds - 32:
             return k[:32]
 
 

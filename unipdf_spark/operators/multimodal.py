@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, functions as F
 
 MEDIA_SCHEMA = (
     "media_ref string, doc_id string, kind string, payload binary, "
-    "width int, height int, n_bytes int, codec string, ccitt_k int"
+    "width int, height int, n_bytes int, codec string, ccitt_k int, "
+    "blackis1 boolean"
 )
 
 FEATURE_SCHEMA = (
@@ -69,16 +70,18 @@ def media_table_from_fixtures(spark, n_docs: int = 60, mix="default") -> DataFra
                     codec = str(filt if not isinstance(filt, list)
                                 else (filt[0] if filt else ""))
                     parms = doc.resolve(d.get("DecodeParms")) or {}
-                    k = int(doc.resolve(parms.get("K", 0)) or 0) \
-                        if isinstance(parms, dict) else 0
+                    if not isinstance(parms, dict):
+                        parms = {}
+                    k = int(doc.resolve(parms.get("K", 0)) or 0)
+                    b1 = bool(doc.resolve(parms.get("BlackIs1", False)))
                     rows.append(
                         (ref, doc_id, "image", obj.raw, w, h, len(obj.raw),
-                         codec, k)
+                         codec, k, b1)
                     )
             yield pd.DataFrame(
                 rows,
                 columns=["media_ref", "doc_id", "kind", "payload", "width",
-                         "height", "n_bytes", "codec", "ccitt_k"],
+                         "height", "n_bytes", "codec", "ccitt_k", "blackis1"],
             )
 
     return docs.mapInPandas(emit_media, schema=MEDIA_SCHEMA)
@@ -221,13 +224,15 @@ def bilevel_features(media: DataFrame) -> DataFrame:
 
         for b in batches:
             rows = []
-            for ref, doc_id, payload, w, h, k in zip(
+            for ref, doc_id, payload, w, h, k, b1 in zip(
                 b["media_ref"], b["doc_id"], b["payload"], b["width"],
-                b["height"], b["ccitt_k"],
+                b["height"], b["ccitt_k"], b["blackis1"],
             ):
                 try:
+                    black1 = bool(b1)
                     bits = decode_ccitt(
-                        bytes(payload), {"K": int(k), "Columns": int(w)}
+                        bytes(payload),
+                        {"K": int(k), "Columns": int(w), "BlackIs1": black1},
                     )
                     stride = (int(w) + 7) // 8
                     n_black = total = 0
@@ -235,7 +240,8 @@ def bilevel_features(media: DataFrame) -> DataFrame:
                         for x in range(int(w)):
                             bit = (bits[r * stride + (x >> 3)]
                                    >> (7 - (x & 7))) & 1
-                            n_black += 0 if bit else 1  # 0 = black
+                            # PDF default: 0 = black; /BlackIs1 inverts.
+                            n_black += bit if black1 else (1 - bit)
                             total += 1
                     rows.append((ref, doc_id, int(w), int(h),
                                  round(n_black / max(total, 1), 6), True))

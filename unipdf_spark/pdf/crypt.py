@@ -62,8 +62,18 @@ def hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
         m = sum(e[:16]) % 3
         k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[m](e).digest()
         i += 1
-        if i >= 64 and e[-1] <= i - 64:
+        # Spec exit: after 64 rounds, stop once the last byte of E is <= i-32
+        # (ISO 32000-2 §7.6.4.3.4; reference security.go alg2b).
+        if i >= 64 and e[-1] <= i - 32:
             return k[:32]
+
+
+def hash_r(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """Revision-dispatched KDF: R5 (deprecated AESV3) is a single
+    SHA-256(pw+salt+udata); R6 is the iterated Algorithm 2.B."""
+    if r == 5:
+        return hashlib.sha256(password + salt + udata).digest()
+    return hash_2b(password, salt, udata)
 
 
 def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
@@ -116,6 +126,7 @@ class StdSecurityHandler:
             self.str_cfm = _cfm(str(resolve(enc.get("StrF")) or "Identity"))
         if self.r >= 5:  # AES-256 handler (R5 deprecated / R6)
             self.key = self._file_key_r6(
+                self.r,
                 b"",
                 bytes(resolve(enc.get("U")) or b""),
                 bytes(resolve(enc.get("O")) or b""),
@@ -126,18 +137,19 @@ class StdSecurityHandler:
             self.key = self._file_key(b"")
 
     @staticmethod
-    def _file_key_r6(pw: bytes, u: bytes, o: bytes, ue: bytes, oe: bytes) -> bytes:
-        """R6 Algorithm 2.A (empty-password path): validate against /U (user)
-        or /O (owner), then unwrap the 32-byte file key from /UE or /OE
-        (security.go:127 semantics)."""
+    def _file_key_r6(r: int, pw: bytes, u: bytes, o: bytes, ue: bytes, oe: bytes) -> bytes:
+        """R5/R6 Algorithm 2.A (empty-password path): validate against /U
+        (user) or /O (owner), then unwrap the 32-byte file key from /UE or
+        /OE (security.go:127 semantics). R5 uses the single-SHA-256 KDF,
+        R6 the iterated Algorithm 2.B."""
         u48, o48 = u[:48], o[:48]
-        if len(u48) >= 48 and hash_2b(pw, u48[32:40], b"") == u48[:32]:
-            inter = hash_2b(pw, u48[40:48], b"")
+        if len(u48) >= 48 and hash_r(pw, u48[32:40], b"", r) == u48[:32]:
+            inter = hash_r(pw, u48[40:48], b"", r)
             return _aes_cbc_raw(inter, b"\x00" * 16, ue[:32], decrypt=True)
-        if len(o48) >= 48 and hash_2b(pw, o48[32:40], u48) == o48[:32]:
-            inter = hash_2b(pw, o48[40:48], u48)
+        if len(o48) >= 48 and hash_r(pw, o48[32:40], u48, r) == o48[:32]:
+            inter = hash_r(pw, o48[40:48], u48, r)
             return _aes_cbc_raw(inter, b"\x00" * 16, oe[:32], decrypt=True)
-        raise ValueError("R6: password validation failed (non-empty password?)")
+        raise ValueError("R5/R6: password validation failed (non-empty password?)")
 
     def _file_key(self, user_pw: bytes) -> bytes:
         n = max(5, self.length // 8)
