@@ -173,3 +173,96 @@ def test_ann_ivf_recall_floor(spark):
     assert len(rows) == 8
     mean = sum(r["recall_at_k"] for r in rows) / len(rows)
     assert mean >= 0.3, mean  # random vectors, nprobe=4/16 clusters
+
+
+def _nullspace_cloud(n, seed=7):
+    """n vectors that all share the 12-bit primary LSH signature (their
+    differences live in the nullspace of the first 12 hyperplanes) but have
+    near-zero pairwise cosine — the adversarial hot-block shape: coarse
+    blocking alone would put all n into ONE pandas group."""
+    import numpy as np
+
+    from unipdf_spark.operators.similarity import _W
+
+    w = np.asarray(_W, dtype="float64")  # 28 x 64
+    rng = np.random.default_rng(seed)
+    v0 = np.linalg.pinv(w[:12]) @ np.ones(12)  # W[:12] @ v0 == 1 (margin)
+    q, _ = np.linalg.qr(w[:12].T)  # orthonormal basis of the first-12 rowspace
+    vecs = []
+    for _ in range(n):
+        u = rng.normal(size=64) * 50.0
+        u -= q @ (q.T @ u)  # project out: W[:12] @ u == 0, sig12 unchanged
+        vecs.append(v0 + u)
+    return np.asarray(vecs)
+
+
+def test_embedding_near_dup_hot_block_bounded(spark):
+    """r2 VERDICT #1: >=10k vectors in ONE 12-bit block must (a) refine to
+    finer blocks instead of forming one giant group, (b) complete with the
+    chunked matmul, and (c) still report the planted duplicate pair."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from unipdf_spark.operators.similarity import (
+        BLOCK_CAP, _near_dup_blocked, _sig_range,
+    )
+
+    n = 10_000
+    vecs = _nullspace_cloud(n)
+    vecs[1] = vecs[0]  # planted exact duplicate (unsplittable by refinement)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(n), "embedding": [list(map(float, v)) for v in vecs]}
+        ),
+        schema="vec_id long, embedding array<float>",
+    ).repartition(8)
+
+    sig = df.select(_sig_range(F.col("embedding"), 0, 12).alias("s0"))
+    s0_counts = sig.groupBy("s0").count().collect()
+    assert max(r["count"] for r in s0_counts) == n > BLOCK_CAP  # one hot block
+
+    pairs = _near_dup_blocked(df).collect()
+    assert (0, 1) in {(r["vec_a"], r["vec_b"]) for r in pairs}
+    planted = [r for r in pairs if (r["vec_a"], r["vec_b"]) == (0, 1)]
+    assert planted[0]["cosine"] == 1.0
+    # the cloud itself is mutually dissimilar: no quadratic output blowup
+    assert len(pairs) < 50
+
+
+def test_embedding_near_dup_oracle_parity_with_planted_dups(spark, tmp_path):
+    """Non-trivial oracle check (the sf tables have zero qualifying pairs):
+    plant real near-dup pairs and compare Spark vs DuckDB row-for-row."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from unipdf_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    vecs = list(rng.normal(size=(300, 64)) * 3.0)
+    vecs.append(vecs[10].copy())                 # exact dup -> ids (10, 300)
+    vecs.append(vecs[20] + rng.normal(size=64) * 0.01)  # near dup (20, 301)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [[float(np.float32(x)) for x in v] for v in vecs],
+            "label": ["x"] * len(vecs),
+        }
+    )
+    spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = sorted(
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in sim.embedding_near_dup_pairs(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(sim.NEAR_DUP_SQL).fetchall()))
+    assert {(10, 300), (20, 301)} <= {(a, b) for a, b, _ in got}
+    assert got == want
