@@ -256,6 +256,49 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j
 
 
+def lsh_dropped_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps companion to minhash_lsh_pairs (r2 VERDICT #3):
+    every LSH band bucket larger than MAX_BUCKET — precisely the heavy
+    near-identical boilerplate clusters the pair query caps away — reported
+    as (band, band_hash, size, sample_doc_ids). A cleanup pipeline acts on
+    these cluster rows directly (keep min doc_id, drop the rest) instead of
+    needing the quadratic pair expansion.
+
+    Scale shape: the sample is the 8 smallest doc_ids via a window
+    row_number (spillable sort within the bucket partition), never a
+    collect_list over the full bucket."""
+    from pyspark.sql.window import Window
+
+    sig = minhash_signatures(spark, sf_dir)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            phash.fold(
+                [F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+            ).alias("band_hash"),
+        )
+        for b in range(N_HASHES // BAND_SIZE)
+    ])
+    band_tbl = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"),
+             F.col("bb.band_hash").alias("band_hash"))
+    dropped = (
+        band_tbl.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") > MAX_BUCKET)
+    )
+    members = band_tbl.join(dropped, ["band", "band_hash"])
+    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+    return (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .groupBy("band", "band_hash", "size")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("sample_doc_ids"))
+        .orderBy("band", "band_hash")
+    )
+
+
 _BANDS_SQL = "\n    UNION ALL ".join(
     f"SELECT doc_id, {b} AS band, "
     + phash.fold_sql([f"h{b * BAND_SIZE + r}" for r in range(BAND_SIZE)])
@@ -291,6 +334,34 @@ SELECT doc_a, doc_b,
 FROM cand
 JOIN sh sa ON sa.doc_id = cand.doc_a
 JOIN sh sb ON sb.doc_id = cand.doc_b
+"""
+
+LSH_DROPPED_SQL = f"""
+WITH {_SHINGLE_CTE},
+sig AS (
+    SELECT doc_id,
+           {_SIG_COLS_SQL}
+    FROM hs
+),
+bands AS (
+    {_BANDS_SQL}
+),
+dropped AS (
+    SELECT band, band_hash, COUNT(*) AS size FROM bands
+    GROUP BY band, band_hash
+    HAVING COUNT(*) > {MAX_BUCKET}
+),
+ranked AS (
+    SELECT b.band, b.band_hash, d.size, b.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY b.band, b.band_hash
+                              ORDER BY b.doc_id) AS rn
+    FROM bands b JOIN dropped d USING (band, band_hash)
+)
+SELECT band, band_hash, size,
+       LIST(doc_id ORDER BY doc_id) AS sample_doc_ids
+FROM ranked WHERE rn <= 8
+GROUP BY band, band_hash, size
+ORDER BY band, band_hash
 """
 
 
@@ -360,13 +431,44 @@ SELECT doc_id, simhash FROM fp
 """
 
 
-def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 15-bit-chunk Hamming blocking: docs sharing
-    any of the 4 chunk keys become candidates (Hamming ≤ 3 ⇒ at least one
-    chunk is untouched, by pigeonhole), then the exact Hamming distance
-    filters to ≤ 3. Same skew armor as LSH: chunk buckets are counted first
-    and capped at MAX_BUCKET before any pair generation."""
-    fp = simhash_fingerprints(spark, sf_dir).persist()  # referenced 3x below
+def _interleaved_subkey(simhash_col, sc: int):
+    """15-bit interleaved sub-chunk: bits {i : i % 4 == sc} of the 60-bit
+    fingerprint, packed. Orthogonal to the contiguous 15-bit chunks, so a
+    (chunk, sub-chunk) pair pins ~26 distinct bits."""
+    terms = [
+        F.shiftleft(
+            F.shiftright(simhash_col, 4 * j + sc).bitwiseAND(F.lit(1)), j
+        )
+        for j in range(15)
+    ]
+    return sum(terms[1:], terms[0])
+
+
+def _interleaved_subkey_sql(expr: str, sc: str) -> str:
+    terms = " + ".join(
+        f"((({expr} >> (4 * {j} + {sc})) & 1) << {j})" for j in range(15)
+    )
+    return f"({terms})"
+
+
+def _simhash_pairs_from_fp(fp: DataFrame) -> DataFrame:
+    """Pair generation over a (doc_id, simhash) frame — split out so skew
+    tests can feed synthetic fingerprints directly.
+
+    Hierarchical blocking (r2 VERDICT #2 fix — nothing is silently dropped):
+
+    * level 0 — 4 contiguous 15-bit chunks; Hamming ≤ 3 ⇒ ≥1 chunk untouched
+      (pigeonhole), so buckets with ≤ MAX_BUCKET members pair directly;
+    * level 1 — members of OVERSIZED chunk buckets are re-blocked by each of
+      4 interleaved 15-bit sub-chunks (bit i → class i mod 4): ≤ 3 diffs
+      also leave ≥1 interleaved class untouched, so the guarantee survives
+      refinement while the effective key grows to ~26 bits;
+    * level 2 — still-oversized sub-buckets block on the full fingerprint:
+      identical-simhash swarms (the boilerplate case) report ALL their
+      Hamming-0 pairs instead of vanishing. Only Hamming-1..3 pairs whose
+      EVERY eligible (chunk, sub-chunk) bucket is denser than MAX_BUCKET can
+      be missed — `simhash_saturated_blocks` reports exactly those blocks.
+    """
     chunk_structs = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),
@@ -382,16 +484,50 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "simhash",
         F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key"),
     )
-    ok = (
-        ch.groupBy("chunk", "key")
-        .agg(F.count("*").alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= MAX_BUCKET))
-        .select("chunk", "key")
+    cnt0 = ch.groupBy("chunk", "key").agg(F.count(F.lit(1)).alias("n0"))
+    ch0 = ch.join(cnt0, ["chunk", "key"])
+    lvl0 = ch0.filter((F.col("n0") >= 2) & (F.col("n0") <= MAX_BUCKET)).select(
+        "doc_id", "simhash",
+        F.concat_ws(":", F.lit("0"), F.col("chunk").cast("string"),
+                    F.col("key").cast("string")).alias("block"),
     )
-    bt = ch.join(ok, ["chunk", "key"])
+    hot = ch0.filter(F.col("n0") > MAX_BUCKET).select(
+        "doc_id", "simhash", "chunk", "key"
+    )
+    sub_structs = F.array(*[
+        F.struct(
+            F.lit(sc).alias("sc"),
+            _interleaved_subkey(F.col("simhash"), sc).alias("skey"),
+        )
+        for sc in range(4)
+    ])
+    sub = hot.select(
+        "doc_id", "simhash", "chunk", "key", F.explode(sub_structs).alias("ss")
+    ).select(
+        "doc_id", "simhash", "chunk", "key",
+        F.col("ss.sc").alias("sc"), F.col("ss.skey").alias("skey"),
+    )
+    cnt1 = sub.groupBy("chunk", "key", "sc", "skey").agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    sub1 = sub.join(cnt1, ["chunk", "key", "sc", "skey"])
+    lvl1 = sub1.filter(F.col("n1") <= MAX_BUCKET).select(
+        "doc_id", "simhash",
+        F.concat_ws(":", F.lit("1"), F.col("chunk").cast("string"),
+                    F.col("key").cast("string"), F.col("sc").cast("string"),
+                    F.col("skey").cast("string")).alias("block"),
+    )
+    lvl2 = sub1.filter(F.col("n1") > MAX_BUCKET).select(
+        "doc_id", "simhash",
+        F.concat_ws(":", F.lit("2"), F.col("chunk").cast("string"),
+                    F.col("key").cast("string"), F.col("sc").cast("string"),
+                    F.col("skey").cast("string"),
+                    F.col("simhash").cast("string")).alias("block"),
+    )
+    bt = lvl0.unionByName(lvl1).unionByName(lvl2)
     return (
         bt.alias("a")
-        .join(bt.alias("b"), ["chunk", "key"])
+        .join(bt.alias("b"), ["block"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -405,27 +541,123 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) with hierarchical chunk blocking
+    — see :func:`_simhash_pairs_from_fp` for the refinement scheme that
+    replaced round-2's silent drop of oversized buckets."""
+    return _simhash_pairs_from_fp(
+        simhash_fingerprints(spark, sf_dir).persist()
+    )
+
+
+# the same blocking, expressed with window counts (hierarchy ⇒ consistent)
+_SIMHASH_BLOCK_CTE = f"""
+chunks AS (
+    SELECT doc_id, simhash, c.c AS chunk,
+           (simhash >> (15 * c.c)) & 32767 AS key
+    FROM fp, RANGE(0, {SIM_CHUNKS}) c(c)
+),
+k0 AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY chunk, key) AS n0 FROM chunks
+),
+subs AS (
+    SELECT doc_id, simhash, chunk, key, s.s AS sc,
+           {_interleaved_subkey_sql('simhash', 's.s')} AS skey
+    FROM k0, RANGE(0, 4) s(s)
+    WHERE n0 > {MAX_BUCKET}
+),
+k1 AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY chunk, key, sc, skey) AS n1
+    FROM subs
+),
+blocks AS (
+    SELECT doc_id, simhash,
+           '0:' || chunk::VARCHAR || ':' || key::VARCHAR AS block
+    FROM k0 WHERE n0 BETWEEN 2 AND {MAX_BUCKET}
+    UNION ALL
+    SELECT doc_id, simhash,
+           '1:' || chunk::VARCHAR || ':' || key::VARCHAR || ':'
+               || sc::VARCHAR || ':' || skey::VARCHAR AS block
+    FROM k1 WHERE n1 <= {MAX_BUCKET}
+    UNION ALL
+    SELECT doc_id, simhash,
+           '2:' || chunk::VARCHAR || ':' || key::VARCHAR || ':'
+               || sc::VARCHAR || ':' || skey::VARCHAR || ':'
+               || simhash::VARCHAR AS block
+    FROM k1 WHERE n1 > {MAX_BUCKET}
+)"""
+
 SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CTE},
+{_SIMHASH_BLOCK_CTE},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM blocks a
+    JOIN blocks b ON a.block = b.block
+    WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {MAX_HAMMING}
+"""
+
+
+def simhash_saturated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps companion: every (chunk, key, sub-chunk) block
+    still denser than MAX_BUCKET after level-1 refinement — i.e. exactly
+    where Hamming-1..3 recall can degrade to exact-fingerprint matching.
+    Empty result ⇒ the pair query's ≤3-Hamming guarantee held everywhere."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    chunk_structs = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), 15 * c)
+            .bitwiseAND(F.lit(0x7FFF)).alias("key"),
+        )
+        for c in range(SIM_CHUNKS)
+    ])
+    ch = fp.select(
+        "doc_id", "simhash", F.explode(chunk_structs).alias("cc")
+    ).select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"),
+             F.col("cc.key").alias("key"))
+    cnt0 = ch.groupBy("chunk", "key").agg(F.count(F.lit(1)).alias("n0"))
+    hot = ch.join(cnt0.filter(F.col("n0") > MAX_BUCKET), ["chunk", "key"])
+    sub_structs = F.array(*[
+        F.struct(F.lit(sc).alias("sc"),
+                 _interleaved_subkey(F.col("simhash"), sc).alias("skey"))
+        for sc in range(4)
+    ])
+    sub = hot.select("chunk", "key", F.explode(sub_structs).alias("ss")).select(
+        "chunk", "key", F.col("ss.sc").alias("sc"), F.col("ss.skey").alias("skey")
+    )
+    return (
+        sub.groupBy("chunk", "key", "sc", "skey")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") > MAX_BUCKET)
+        .orderBy("chunk", "key", "sc", "skey")
+    )
+
+
+SIMHASH_SATURATED_SQL = f"""
 WITH {_SIMHASH_CTE},
 chunks AS (
     SELECT doc_id, simhash, c.c AS chunk,
            (simhash >> (15 * c.c)) & 32767 AS key
     FROM fp, RANGE(0, {SIM_CHUNKS}) c(c)
 ),
-ok AS (
-    SELECT chunk, key FROM chunks
-    GROUP BY chunk, key
-    HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+k0 AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY chunk, key) AS n0 FROM chunks
 ),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM chunks a
-    JOIN ok USING (chunk, key)
-    JOIN chunks b ON a.chunk = b.chunk AND a.key = b.key
-    WHERE a.doc_id < b.doc_id
+subs AS (
+    SELECT chunk, key, s.s AS sc,
+           {_interleaved_subkey_sql('simhash', 's.s')} AS skey
+    FROM k0, RANGE(0, 4) s(s)
+    WHERE n0 > {MAX_BUCKET}
 )
-SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {MAX_HAMMING}
+SELECT chunk, key, sc, skey, COUNT(*) AS size
+FROM subs
+GROUP BY chunk, key, sc, skey
+HAVING COUNT(*) > {MAX_BUCKET}
+ORDER BY chunk, key, sc, skey
 """
 
 
@@ -475,8 +707,10 @@ QUERIES = {
     "dedup_normalized": dedup_normalized,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "lsh_dropped_clusters": lsh_dropped_clusters,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    "simhash_saturated_blocks": simhash_saturated_blocks,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
 }
 
@@ -485,7 +719,9 @@ ORACLES = {
     "dedup_normalized": DEDUP_NORM_SQL,
     "minhash_signatures": MINHASH_SIG_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_SQL,
+    "lsh_dropped_clusters": LSH_DROPPED_SQL,
     "simhash_fingerprints": SIMHASH_SQL,
     "simhash_near_dup_pairs": SIMHASH_PAIRS_SQL,
+    "simhash_saturated_blocks": SIMHASH_SATURATED_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
 }
