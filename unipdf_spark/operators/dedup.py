@@ -41,7 +41,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on raw text hash; canonical = min(doc_id) per group."""
-    d = _docs(spark, sf_dir)
+    d = phash.spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark, heavy=False
+    )
     h = d.select("doc_id", F.md5("text").alias("text_hash"))
     groups = h.groupBy("text_hash").agg(
         F.min("doc_id").alias("canonical_doc_id"),
@@ -71,7 +73,9 @@ FROM h JOIN g USING (text_hash)
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-exact dedup after normalization (lowercase, strip punctuation,
     collapse whitespace) — catches trivially re-formatted duplicates."""
-    d = _docs(spark, sf_dir)
+    d = phash.spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark, heavy=False
+    )
     norm = F.trim(
         F.regexp_replace(
             F.lower(F.regexp_replace("text", r"[^A-Za-z0-9\s]", " ")), r"\s+", " "

@@ -235,8 +235,15 @@ def run_extraction(docs_pdf: DataFrame, partitions: int | None = None,
         spark = docs_pdf.sparkSession
         parts = partitions or spark.sparkContext.defaultParallelism
         df = salted_repartition(df, parts)
-    elif partitions and partitions != df.rdd.getNumPartitions():
-        pass  # keep input partitioning — no payload shuffle
+    elif partitions:
+        # honor the explicit partition request without a payload shuffle
+        # where possible: coalesce narrows (no exchange); growing the
+        # partition count genuinely requires a repartition exchange
+        cur = df.rdd.getNumPartitions()
+        if partitions < cur:
+            df = df.coalesce(partitions)
+        elif partitions > cur:
+            df = df.repartition(partitions)
     return df.mapInPandas(extract_batch, schema=schema.SPANS_OUT_DDL)
 
 
