@@ -239,8 +239,7 @@ ORDER BY b.query_id
 
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the IVF scale path vs the exact bruteforce baseline,
-    per query (rows-only: the codebook comes from a driver-side k-means
-    fit, so no SQL analog — the recall floor is asserted in tests)."""
+    per query — fully oracle-checked now that the codebook is literal."""
     bf = ann_bruteforce_topk(spark, sf_dir).select("query_id", "cand_id")
     iv = (
         ann_ivf_topk(spark, sf_dir)
@@ -259,65 +258,83 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF codebook: deterministic literal centroids (r2 VERDICT #10 — replaces
+# the driver-side k-means fit so assignment/probing are SQL-expressible and
+# the recall floor stays test-asserted). Same device as the hyperplane
+# weights: fixed pseudo-random literals inlined into BOTH engines' plans.
+K_IVF = 16
+NPROBE = 4
+_CENT = [
+    [phash.hyperplane_weight(100_000 + c * DIM + d) for d in range(DIM)]
+    for c in range(K_IVF)
+]
+_CENT_NORM2 = [sum(x * x for x in row) for row in _CENT]
+
+
+def _dot_lits(emb_col: Column, lits: list[float]) -> Column:
+    """dot(emb, literal vector) as a left fold — element order d = 0..63
+    matches DuckDB's LIST_DOT_PRODUCT exactly (proven-portable shape)."""
+    return F.aggregate(
+        F.zip_with(
+            emb_col,
+            F.array(*[F.lit(x) for x in lits]),
+            lambda x, wv: x.cast("double") * wv,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivf_scores(emb_col: Column) -> Column:
+    """Array of K_IVF cluster scores, argmin-equivalent to squared L2
+    distance: |e-c|² = |e|² - 2e·c + |c|², and |e|² is row-constant, so
+    score_c = |c|² - 2·(e·c) ranks clusters identically."""
+    return F.array(*[
+        F.lit(_CENT_NORM2[c]) - F.lit(2.0) * _dot_lits(emb_col, _CENT[c])
+        for c in range(K_IVF)
+    ])
+
+
+def _ivf_scores_sql(emb_expr: str) -> str:
+    terms = []
+    for c in range(K_IVF):
+        ws = ", ".join(repr(x) for x in _CENT[c])
+        terms.append(
+            f"({_CENT_NORM2[c]!r} - 2.0 * LIST_DOT_PRODUCT({emb_expr}, [{ws}]))"
+        )
+    return "[" + ", ".join(terms) + "]"
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (scale path #2): a k-means coarse quantizer trained on a
-    bounded driver-side sample assigns every vector to a cluster; queries
-    probe only the nprobe nearest clusters, so the scored candidate set is
-    ~nprobe/k of the corpus. At 10^9 vectors the assignment and scoring
-    stages are the same Arrow-batched numpy; only the (tiny) codebook is
-    driver-side. Engine-specific fit → rows-only check."""
-    import numpy as np
-    import pandas as pd
+    """IVF ANN (scale path #2): every vector is assigned to its nearest
+    codebook centroid; queries probe only the NPROBE nearest clusters, so
+    the scored candidate set is ~NPROBE/K_IVF of the corpus.
 
-    k, nprobe, iters = 16, 4, 5
-    e = _emb(spark, sf_dir)
-
-    # train the codebook on a bounded sample (standard IVF practice)
-    sample = np.stack(
-        e.select("embedding").limit(2048).toPandas()["embedding"].to_numpy()
-    ).astype("float64")
-    rng_idx = [(i * 2654435761) % len(sample) for i in range(k)]
-    cent = sample[rng_idx].copy()
-    for _ in range(iters):
-        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(k):
-            members = sample[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-    cent_list = [[float(x) for x in row] for row in cent]
-    bc = spark.sparkContext.broadcast(cent_list)
-
-    def assign_batch(batches):
-        c = np.asarray(bc.value)
-        for b in batches:
-            m = np.stack(b["embedding"].to_numpy()).astype("float64")
-            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            order = np.argsort(d2, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": b["vec_id"],
-                    "embedding": b["embedding"],
-                    "cluster": order[:, 0],
-                    "probes": [list(map(int, o[:nprobe])) for o in order],
-                }
-            )
-
-    assigned = e.select("vec_id", "embedding").mapInPandas(
-        assign_batch,
-        "vec_id long, embedding array<float>, cluster int, probes array<int>",
-    )
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.explode("probes").alias("cluster"),
-    )
-    c = assigned.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"),
-        "cluster",
-    )
+    Scale shape: candidate assignment is argmin over a 16-score array —
+    pure map-side JVM expressions, NO shuffle for the 10⁹-row side (the
+    earlier window-rank formulation would have shuffled n×16 rows); only
+    the 8-row query side pays a (trivial) window for its probe list."""
     from pyspark.sql.window import Window
 
+    e = _emb(spark, sf_dir)
+    s = e.select("vec_id", "embedding", _ivf_scores(F.col("embedding")).alias("scores"))
+    c = s.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        (F.array_position(F.col("scores"), F.array_min("scores")) - 1)
+        .cast("int").alias("cluster"),
+    )
+    qp = s.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.posexplode("scores").alias("cluster", "score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("score", "cluster")
+    q = (
+        qp.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "q_emb", "cluster")
+    )
     scored = (
         F.broadcast(q)
         .join(c, "cluster")
@@ -332,6 +349,47 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+s AS (SELECT vec_id, emb, {_ivf_scores_sql('emb')} AS scores FROM e),
+c AS (SELECT vec_id AS cand_id, emb AS c_emb,
+             (LIST_POSITION(scores, LIST_MIN(scores)) - 1)::INT AS cluster
+      FROM s WHERE vec_id >= {N_QUERIES}),
+qp AS (SELECT vec_id AS query_id, emb AS q_emb, (g.i - 1)::INT AS cluster,
+              scores[g.i] AS score
+       FROM s, RANGE(1, {K_IVF + 1}) g(i) WHERE vec_id < {N_QUERIES}),
+q AS (SELECT query_id, q_emb, cluster FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY score, cluster) AS rn FROM qp)
+      WHERE rn <= {NPROBE}),
+scored AS (
+    SELECT query_id, cand_id,
+           ROUND(LIST_DOT_PRODUCT(q_emb, c_emb) /
+                 (SQRT(LIST_DOT_PRODUCT(q_emb, q_emb)) *
+                  SQRT(LIST_DOT_PRODUCT(c_emb, c_emb))), 6) AS cosine
+    FROM q JOIN c USING (cluster)
+)
+SELECT query_id, cand_id, cosine, rank
+FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+ANN_IVF_RECALL_SQL = f"""
+SELECT b.query_id,
+       ROUND(SUM(CASE WHEN l.cand_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / {TOP_K}, 4) AS recall_at_k
+FROM ({ANN_SQL}) b
+LEFT JOIN ({ANN_IVF_SQL}) l
+  ON b.query_id = l.query_id AND b.cand_id = l.cand_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
 
 
 def _near_dup_blocked(e: DataFrame) -> DataFrame:
@@ -492,7 +550,8 @@ ORACLES = {
     "ann_bruteforce_topk": ANN_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
     "ann_lsh_recall": ANN_LSH_RECALL_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
+    "ann_ivf_recall": ANN_IVF_RECALL_SQL,
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
     "label_centroids": CENTROID_SQL,
-    # ann_ivf_topk / ann_ivf_recall: driver-side k-means fit → rows-only
 }
