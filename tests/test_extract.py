@@ -209,3 +209,25 @@ def test_symbol_and_zapf_builtin_encodings():
     zap = load_font(_Doc(), {"Subtype": "Type1", "BaseFont": "ZapfDingbats"})
     assert zap.charcode_to_unicode(0x21) == ("✁", False)
     assert zap.charcode_to_unicode(0x6C) == ("●", False)
+
+
+def test_cid_w_applies_through_embedded_cmap_cid_mapping():
+    """Type0 /W arrays are CID-keyed; a non-identity embedded-CMap cidrange
+    must route charcode->CID before width lookup (model/model.go:2506)."""
+    from unipdf_spark.pdf.fonts import CMap, Font
+
+    cmap = CMap.parse(
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 begincidrange\n<20> <7E> <0064>\nendcidrange\n"  # cid = code + 68
+    )
+    f = Font()
+    f.is_cid = True
+    f.cid_map = cmap.cid_map
+    f.widths = {100 + i: 400.0 + i for i in range(0x5F)}  # keyed by CID
+    assert cmap.cid_map[0x20] == 100
+    assert f.charcode_width(0x20) == 400.0          # cid 100
+    assert f.charcode_width(0x21) == 401.0          # cid 101
+    f2 = Font()
+    f2.is_cid = True                                 # identity (no cid_map)
+    f2.widths = {0x20: 777.0}
+    assert f2.charcode_width(0x20) == 777.0

@@ -268,6 +268,10 @@ class Font:
         self.default_width = DEFAULT_WIDTH
         self.name = ""
         self.predef_mode: str | None = None  # 'identity' | 'ucs2' | 'utf16'
+        # charcode→CID for Type0 width lookup (model/model.go:2506): from an
+        # embedded CMap's cidrange entries; identity for Identity-H/V and
+        # (approximation, documented) the predefined Uni*-UCS2/UTF16 forms
+        self.cid_map: dict[int, int] = {}
         self.is_type3 = False
         self.font_matrix_scale = 0.001  # Type3 uses 1.0 (renderText e:356)
         self._u_cache: dict[int, tuple[str, bool]] = {}
@@ -315,7 +319,11 @@ class Font:
         return res
 
     def charcode_width(self, code: int) -> float:
-        """Glyph-space width (units of 1/1000 text space; Type3 exempt)."""
+        """Glyph-space width (units of 1/1000 text space; Type3 exempt).
+        Type0 /W arrays are keyed by CID, so the charcode goes through the
+        encoding CMap's cid mapping first (identity when absent)."""
+        if self.is_cid:
+            code = self.cid_map.get(code, code)
         w = self.widths.get(code)
         if w is not None:
             return w
@@ -391,6 +399,7 @@ def load_font(doc, font_dict) -> Font:
         # Identity-H/V: 2-byte identity codespace; embedded CMap streams parsed
         if hasattr(enc, "decoded"):
             enc_cmap = CMap.parse(enc.decoded(r))
+            f.cid_map = enc_cmap.cid_map  # /W is CID-keyed (model:2506)
             if f.to_unicode is None:
                 f.to_unicode = enc_cmap
             else:
