@@ -231,3 +231,96 @@ def test_cid_w_applies_through_embedded_cmap_cid_mapping():
     f2.is_cid = True                                 # identity (no cid_map)
     f2.widths = {0x20: 777.0}
     assert f2.charcode_width(0x20) == 777.0
+
+
+def _mini_ttf(upem=2048, advances=(1000, 1100, 1229, 1366), chars="ABC"):
+    """Build a minimal sfnt: head + hhea + hmtx + cmap(format 4, (3,1)).
+    GID i+1 maps to chars[i]; GID 0 = .notdef."""
+    import struct
+
+    head = bytearray(54)
+    struct.pack_into(">H", head, 18, upem)
+    n_gl = len(advances)
+    hhea = bytearray(36)
+    struct.pack_into(">H", hhea, 34, n_gl)
+    hmtx = b"".join(struct.pack(">Hh", a, 0) for a in advances)
+    # cmap format 4: one segment per char + terminator segment
+    segs = [(ord(c), ord(c), (i + 1 - ord(c)) & 0xFFFF)
+            for i, c in enumerate(chars)] + [(0xFFFF, 0xFFFF, 1)]
+    n_seg = len(segs)
+    sub = struct.pack(">HHHHHHH", 4, 16 + 8 * n_seg, 0, n_seg * 2,
+                      2 ** (n_seg.bit_length() - 1) * 2, n_seg.bit_length() - 1,
+                      0)
+    sub += b"".join(struct.pack(">H", e) for e, _, _ in segs)
+    sub += b"\x00\x00"  # reservedPad
+    sub += b"".join(struct.pack(">H", s) for _, s, _ in segs)
+    sub += b"".join(struct.pack(">H", d) for _, _, d in segs)
+    sub += b"\x00\x00" * n_seg  # idRangeOffset = 0
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+    tabs = [(b"cmap", bytes(cmap)), (b"head", bytes(head)),
+            (b"hhea", bytes(hhea)), (b"hmtx", hmtx)]
+    out = bytearray(struct.pack(">IHHHH", 0x00010000, len(tabs), 0, 0, 0))
+    off = 12 + 16 * len(tabs)
+    dir_ = bytearray()
+    body = bytearray()
+    for tag, data in tabs:
+        dir_ += tag + struct.pack(">III", 0, off, len(data))
+        body += data
+        off += len(data)
+    return bytes(out + dir_ + body)
+
+
+def test_truetype_cmap_and_hmtx_widths():
+    from unipdf_spark.pdf.truetype import TtfFont
+
+    ttf = TtfFont.parse(_mini_ttf())
+    assert ttf.units_per_em == 2048
+    assert ttf.cmap == {ord("A"): 1, ord("B"): 2, ord("C"): 3}
+    # GID 0 is .notdef; "B" is GID 2 -> advance 1229, scaled to 1000/em
+    assert abs(ttf.char_width("B", 0x42) - 1229 * 1000 / 2048) < 1e-9
+    assert ttf.char_width("Z", 0x5A) is None
+
+
+def test_widthless_truetype_font_uses_embedded_hmtx():
+    """Simple TrueType with no /Widths and a non-std-14 name: advances come
+    from the embedded FontFile2 (textencoding.go:104 / model:3340 path)."""
+    import zlib
+
+    from unipdf_spark.pdf.cos import Stream
+    from unipdf_spark.pdf.fonts import load_font
+
+    ttf_bytes = _mini_ttf()
+
+    class _Doc:
+        def resolve(self, o):
+            return o
+
+    raw = zlib.compress(ttf_bytes)
+    ff2 = Stream({"Filter": "FlateDecode", "Length": len(raw)}, raw)
+    fd = {
+        "Subtype": "TrueType", "BaseFont": "XYZCustomFont",
+        "Encoding": "WinAnsiEncoding",
+        "FontDescriptor": {"FontFile2": ff2},
+    }
+    f = load_font(_Doc(), fd)
+    assert f.ttf is not None
+    assert abs(f.charcode_width(ord("A")) - 1100 * 1000 / 2048) < 1e-9
+    assert abs(f.charcode_width(ord("C")) - 1366 * 1000 / 2048) < 1e-9
+
+
+def test_std14_widths_for_widthless_basefonts():
+    from unipdf_spark.pdf.fonts import load_font
+
+    class _Doc:
+        def resolve(self, o):
+            return o
+
+    f = load_font(_Doc(), {"Subtype": "Type1", "BaseFont": "Times-Roman",
+                           "Encoding": "WinAnsiEncoding"})
+    assert f.charcode_width(ord("a")) == 444.0  # Times-Roman AFM
+    assert f.charcode_width(ord(" ")) == 250.0
+    fb = load_font(_Doc(), {"Subtype": "Type1",
+                            "BaseFont": "ABCDEF+Helvetica-Bold"})
+    assert fb.charcode_width(ord("a")) == 556.0
+    fc = load_font(_Doc(), {"Subtype": "Type1", "BaseFont": "Courier-Oblique"})
+    assert fc.charcode_width(ord("W")) == 600.0 == fc.charcode_width(ord("i"))

@@ -53,6 +53,26 @@ _W = {
     "t": 278, "u": 556, "v": 500, "w": 722, "x": 500, "y": 500, "z": 500,
     "{": 334, "|": 260, "}": 334, "~": 584,
 }
+# Times-Bold ASCII widths (public Adobe AFM data) — used by the std14
+# class, whose font dict deliberately omits /Widths: the ENGINE must
+# supply these from its Standard-14 tables for spans to line up.
+_W_TIMES_BOLD = {
+    ' ': 250, '!': 333, '"': 555, '#': 500, '$': 500, '%': 1000, '&': 833,
+    "'": 278, '(': 333, ')': 333, '*': 500, '+': 570, ',': 250, '-': 333,
+    '.': 250, '/': 278, '0': 500, '1': 500, '2': 500, '3': 500, '4': 500,
+    '5': 500, '6': 500, '7': 500, '8': 500, '9': 500, ':': 333, ';': 333,
+    '<': 570, '=': 570, '>': 570, '?': 500, '@': 930, 'A': 722, 'B': 667,
+    'C': 722, 'D': 722, 'E': 667, 'F': 611, 'G': 778, 'H': 778, 'I': 389,
+    'J': 500, 'K': 778, 'L': 667, 'M': 944, 'N': 722, 'O': 778, 'P': 611,
+    'Q': 778, 'R': 722, 'S': 556, 'T': 667, 'U': 722, 'V': 722, 'W': 1000,
+    'X': 722, 'Y': 722, 'Z': 667, '[': 333, '\\': 278, ']': 333, '^': 581,
+    '_': 500, '`': 333, 'a': 500, 'b': 556, 'c': 444, 'd': 556, 'e': 444,
+    'f': 333, 'g': 500, 'h': 556, 'i': 278, 'j': 333, 'k': 556, 'l': 278,
+    'm': 833, 'n': 556, 'o': 500, 'p': 556, 'q': 556, 'r': 444, 's': 389,
+    't': 333, 'u': 556, 'v': 500, 'w': 722, 'x': 500, 'y': 500, 'z': 444,
+    '{': 394, '|': 220, '}': 394, '~': 520,
+}
+
 LIG_CODE = 192  # /Differences slot for the fi ligature (tagged class)
 LIG_WIDTH = 500
 
@@ -73,7 +93,7 @@ FIXTURE_CLASSES = [
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
     "gridtable", "macroman", "wstable", "cid_predefined", "encrypted_aes256",
-    "invisible", "tagged_list", "fax",
+    "invisible", "tagged_list", "fax", "std14",
 ]
 
 
@@ -94,6 +114,11 @@ def _text_w(s: str, fs: float, tc: float = 0.0, th: float = 1.0,
     if font == "F3":
         return sum(
             (T3_W / 1000.0 * fs + tc + (tw if c == " " else 0.0)) for c in s
+        ) * th
+    if font == "F6":  # std14 class: Times-Bold AFM metrics, no /Widths
+        return sum(
+            (_W_TIMES_BOLD.get(c, 500) / 1000.0 * fs + tc
+             + (tw if c == " " else 0.0)) for c in s
         ) * th
     return sum(
         (_char_w(c) / 1000.0 * fs + tc + (tw if c == " " else 0.0)) for c in s
@@ -500,6 +525,14 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
             plan.blocks.append(p)
         return plan
 
+    if fixture_class == "std14":
+        # Standard-14 metrics: /BaseFont /Times-Bold with NO /Widths — the
+        # engine must supply AFM advances (GetCharMetrics model:3340 path)
+        for _ in range(rng.randint(2, 4)):
+            p, v = _para(rng, MARGIN, v, width, (5, 12), font="F6")
+            plan.blocks.append(p)
+        return plan
+
     if fixture_class == "invisible":
         # visible body + white-on-white and render-mode-3 paragraphs (the
         # classic keyword-spam shape). The reference extracts invisible text
@@ -843,6 +876,15 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             + widths4 + b" ] >>"
         )
         font_res += b"/F4 " + str(f4).encode() + b" 0 R "
+
+    # Standard-14 font (F6): /Times-Bold with NO /Widths — exercises the
+    # engine's AFM metric tables (std14 class)
+    if any(isinstance(b, ParaPlan) and b.font == "F6" for b in plan.blocks):
+        f6 = w.add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Times-Bold "
+            b"/Encoding /WinAnsiEncoding >>"
+        )
+        font_res += b"/F6 " + str(f6).encode() + b" 0 R "
 
     # Type3 font (glyph procs; FontMatrix 0.001; ToUnicode for text)
     used_t3: set[int] = set()
@@ -1322,7 +1364,7 @@ DEFAULT_MIX = [
     ("type3", 3), ("bidi", 3), ("annot", 3), ("encrypted", 3), ("rules", 3),
     ("incremental", 2), ("gridtable", 2), ("macroman", 3), ("wstable", 2),
     ("cid_predefined", 3), ("encrypted_aes256", 2), ("invisible", 2),
-    ("tagged_list", 2), ("fax", 2),
+    ("tagged_list", 2), ("fax", 2), ("std14", 3),
 ]
 
 BENCH_MIX = [

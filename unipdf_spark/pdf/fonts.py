@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import re
 
+from . import std14, truetype
 from .symbol_enc import SYMBOL, ZAPF_DINGBATS
 
 # --- simple encodings -------------------------------------------------------
@@ -274,6 +275,12 @@ class Font:
         self.cid_map: dict[int, int] = {}
         self.is_type3 = False
         self.font_matrix_scale = 0.001  # Type3 uses 1.0 (renderText e:356)
+        # builtin metrics for /Widths-less simple fonts: a Standard-14 AFM
+        # table selected by BaseFont (GetCharMetrics model/model.go:3340),
+        # the Courier 600 flat, or advances from an embedded TrueType hmtx
+        self.builtin_widths: dict[str, int] | None = None
+        self.builtin_flat: float | None = None
+        self.ttf: "truetype.TtfFont | None" = None
         self._u_cache: dict[int, tuple[str, bool]] = {}
 
     # decode chain ----------------------------------------------------------
@@ -327,9 +334,23 @@ class Font:
         w = self.widths.get(code)
         if w is not None:
             return w
+        if self.builtin_flat is not None:
+            return self.builtin_flat
         u = self.encoding_map.get(code)
-        if u is not None and u in _HELV:
-            return float(_HELV[u])
+        if u is not None:
+            table = self.builtin_widths
+            if table is not None and u in table:
+                return float(table[u])
+            if self.ttf is not None:
+                tw = self.ttf.char_width(u, code)
+                if tw is not None:
+                    return tw
+            if u in _HELV:  # generic sans default for unknown base fonts
+                return float(_HELV[u])
+        elif self.ttf is not None:
+            tw = self.ttf.char_width(None, code)
+            if tw is not None:
+                return tw
         return self.default_width
 
 
@@ -479,6 +500,23 @@ def load_font(doc, font_dict) -> Font:
             w = r(w)
             if isinstance(w, (int, float)):
                 f.widths[first + i] = float(w) * (t3 if t3 is not None else 1.0)
+    elif not f.is_type3:
+        # no /Widths: Standard-14 AFM metrics by BaseFont, else an embedded
+        # TrueType's hmtx advances (GetCharMetrics model/model.go:3340,
+        # TrueType cmap decode textencoding.go:104)
+        if std14.is_courier(f.name):
+            f.builtin_flat = float(std14.COURIER_WIDTH)
+        else:
+            f.builtin_widths = std14.widths_for_basefont(f.name)
+        if f.builtin_widths is None and f.builtin_flat is None:
+            fdesc = r(fd.get("FontDescriptor"))
+            if isinstance(fdesc, dict):
+                ff2 = r(fdesc.get("FontFile2"))
+                if hasattr(ff2, "decoded"):
+                    try:
+                        f.ttf = truetype.TtfFont.parse(ff2.decoded(r))
+                    except Exception:
+                        f.ttf = None
     return f
 
 
