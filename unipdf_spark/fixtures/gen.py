@@ -93,7 +93,7 @@ FIXTURE_CLASSES = [
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
     "gridtable", "macroman", "wstable", "cid_predefined", "encrypted_aes256",
-    "invisible", "tagged_list", "fax", "std14",
+    "invisible", "tagged_list", "fax", "std14", "tagged_pg",
 ]
 
 
@@ -1104,6 +1104,8 @@ def make_doc(doc_id: str, fixture_class: str, seed: int = 42
         return _make_incremental_doc(doc_id, seed)
     if fixture_class == "tagged_list":
         return _make_tagged_list_doc(doc_id, seed)
+    if fixture_class == "tagged_pg":
+        return _make_tagged_pg_doc(doc_id, seed)
     plan = _plan_doc(doc_id, fixture_class, seed)
     pdf, golden = render_doc(plan)
     return golden, pdf
@@ -1174,6 +1176,85 @@ def _make_tagged_list_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
         t = f"{label} {body}"
         golden.append({"kind": "text", "text": t, "media_ref": "", "offset": offset})
         offset += len(t)
+    return golden, pdf
+
+
+def _make_tagged_pg_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
+    """Two pages REUSING the same MCID numbers, disambiguated by /Pg
+    (ParentTree semantics, extractor/extractor.go:977 — r2 VERDICT missing
+    #5). Each page carries an ActualText paragraph under MCID 0 and a
+    one-item tagged list under MCIDs 1/2; a document-wide MCID map would
+    cross-wire the pages."""
+    rng = random.Random(f"{seed}:{doc_id}")
+    per_page = []
+    for p in range(2):
+        actual = f"replaced-{p} " + " ".join(
+            rng.choice(WORDS[:20]) for _ in range(rng.randint(2, 4)))
+        label = f"{p + 1}."
+        body = " ".join(rng.choice(WORDS[:20])
+                        for _ in range(rng.randint(2, 4)))
+        per_page.append((actual, label, body))
+
+    w = PdfFileWriter()
+    catalog = w.reserve()
+    pages = w.reserve()
+    page_nums = [w.reserve() for _ in range(2)]
+    widths_list = [int(_W.get(chr(c), 500)) for c in range(32, 127)]
+    f1 = w.add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding /FirstChar 32 /LastChar 126 /Widths [ "
+        + b" ".join(str(x).encode() for x in widths_list) + b" ] >>"
+    )
+    res = b"<< /Font << /F1 " + str(f1).encode() + b" 0 R >> >>"
+    for p, (actual, label, body) in enumerate(per_page):
+        content = bytearray(b"BT\n/F1 12 Tf\n")
+        # MCID 0: shown glyphs are a placeholder; ActualText (struct tree,
+        # /Pg-qualified) replaces them
+        content += b"/P << /MCID 0 >> BDC\n1 0 0 1 72 700 Tm\n"
+        content += b"(PLACEHOLDER) Tj\nEMC\n"
+        # MCIDs 1/2: one-line list item (label + body, a word apart)
+        lw = sum(_W.get(ch, 500) for ch in label) / 1000.0 * 12.0
+        bx = 72.0 + lw + 3.2
+        content += b"/Lbl << /MCID 1 >> BDC\n1 0 0 1 72 650 Tm\n"
+        content += b"(" + esc_string(label) + b") Tj\nEMC\n"
+        content += b"/LBody << /MCID 2 >> BDC\n1 0 0 1 %g 650 Tm\n" % bx
+        content += b"(" + esc_string(body) + b") Tj\nEMC\nET\n"
+        cnum, _ = w.add_stream(b"", bytes(content), compress=True)
+        w.set_obj(page_nums[p], b"<< /Type /Page /Parent "
+                  + str(pages).encode() + b" 0 R /MediaBox [0 0 612 792] "
+                  b"/Resources " + res + b" /Contents "
+                  + str(cnum).encode() + b" 0 R >>")
+    w.set_obj(pages, b"<< /Type /Pages /Kids [ "
+              + b" ".join(b"%d 0 R" % n for n in page_nums)
+              + b" ] /Count 2 >>")
+
+    kids = []
+    for p, (actual, label, body) in enumerate(per_page):
+        pg_ref = b"%d 0 R" % page_nums[p]
+        para = w.add(b"<< /Type /StructElem /S /P /Pg " + pg_ref
+                     + b" /K 0 /ActualText (" + esc_string(actual) + b") >>")
+        lbl = w.add(b"<< /Type /StructElem /S /Lbl /Pg " + pg_ref
+                    + b" /K 1 >>")
+        lbody = w.add(b"<< /Type /StructElem /S /LBody /Pg " + pg_ref
+                      + b" /K 2 >>")
+        li = w.add(b"<< /Type /StructElem /S /LI /K [ %d 0 R %d 0 R ] >>"
+                   % (lbl, lbody))
+        l_elem = w.add(b"<< /Type /StructElem /S /L /K [ %d 0 R ] >>" % li)
+        kids += [para, l_elem]
+    st_root = w.add(b"<< /Type /StructTreeRoot /K [ "
+                    + b" ".join(b"%d 0 R" % k for k in kids) + b" ] >>")
+    w.set_obj(catalog, b"<< /Type /Catalog /Pages " + str(pages).encode()
+              + b" 0 R /StructTreeRoot " + str(st_root).encode()
+              + b" 0 R /MarkInfo << /Marked true >> >>")
+    pdf = w.build(catalog)
+
+    golden = []
+    offset = 0
+    for actual, label, body in per_page:
+        for t in (actual, f"{label} {body}"):
+            golden.append({"kind": "text", "text": t, "media_ref": "",
+                           "offset": offset})
+            offset += len(t)
     return golden, pdf
 
 
@@ -1364,7 +1445,7 @@ DEFAULT_MIX = [
     ("type3", 3), ("bidi", 3), ("annot", 3), ("encrypted", 3), ("rules", 3),
     ("incremental", 2), ("gridtable", 2), ("macroman", 3), ("wstable", 2),
     ("cid_predefined", 3), ("encrypted_aes256", 2), ("invisible", 2),
-    ("tagged_list", 2), ("fax", 2), ("std14", 3),
+    ("tagged_list", 2), ("fax", 2), ("std14", 3), ("tagged_pg", 2),
 ]
 
 BENCH_MIX = [

@@ -24,19 +24,45 @@ class ExtractResult:
     error: str | None = None
 
 
-def _struct_tree_actual_text(doc: PdfDocument) -> dict[int, str]:
-    """MCID → ActualText from the struct tree (StructTreeRoot,
-    model/model.go:3710; consumed at extractor/extractor.go:977)."""
-    out: dict[int, str] = {}
+def _page_index_of(doc: PdfDocument, pages: list) -> dict[int, int]:
+    """id(page dict) → page index. Object resolution is cached per document,
+    so a struct element's /Pg resolves to the SAME dict instance as the
+    pages() entry."""
+    return {id(p): i for i, p in enumerate(pages)}
+
+
+def _node_page(doc: PdfDocument, node: dict, page_of: dict[int, int],
+               inherited: int | None) -> int | None:
+    """/Pg-qualified page of a struct element (ParentTree semantics,
+    extractor/extractor.go:977): the element's own /Pg, else inherited from
+    the enclosing element, else None (matches any page — legacy documents
+    omitting /Pg keep the document-wide behavior)."""
+    pg = doc.resolve(node.get("Pg"))
+    if isinstance(pg, dict):
+        idx = page_of.get(id(pg))
+        if idx is not None:
+            return idx
+    return inherited
+
+
+def _struct_tree_actual_text(
+    doc: PdfDocument, page_of: dict[int, int]
+) -> dict[tuple[int | None, int], str]:
+    """(page, MCID) → ActualText from the struct tree (StructTreeRoot,
+    model/model.go:3710; consumed at extractor/extractor.go:977). MCIDs are
+    page-scoped: documents reusing MCID numbers across pages resolve through
+    the element's /Pg (r2 VERDICT missing #5)."""
+    out: dict[tuple[int | None, int], str] = {}
     try:
         cat = doc.catalog()
         root = doc.resolve(cat.get("StructTreeRoot"))
         if not isinstance(root, dict):
             return out
 
-        def walk(node, depth=0):
+        def walk(node, pg: int | None, depth=0):
             if depth > 64 or not isinstance(node, dict):
                 return
+            pg = _node_page(doc, node, page_of, pg)
             at = node.get("ActualText")
             k = doc.resolve(node.get("K"))
             if isinstance(k, (int, float)) and at is not None:
@@ -45,17 +71,17 @@ def _struct_tree_actual_text(doc: PdfDocument) -> dict[int, str]:
                     if isinstance(at, bytes) and at.startswith(b"\xfe\xff")
                     else (at.decode("latin-1") if isinstance(at, bytes) else str(at))
                 )
-                out[int(k)] = txt
+                out[(pg, int(k))] = txt
                 return
             kids = k if isinstance(k, list) else [k]
             for kid in kids:
                 kid = doc.resolve(kid)
                 if isinstance(kid, dict):
-                    walk(kid, depth + 1)
+                    walk(kid, pg, depth + 1)
                 elif isinstance(kid, (int, float)) and at is not None:
-                    out[int(kid)] = str(at)
+                    out[(pg, int(kid))] = str(at)
 
-        walk(root)
+        walk(root, None)
     except PdfError:
         pass
     return out
@@ -72,12 +98,19 @@ def extract_spans(pdf_bytes: bytes, dehyphenate: bool = True) -> ExtractResult:
         pages = doc.pages()
         if not pages:
             return ExtractResult([], 0, 0, "no pages")
-        mcid_at = _struct_tree_actual_text(doc)
+        mcid_at = _struct_tree_actual_text(doc, _page_index_of(doc, pages))
         all_spans: list[dict] = []
         n_misses = 0
         offset_base = 0
-        for page in pages:
-            interp = Interpreter(doc, page, mcid_actual_text=mcid_at)
+        for page_idx, page in enumerate(pages):
+            # page-scoped MCID view: /Pg-qualified entries for THIS page,
+            # plus unqualified (legacy) entries that match any page
+            page_at = {
+                mcid: txt
+                for (pg, mcid), txt in mcid_at.items()
+                if pg is None or pg == page_idx
+            }
+            interp = Interpreter(doc, page, mcid_actual_text=page_at)
             interp.run()
             spans = assemble_spans(interp.marks, interp.media, dehyphenate,
                                    rulings=interp.rulings)
@@ -168,30 +201,39 @@ def extract_page_inventory(pdf_bytes: bytes) -> list[dict]:
     return out
 
 
-def _collect_mcids(doc: PdfDocument, node, depth: int = 0) -> list[int]:
-    """All MCIDs under a struct element's /K (ints, MCR dicts, nested elems)."""
+_PgMcid = tuple[int | None, int]
+
+
+def _collect_mcids(doc: PdfDocument, node, page_of: dict[int, int],
+                   pg: int | None, depth: int = 0) -> list[_PgMcid]:
+    """All (page, MCID) pairs under a struct element's /K (ints, MCR dicts,
+    nested elems); MCR and nested elements may override /Pg."""
     if depth > 64:
         return []
     node = doc.resolve(node)
     if isinstance(node, (int, float)):
-        return [int(node)]
+        return [(pg, int(node))]
     if isinstance(node, list):
-        out: list[int] = []
+        out: list[_PgMcid] = []
         for kid in node:
-            out.extend(_collect_mcids(doc, kid, depth + 1))
+            out.extend(_collect_mcids(doc, kid, page_of, pg, depth + 1))
         return out
     if isinstance(node, dict):
+        pg = _node_page(doc, node, page_of, pg)
         if str(node.get("Type") or "") == "MCR" and "MCID" in node:
-            return [int(doc.resolve(node["MCID"]))]
+            return [(pg, int(doc.resolve(node["MCID"])))]
         if "K" in node:
-            return _collect_mcids(doc, node["K"], depth + 1)
+            return _collect_mcids(doc, node["K"], page_of, pg, depth + 1)
     return []
 
 
-def _struct_tree_lists(doc: PdfDocument) -> list[list[tuple[list[int], list[int]]]]:
+def _struct_tree_lists(
+    doc: PdfDocument, page_of: dict[int, int]
+) -> list[list[tuple[list[_PgMcid], list[_PgMcid]]]]:
     """Struct-tree /L list elements → [(label MCIDs, body MCIDs)] per list
-    (PageText.List, extractor/extractor.go:495: L → LI → Lbl + LBody)."""
-    lists: list[list[tuple[list[int], list[int]]]] = []
+    (PageText.List, extractor/extractor.go:495: L → LI → Lbl + LBody),
+    MCIDs /Pg-qualified."""
+    lists: list[list[tuple[list[_PgMcid], list[_PgMcid]]]] = []
     try:
         root = doc.resolve(doc.catalog().get("StructTreeRoot"))
     except PdfError:
@@ -199,44 +241,49 @@ def _struct_tree_lists(doc: PdfDocument) -> list[list[tuple[list[int], list[int]
     if not isinstance(root, dict):
         return lists
 
-    def walk(node, depth: int = 0) -> None:
+    def walk(node, pg: int | None, depth: int = 0) -> None:
         if depth > 64:
             return
         node = doc.resolve(node)
         if isinstance(node, list):
             for kid in node:
-                walk(kid, depth + 1)
+                walk(kid, pg, depth + 1)
             return
         if not isinstance(node, dict):
             return
+        pg = _node_page(doc, node, page_of, pg)
         if str(node.get("S") or "") == "L":
-            items: list[tuple[list[int], list[int]]] = []
+            items: list[tuple[list[_PgMcid], list[_PgMcid]]] = []
             kids = doc.resolve(node.get("K"))
             for li in kids if isinstance(kids, list) else [kids]:
                 li = doc.resolve(li)
                 if not isinstance(li, dict) or str(li.get("S") or "") != "LI":
                     continue
-                lbl: list[int] = []
-                body: list[int] = []
+                li_pg = _node_page(doc, li, page_of, pg)
+                lbl: list[_PgMcid] = []
+                body: list[_PgMcid] = []
                 lk = doc.resolve(li.get("K"))
                 for part in lk if isinstance(lk, list) else [lk]:
                     part = doc.resolve(part)
                     if not isinstance(part, dict):
                         continue
                     s = str(part.get("S") or "")
+                    p_pg = _node_page(doc, part, page_of, li_pg)
                     if s == "Lbl":
-                        lbl.extend(_collect_mcids(doc, part.get("K")))
+                        lbl.extend(
+                            _collect_mcids(doc, part.get("K"), page_of, p_pg))
                     elif s == "LBody":
-                        body.extend(_collect_mcids(doc, part.get("K")))
+                        body.extend(
+                            _collect_mcids(doc, part.get("K"), page_of, p_pg))
                 if lbl or body:
                     items.append((lbl, body))
             if items:
                 lists.append(items)
             return
         if "K" in node:
-            walk(node["K"], depth + 1)
+            walk(node["K"], pg, depth + 1)
 
-    walk(root)
+    walk(root, None)
     return lists
 
 
@@ -246,25 +293,35 @@ def extract_lists(pdf_bytes: bytes) -> list[dict]:
     text. Returns one dict per list: {items: [{label, body}]}. The span
     stream is unchanged (list text flows through reading order as usual).
 
-    Scope note: MCIDs are resolved through one document-wide map; documents
-    that REUSE mcid numbers on different pages would need /Pg-qualified
-    resolution (the reference's ParentTree is per page) — not yet wired."""
+    MCIDs are /Pg-qualified (ParentTree semantics, e:977): documents that
+    reuse MCID numbers on different pages resolve correctly; elements
+    without /Pg keep the legacy any-page behavior."""
     out: list[dict] = []
     try:
         doc = PdfDocument(pdf_bytes, relaxed=True)
-        lists = _struct_tree_lists(doc)
+        pages = doc.pages()
+        page_of = _page_index_of(doc, pages)
+        lists = _struct_tree_lists(doc, page_of)
         if not lists:
             return out
-        mcid_text: dict[int, str] = {}
-        for page in doc.pages():
+        mcid_text: dict[tuple[int, int], str] = {}
+        for page_idx, page in enumerate(pages):
             interp = Interpreter(doc, page)
             interp.run(include_annotations=False)
             for m in sorted(interp.marks, key=lambda m: m.op_index):
                 if m.mcid >= 0:
-                    mcid_text[m.mcid] = mcid_text.get(m.mcid, "") + m.text
+                    key = (page_idx, m.mcid)
+                    mcid_text[key] = mcid_text.get(key, "") + m.text
 
-        def text_of(mcids: list[int]) -> str:
-            return "".join(mcid_text.get(i, "") for i in mcids).strip()
+        def text_of(mcids: list[_PgMcid]) -> str:
+            parts: list[str] = []
+            for pg, i in mcids:
+                if pg is not None:
+                    parts.append(mcid_text.get((pg, i), ""))
+                else:  # unqualified: concatenate across pages in order
+                    parts.append("".join(
+                        mcid_text.get((p, i), "") for p in range(len(pages))))
+            return "".join(parts).strip()
 
         for items in lists:
             out.append(
