@@ -94,6 +94,7 @@ FIXTURE_CLASSES = [
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
     "gridtable", "macroman", "wstable", "cid_predefined", "encrypted_aes256",
     "invisible", "tagged_list", "fax", "std14", "tagged_pg",
+    "twotables",
 ]
 
 
@@ -435,6 +436,47 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         plan.table_golden = (
             f"{cellw[0]} {cellw[1]}\n{cellw[2]} {cellw[3]}"
         )
+        return plan
+
+    if fixture_class == "twotables":
+        # TWO tables on one page (r2 VERDICT missing #3): a ruled 2x2 grid
+        # up top and a whitespace-aligned 3x3 below, body text between —
+        # table_cells must return both with correct (table_idx, row, col)
+        p, v = _para(rng, MARGIN, v, width, (4, 7))
+        plan.blocks.append(p)
+        top = 640.0
+        xs = [MARGIN, MARGIN + 150.0, MARGIN + 300.0]
+        ys = [top, top - 40.0, top - 80.0]
+        for y in ys:
+            plan.blocks.append(RulePlan(x=xs[0], y=y, w=xs[-1] - xs[0]))
+        for x in xs:
+            plan.blocks.append(RulePlan(x=x, y=ys[-1], w=1.0, h=ys[0] - ys[-1]))
+        cellw = [rng.choice(WORDS[:20]) for _ in range(4)]
+        for r in range(2):
+            for c in range(2):
+                cp = ParaPlan(lines=[[Seg(cellw[r * 2 + c])]],
+                              x=xs[c] + 12.0, baselines=[ys[r] - 26.0])
+                cp.is_table_cell = True
+                cp.table_id = 0
+                plan.blocks.append(cp)
+        mid, _v2 = _para(rng, MARGIN, 520.0, width, (4, 7))
+        plan.blocks.append(mid)
+        n_r, n_c = 3, 3
+        xs2 = [MARGIN + 10.0 + c * 140.0 for c in range(n_c)]
+        ys2 = [430.0 - r * 40.0 for r in range(n_r)]
+        cellw2 = [[rng.choice(WORDS[:20]) for _ in range(n_c)]
+                  for _ in range(n_r)]
+        for r in range(n_r):
+            for c in range(n_c):
+                cp = ParaPlan(lines=[[Seg(cellw2[r][c])]], x=xs2[c],
+                              baselines=[ys2[r]])
+                cp.is_table_cell = True
+                cp.table_id = 1
+                plan.blocks.append(cp)
+        plan.table_goldens = {
+            0: f"{cellw[0]} {cellw[1]}\n{cellw[2]} {cellw[3]}",
+            1: "\n".join(" ".join(row) for row in cellw2),
+        }
         return plan
 
     if fixture_class == "rules":
@@ -1014,12 +1056,19 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             continue
         if isinstance(block, ParaPlan) and getattr(block, "is_table_cell", False):
             page_content[block.page] += _para_content(block, plan.theta)
-            if getattr(plan, "_table_emitted", False) is False:
-                t = plan.table_golden
+            tid = getattr(block, "table_id", 0)
+            emitted = getattr(plan, "_tables_emitted", None)
+            if emitted is None:
+                emitted = plan._tables_emitted = set()
+            if tid not in emitted:
+                goldens = getattr(plan, "table_goldens", None) or {
+                    0: plan.table_golden
+                }
+                t = goldens[tid]
                 golden.append({"kind": "text", "text": t, "media_ref": "",
                                "offset": offset})
                 offset += len(t)
-                plan._table_emitted = True
+                emitted.add(tid)
             continue
         if isinstance(block, ParaPlan):
             ops = _para_content(block, plan.theta)
@@ -1446,6 +1495,7 @@ DEFAULT_MIX = [
     ("incremental", 2), ("gridtable", 2), ("macroman", 3), ("wstable", 2),
     ("cid_predefined", 3), ("encrypted_aes256", 2), ("invisible", 2),
     ("tagged_list", 2), ("fax", 2), ("std14", 3), ("tagged_pg", 2),
+    ("twotables", 2),
 ]
 
 BENCH_MIX = [

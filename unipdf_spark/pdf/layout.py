@@ -321,27 +321,42 @@ class TablePara:
         return self._text
 
 
-def detect_grid_table(paras: list, h_rulings, v_rulings, rank: int):
-    """Grid-table detection (findGridTables, e:414): ≥2 horizontal and ≥2
-    vertical rulings forming a lattice; paragraphs inside the lattice become
-    cells addressed by their center point. Returns (table or None, rest)."""
+def _cluster_rulings(h_rulings, v_rulings, tol: float = 2.0):
+    """Connected components of intersecting rulings — each component is one
+    candidate lattice. The reference tiles EVERY ruling grid into its own
+    table (findGridTables e:414); a single merged lattice would fuse two
+    side-by-side tables."""
+    n_h = len(h_rulings)
+    parent = list(range(n_h + len(v_rulings)))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    for i, (d, lo, hi) in enumerate(h_rulings):
+        for j, (x, vlo, vhi) in enumerate(v_rulings):
+            if lo - tol <= x <= hi + tol and vlo - tol <= d <= vhi + tol:
+                union(i, n_h + j)
+    comps: dict[int, tuple[list, list]] = {}
+    for i in range(n_h):
+        comps.setdefault(find(i), ([], []))[0].append(h_rulings[i])
+    for j in range(len(v_rulings)):
+        comps.setdefault(find(n_h + j), ([], []))[1].append(v_rulings[j])
+    return [c for c in comps.values() if c[0] and c[1]]
+
+
+def _grid_table_from_lattice(paras: list, ys: list, xs: list, rank: int):
+    """Assign paragraphs whose center falls inside the lattice to (row, col)
+    cells. Returns (table or None, remaining paras)."""
     import bisect
 
-    if len(h_rulings) < 2 or len(v_rulings) < 2 or not paras:
-        return None, paras
-    ys = sorted(d for d, _, _ in h_rulings)      # depths of horizontal rules
-    xs = sorted(p for p, _, _ in v_rulings)      # x of vertical rules
-    # merge near-duplicate rules (tolerance _egcb=2.0, extractor.go:16)
-    def dedup(vals):
-        out = [vals[0]]
-        for v in vals[1:]:
-            if v - out[-1] > 2.0:
-                out.append(v)
-        return out
-
-    ys, xs = dedup(ys), dedup(xs)
-    if len(ys) < 2 or len(xs) < 2:
-        return None, paras
     inside, outside = [], []
     for pa in paras:
         cx = (pa.u0 + pa.u1) / 2
@@ -379,12 +394,59 @@ def detect_grid_table(paras: list, h_rulings, v_rulings, rank: int):
     return table, outside
 
 
-def detect_aligned_table(paras: list, rank: int):
-    """Whitespace-aligned table detection (findTextTables, e:378) —
-    conservative gate: a COMPLETE grid of ≥3 rows × ≥3 columns of short
-    single-line paragraphs whose row depths and column x-origins align
-    within tight tolerance. Multi-column body text never satisfies this
-    (paragraphs are multi-line, counts differ per band, origins drift)."""
+def detect_grid_tables(paras: list, h_rulings, v_rulings, rank: int):
+    """Grid-table detection (findGridTables, e:414): EVERY connected ruling
+    lattice with ≥2 horizontal and ≥2 vertical rules becomes a table
+    (r2 VERDICT missing #3 — was: first lattice only). Returns
+    (tables, rest)."""
+    if len(h_rulings) < 2 or len(v_rulings) < 2 or not paras:
+        return [], paras
+
+    def dedup(vals):
+        # merge near-duplicate rules (tolerance _egcb=2.0, extractor.go:16)
+        out = [vals[0]]
+        for v in vals[1:]:
+            if v - out[-1] > 2.0:
+                out.append(v)
+        return out
+
+    tables = []
+    rest = paras
+    comps = _cluster_rulings(h_rulings, v_rulings)
+    comps.sort(key=lambda c: (min(d for d, _, _ in c[0]),
+                              min(x for x, _, _ in c[1])))
+    for hs, vs in comps:
+        ys = dedup(sorted(d for d, _, _ in hs))
+        xs = dedup(sorted(x for x, _, _ in vs))
+        if len(ys) < 2 or len(xs) < 2:
+            continue
+        table, rest = _grid_table_from_lattice(rest, ys, xs, rank)
+        if table is not None:
+            tables.append(table)
+    return tables, rest
+
+
+def _ragged_match(band: list, col_x: list[float]) -> list | None:
+    """Injectively place a ragged band's paragraphs onto core columns by
+    x-origin (±2.0); None if any para has no free matching column."""
+    placed: list = [None] * len(col_x)
+    for p in band:
+        hit = None
+        for ci, x in enumerate(col_x):
+            if abs(p.u0 - x) <= 2.0 and placed[ci] is None:
+                hit = ci
+                break
+        if hit is None:
+            return None
+        placed[hit] = p
+    return placed
+
+
+def _detect_one_aligned(paras: list, rank: int):
+    """One whitespace-aligned table (findTextTables, e:378): a core of ≥3
+    consecutive rows × ≥3 columns of short single-line paragraphs with
+    aligned x-origins, then adjacency growth (growTable e:61): neighbouring
+    RAGGED rows (≥2 cells on core columns) join with empty-padded cells."""
     singles = [
         p for p in paras
         if len(getattr(p, "lines", [])) == 1 and len(p.lines[0].words) <= 3
@@ -402,28 +464,81 @@ def detect_aligned_table(paras: list, rank: int):
                 break
         if not placed:
             rows[key] = [p]
-    bands = [sorted(v, key=lambda p: p.u0) for v in rows.values() if len(v) >= 3]
-    if len(bands) < 3:
-        return None, paras
+    bands = [sorted(v, key=lambda p: p.u0) for v in rows.values() if len(v) >= 2]
     bands.sort(key=lambda b: b[0].depth0)
-    ncols = len(bands[0])
-    if any(len(b) != ncols for b in bands):
-        return None, paras
-    col_x = [p.u0 for p in bands[0]]
-    for b in bands[1:]:
-        if any(abs(p.u0 - x) > 2.0 for p, x in zip(b, col_x)):
-            return None, paras
-    members = {id(p) for b in bands for p in b}
-    text = "\n".join(" ".join(p.text() for p in b) for b in bands)
-    inside = [p for b in bands for p in b]
-    table = TablePara(
-        min(p.u0 for p in inside), max(p.u1 for p in inside),
-        min(p.depth0 for p in inside), max(p.depth1 for p in inside),
-        min(p.min_op for p in inside), rank, text, len(bands), ncols,
-        cells=[[p.text() for p in b] for b in bands],
-    )
-    rest = [p for p in paras if id(p) not in members]
-    return table, rest
+
+    def gap_ok(a: list, b: list) -> bool:
+        fs = max(p.lines[0].fontsize for p in a + b)
+        return b[0].depth0 - a[0].depth0 <= 5.0 * fs
+
+    for i, seed in enumerate(bands):
+        ncols = len(seed)
+        if ncols < 3:
+            continue
+        col_x = [p.u0 for p in seed]
+        core = [seed]
+        for b in bands[i + 1:]:
+            if (len(b) == ncols
+                    and all(abs(p.u0 - x) <= 2.0 for p, x in zip(b, col_x))
+                    and gap_ok(core[-1], b)):
+                core.append(b)
+            else:
+                break
+        if len(core) < 3:
+            continue
+        # adjacency growth: ragged neighbours above the seed / below the core
+        grown_rows: list[list] = [list(b) for b in core]
+        cell_rows: list[list] = [
+            _ragged_match(b, col_x) or [None] * ncols for b in core
+        ]
+        j = i - 1
+        while j >= 0 and len(bands[j]) >= 2 and gap_ok(bands[j], grown_rows[0]):
+            placed = _ragged_match(bands[j], col_x)
+            if placed is None or len(bands[j]) == ncols:
+                break  # full rows were already rejected as non-aligned
+            grown_rows.insert(0, list(bands[j]))
+            cell_rows.insert(0, placed)
+            j -= 1
+        k = i + len(core)
+        while (k < len(bands) and len(bands[k]) >= 2
+               and gap_ok(grown_rows[-1], bands[k])):
+            placed = _ragged_match(bands[k], col_x)
+            if placed is None or len(bands[k]) == ncols:
+                break
+            grown_rows.append(list(bands[k]))
+            cell_rows.append(placed)
+            k += 1
+        inside = [p for b in grown_rows for p in b]
+        members = {id(p) for p in inside}
+        cells = [
+            [(p.text() if p is not None else "") for p in row]
+            for row in cell_rows
+        ]
+        text = "\n".join(
+            " ".join(c for c in row if c) for row in cells
+        )
+        table = TablePara(
+            min(p.u0 for p in inside), max(p.u1 for p in inside),
+            min(p.depth0 for p in inside), max(p.depth1 for p in inside),
+            min(p.min_op for p in inside), rank, text, len(cells), ncols,
+            cells=cells,
+        )
+        rest = [p for p in paras if id(p) not in members]
+        return table, rest
+    return None, paras
+
+
+def detect_aligned_tables(paras: list, rank: int):
+    """All whitespace-aligned tables on the page (r2 VERDICT missing #3 —
+    was: at most one). Repeats single-table detection on the remainder."""
+    tables = []
+    rest = paras
+    while True:
+        t, rest2 = _detect_one_aligned(rest, rank)
+        if t is None:
+            return tables, rest
+        tables.append(t)
+        rest = rest2
 
 
 def _gap_cut(intervals: list[tuple[float, float]], min_gap: float) -> float | None:
@@ -498,13 +613,15 @@ def assemble_spans(
         lines = make_lines(words)
         paras = make_paras(lines, rank, h_rulings if orientation == 0 else None)
         if orientation == 0:
-            table, paras = detect_grid_table(paras, h_rulings, v_rulings, rank)
-            if table is None:
-                table, paras = detect_aligned_table(paras, rank)
-            if table is not None:
-                paras = list(paras) + [table]
+            tables, paras = detect_grid_tables(paras, h_rulings, v_rulings,
+                                               rank)
+            aligned, paras = detect_aligned_tables(paras, rank)
+            tables = tables + aligned
+            if tables:
+                tables.sort(key=lambda t: (t.depth0, t.u0))
+                paras = list(paras) + tables
                 if tables_out is not None:
-                    tables_out.append(table)
+                    tables_out.extend(tables)
         ordered_paras.extend(reading_order(paras))
 
     media_sorted = sorted(media, key=lambda m: m.op_index)
