@@ -108,6 +108,21 @@ def _fax_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jbig2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JBIG2 generic-region pixel decode (MQ arithmetic + MMR legs)
+    over jbig2 fixture media — ink ratio per image (internal/jbig2 parity
+    subset; pdf/jbig2.py)."""
+    from unipdf_spark.operators import multimodal as mm
+
+    media = mm.media_table_from_fixtures(spark, n_docs=30, mix=[("jbig2", 1)])
+    return (
+        mm.bilevel_features(media)
+        .select("media_ref", "doc_id", "width", "height", "ink_ratio",
+                "decode_ok")
+        .orderBy("media_ref", "doc_id")
+    )
+
+
 def _table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextTable/TableCell structured API (extractor.go:35/:899): every
     detected table's (row, col)-addressable cell matrix over a deterministic
@@ -235,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_spans_flat"] = _extract_spans_flat
     q["table_cells"] = _table_cells
     q["fax_decode"] = _fax_decode
+    q["jbig2_decode"] = _jbig2_decode
     q["list_items"] = _list_items
     q["text_visibility"] = _text_visibility
     q["page_inventory"] = _page_inventory

@@ -216,3 +216,49 @@ def test_ccitt_g3_2d_roundtrip():
             decode_ccitt(enc, {"K": k, "Columns": cols}), cols, False
         )
         assert dec == rows
+
+
+def test_jbig2_mq_and_generic_region_roundtrip_fuzz():
+    """Engine MQ decoder + generic-region templates vs the INDEPENDENT
+    writer-side MQ encoder (T.88 flowchart transcriptions on both sides)."""
+    import random
+
+    from unipdf_spark.fixtures.render import _MQEncoder, jbig2_encode
+    from unipdf_spark.pdf.jbig2 import MQDecoder, decode_embedded
+
+    rng = random.Random(7)
+    # raw coder layer
+    for _ in range(50):
+        n = rng.randint(1, 300)
+        bits = [rng.randint(0, 1) for _ in range(n)]
+        cids = [rng.randrange(4) for _ in range(n)]
+        enc = _MQEncoder()
+        ec = [[0, 0] for _ in range(4)]
+        for b, ci in zip(bits, cids):
+            enc.encode(ec[ci], b)
+        dec = MQDecoder(enc.flush())
+        dc = [[0, 0] for _ in range(4)]
+        assert [dec.decode(dc[ci]) for ci in cids] == bits
+    # full bitmap layer, both MMR and MQ generic coding
+    for _ in range(10):
+        cols = rng.choice([17, 48, 64])
+        h = rng.randint(4, 20)
+        rows = [[rng.random() < 0.4 for _ in range(cols)] for _ in range(h)]
+        for mmr in (False, True):
+            got, w, hh = decode_embedded(jbig2_encode(rows, cols, mmr=mmr))
+            assert (w, hh) == (cols, h)
+            assert [list(r) for r in got] == [
+                [1 if v else 0 for v in r] for r in rows
+            ]
+
+
+def test_jbig2_unsupported_region_types_raise():
+    from unipdf_spark.pdf.jbig2 import Jbig2Error, decode_embedded
+
+    # symbol dictionary segment (type 0) must be reported, not mis-decoded
+    seg = (1).to_bytes(4, "big") + bytes([0x00, 0x00, 0x01]) + (0).to_bytes(4, "big")
+    try:
+        decode_embedded(seg)
+        raise AssertionError("expected Jbig2Error")
+    except Jbig2Error:
+        pass

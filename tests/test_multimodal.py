@@ -18,6 +18,8 @@ def test_media_table_extraction(spark):
         assert r["n_bytes"] == len(r["payload"]) > 0
         if r["codec"] == "CCITTFaxDecode":  # fax class: bilevel scans
             assert r["width"] in (64, 96) and r["height"] >= 8
+        elif r["codec"] == "JBIG2Decode":  # jbig2 class: bilevel scans
+            assert r["width"] in (48, 64) and r["height"] >= 8
         else:
             assert r["width"] == 8 and r["height"] == 8
     media.unpersist()
@@ -95,3 +97,33 @@ def test_bilevel_blackis1_ink_ratio_invariant(spark):
     assert out["img_a"]["decode_ok"] and out["img_b"]["decode_ok"]
     assert abs(out["img_a"]["ink_ratio"] - true_black) < 1e-6
     assert abs(out["img_b"]["ink_ratio"] - true_black) < 1e-6
+
+
+def test_jbig2_bilevel_ink_ratio_matches_plan(spark):
+    """JBIG2 generic-region decode (MQ + MMR legs): decoded ink ratio must
+    equal the planned bitmap's true black fraction for every fixture image."""
+    from unipdf_spark.fixtures.gen import _plan_doc
+
+    media = mm.media_table_from_fixtures(
+        spark, n_docs=12, mix=[("jbig2", 1)]).persist()
+    rows = media.collect()
+    assert rows and all(r["codec"] == "JBIG2Decode" for r in rows)
+    feats = {r["media_ref"]: r for r in mm.bilevel_features(media).collect()}
+    media.unpersist()
+    assert feats and all(f["decode_ok"] for f in feats.values())
+    # recompute expected ink per doc plan (same doc_id/seed derivation as
+    # gen_docs_pdf: doc_id = f"doc_{i:06d}", seed=i)
+    from unipdf_spark.fixtures.render import jbig2_encode
+    from unipdf_spark import schema
+
+    checked = 0
+    for i in range(12):
+        # gen_docs_pdf derivation: doc_id = f"doc_{i:08d}", seed = 42
+        plan = _plan_doc(f"doc_{i:08d}", "jbig2", 42)
+        for key, (bits, cols, mmr) in plan.jbig2_images.items():
+            data = jbig2_encode(bits, cols, mmr=mmr)
+            ref = schema.media_ref_for(data)
+            want = sum(sum(r) for r in bits) / (cols * len(bits))
+            assert abs(feats[ref]["ink_ratio"] - want) < 1e-6, ref
+            checked += 1
+    assert checked >= 12

@@ -94,7 +94,7 @@ FIXTURE_CLASSES = [
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
     "gridtable", "macroman", "wstable", "cid_predefined", "encrypted_aes256",
     "invisible", "tagged_list", "fax", "std14", "tagged_pg",
-    "twotables",
+    "twotables", "jbig2",
 ]
 
 
@@ -204,6 +204,7 @@ class ImagePlan:
 class DocPlan:
     blocks: list = field(default_factory=list)  # ParaPlan | ImagePlan, doc order
     fax_images: dict = field(default_factory=dict)  # key>=100 → (rows, cols)
+    jbig2_images: dict = field(default_factory=dict)  # key → (rows, cols, mmr)
     theta: int = 0
     corrupt_xref: bool = False
     modern: bool = False  # xref stream + object stream container (PDF 1.5+)
@@ -619,6 +620,36 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         plan.blocks.append(p)
         return plan
 
+    if fixture_class == "jbig2":
+        # bilevel JBIG2 generic-region images (internal/jbig2 parity subset):
+        # media spans round-trip on the ENCODED payload hash; pixels are
+        # exercised by the multimodal bilevel decode (pdf/jbig2.py). One MQ
+        # arithmetic-coded image and (sometimes) one MMR-coded one.
+        p, v = _para(rng, MARGIN, v, width, (4, 8))
+        plan.blocks.append(p)
+        for k in range(rng.randint(1, 2)):
+            cols = rng.choice([48, 64])
+            nrows = rng.randint(8, 16)
+            rows = []
+            for _ in range(nrows):
+                row, pos, black = [], 0, False
+                while pos < cols:
+                    run = min(cols - pos, rng.randint(2, cols // 2))
+                    row += [black] * run
+                    pos += run
+                    black = not black
+                rows.append(row)
+            key = 200 + k
+            plan.jbig2_images[key] = (rows, cols, k == 1)  # 2nd image: MMR
+            h = 40.0
+            plan.blocks.append(
+                ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h)
+            )
+            v -= h + 10
+        p, v = _para(rng, MARGIN, v, width, (3, 6))
+        plan.blocks.append(p)
+        return plan
+
     if fixture_class == "interleaved":
         n_imgs = rng.randint(1, 4)
         distinct = rng.randint(1, min(3, n_imgs))
@@ -1013,6 +1044,22 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns "
             + str(cols).encode() + b" /Rows " + str(len(rows)).encode()
             + b1 + b" >> /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream"
+        )
+        name = f"Im{key}"
+        img_names[key] = name
+        img_refs[key] = schema.media_ref_for(data)
+        xobj_res += f"/{name} {num} 0 R ".encode()
+
+    for key, (rows, cols, mmr) in plan.jbig2_images.items():
+        from .render import jbig2_encode
+
+        data = jbig2_encode(rows, cols, mmr=mmr)
+        num = w.add(
+            b"<< /Type /XObject /Subtype /Image /Width " + str(cols).encode()
+            + b" /Height " + str(len(rows)).encode()
+            + b" /ColorSpace /DeviceGray /BitsPerComponent 1 "
+            b"/Filter /JBIG2Decode /Length " + str(len(data)).encode()
             + b" >>\nstream\n" + data + b"\nendstream"
         )
         name = f"Im{key}"
@@ -1495,7 +1542,7 @@ DEFAULT_MIX = [
     ("incremental", 2), ("gridtable", 2), ("macroman", 3), ("wstable", 2),
     ("cid_predefined", 3), ("encrypted_aes256", 2), ("invisible", 2),
     ("tagged_list", 2), ("fax", 2), ("std14", 3), ("tagged_pg", 2),
-    ("twotables", 2),
+    ("twotables", 2), ("jbig2", 2),
 ]
 
 BENCH_MIX = [

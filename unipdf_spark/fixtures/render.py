@@ -583,3 +583,172 @@ def ccitt_g3_2d_encode(rows: list[list[bool]], columns: int,
                     a0 = a2
         ref = cur
     return w.bytes()
+
+
+# --- JBIG2 (embedded organization) writer-side encoder -----------------------
+# Independent transcription of the T.88 Annex E ENCODER flowcharts + generic
+# region template-0 context model; the engine's decoder (pdf/jbig2.py) is
+# round-trip fuzzed against this.
+
+_JB2_QE = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+
+
+class _MQEncoder:
+    def __init__(self) -> None:
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray([0])  # seed byte; dropped at flush if untouched
+
+    def _byteout(self) -> None:
+        o = self.out
+        if o[-1] == 0xFF:
+            o.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            o.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            o[-1] += 1
+            if o[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                o.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                o.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def _renorm(self) -> None:
+        while True:
+            if self.ct == 0:
+                self._byteout()
+            self.a = (self.a << 1) & 0xFFFF
+            # C is a 32-bit register: bit 27 is the carry BYTEOUT consumes —
+            # masking narrower here would drop carries
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+
+    def encode(self, cx: list, d: int) -> None:
+        i, mps = cx
+        qe, nmps, nlps, switch = _JB2_QE[i]
+        if d == mps:  # CODEMPS
+            self.a -= qe
+            if (self.a & 0x8000) == 0:
+                if self.a < qe:
+                    self.a = qe
+                else:
+                    self.c += qe
+                cx[0] = nmps
+                self._renorm()
+            else:
+                self.c += qe
+        else:  # CODELPS
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                cx[1] = 1 - mps
+            cx[0] = nlps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # SETBITS (T.88 figure E.11): saturate the low bits, back off one
+        # half-interval if that overshot the interval top C+A
+        tempc = (self.c + self.a) & 0xFFFFFFFF
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        if self.out[-1] != 0xFF:
+            self.out += b"\xff"
+        self.out += b"\xac"
+        return bytes(self.out[1:] if self.out[0] == 0 else self.out)
+
+
+# template-0 pixel layout (spec §6.2.5.7, nominal AT), raster order
+_JB2_T0 = sorted(
+    [(-1, -2), (0, -2), (1, -2),
+     (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+     (-4, 0), (-3, 0), (-2, 0), (-1, 0),
+     (3, -1), (-3, -1), (2, -2), (-2, -2)],
+    key=lambda p: (p[1], p[0]),
+)
+
+
+def _jb2_generic_body(rows: list[list[bool]], cols: int) -> bytes:
+    enc = _MQEncoder()
+    contexts: dict[int, list] = {}
+    h = len(rows)
+
+    def px(x: int, y: int) -> int:
+        if 0 <= x < cols and 0 <= y < h:
+            return 1 if rows[y][x] else 0
+        return 0
+
+    for y in range(h):
+        for x in range(cols):
+            ctx = 0
+            for dx, dy in _JB2_T0:
+                ctx = (ctx << 1) | px(x + dx, y + dy)
+            cx = contexts.setdefault(ctx, [0, 0])
+            enc.encode(cx, 1 if rows[y][x] else 0)
+    return enc.flush()
+
+
+def _jb2_segment(number: int, seg_type: int, data: bytes,
+                 page: int = 1) -> bytes:
+    return (number.to_bytes(4, "big") + bytes([seg_type & 0x3F, 0x00, page])
+            + len(data).to_bytes(4, "big") + data)
+
+
+def jbig2_encode(rows: list[list[bool]], cols: int, mmr: bool = False) -> bytes:
+    """Embedded-organization JBIG2: page info + one immediate lossless
+    generic region (type 38). mmr=True uses MMR (T.6) region coding via the
+    writer's independent G4 encoder; else MQ template-0 arithmetic coding."""
+    h = len(rows)
+    page_info = (cols.to_bytes(4, "big") + h.to_bytes(4, "big")
+                 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + bytes([0x01]) + (0).to_bytes(2, "big"))
+    region_info = (cols.to_bytes(4, "big") + h.to_bytes(4, "big")
+                   + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                   + bytes([0]))  # external comb op OR
+    if mmr:
+        gflags = bytes([0x01])
+        at = b""
+        body = ccitt_g4_encode(rows, cols)
+    else:
+        gflags = bytes([0x00])  # MQ, template 0, no TPGDON
+        at = bytes([3 & 0xFF, 0xFF, 0x100 - 3, 0xFF, 2, 0xFE, 0x100 - 2, 0xFE])
+        body = _jb2_generic_body(rows, cols)
+    seg1 = _jb2_segment(1, 48, page_info)
+    seg2 = _jb2_segment(2, 38, region_info + gflags + at + body)
+    seg3 = _jb2_segment(3, 49, b"")  # end of page
+    return seg1 + seg2 + seg3

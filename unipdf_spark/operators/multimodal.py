@@ -213,35 +213,46 @@ BILEVEL_SCHEMA = (
 
 
 def bilevel_features(media: DataFrame) -> DataFrame:
-    """REAL pixel decode for bilevel (CCITT fax) media — the scanned-document
-    leg of the multimodal path (reference internal/ccittfax). Computes the
-    ink ratio (fraction of black pixels) per image via the engine's T.4/T.6
-    decoder inside an Arrow-batched mapInPandas; non-CCITT payloads keep the
-    stub path (extract_features)."""
+    """REAL pixel decode for bilevel (CCITT fax + JBIG2 generic-region)
+    media — the scanned-document leg of the multimodal path (reference
+    internal/ccittfax + internal/jbig2). Computes the ink ratio (fraction of
+    black pixels) per image via the engine's decoders inside an
+    Arrow-batched mapInPandas; other codecs keep the stub path
+    (extract_features)."""
 
     def fax_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..pdf.ccitt import decode_ccitt
+        from ..pdf.jbig2 import decode_jbig2_packed
 
         for b in batches:
             rows = []
-            for ref, doc_id, payload, w, h, k, b1 in zip(
+            for ref, doc_id, payload, w, h, k, b1, codec in zip(
                 b["media_ref"], b["doc_id"], b["payload"], b["width"],
-                b["height"], b["ccitt_k"], b["blackis1"],
+                b["height"], b["ccitt_k"], b["blackis1"], b["codec"],
             ):
                 try:
-                    black1 = bool(b1)
-                    bits = decode_ccitt(
-                        bytes(payload),
-                        {"K": int(k), "Columns": int(w), "BlackIs1": black1},
-                    )
-                    stride = (int(w) + 7) // 8
+                    if codec == "JBIG2Decode":
+                        # JBIG2 convention: 1 = black, always
+                        bits, bw, bh = decode_jbig2_packed(
+                            bytes(payload), int(w), int(h))
+                        black_is_one, width = True, bw
+                    else:
+                        black_is_one = bool(b1)
+                        width = int(w)
+                        bits = decode_ccitt(
+                            bytes(payload),
+                            {"K": int(k), "Columns": width,
+                             "BlackIs1": black_is_one},
+                        )
+                    stride = (width + 7) // 8
                     n_black = total = 0
                     for r in range(len(bits) // stride):
-                        for x in range(int(w)):
+                        for x in range(width):
                             bit = (bits[r * stride + (x >> 3)]
                                    >> (7 - (x & 7))) & 1
-                            # PDF default: 0 = black; /BlackIs1 inverts.
-                            n_black += bit if black1 else (1 - bit)
+                            # PDF CCITT default: 0 = black; /BlackIs1 (and
+                            # JBIG2 foreground) invert
+                            n_black += bit if black_is_one else (1 - bit)
                             total += 1
                     rows.append((ref, doc_id, int(w), int(h),
                                  round(n_black / max(total, 1), 6), True))
@@ -253,6 +264,6 @@ def bilevel_features(media: DataFrame) -> DataFrame:
                          "ink_ratio", "decode_ok"],
             )
 
-    return media.filter(F.col("codec") == "CCITTFaxDecode").mapInPandas(
-        fax_batch, schema=BILEVEL_SCHEMA
-    )
+    return media.filter(
+        F.col("codec").isin("CCITTFaxDecode", "JBIG2Decode")
+    ).mapInPandas(fax_batch, schema=BILEVEL_SCHEMA)
