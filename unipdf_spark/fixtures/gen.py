@@ -94,7 +94,7 @@ FIXTURE_CLASSES = [
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
     "gridtable", "macroman", "wstable", "cid_predefined", "encrypted_aes256",
     "invisible", "tagged_list", "fax", "std14", "tagged_pg",
-    "twotables", "jbig2",
+    "twotables", "jbig2", "cid_vertical",
 ]
 
 
@@ -1202,6 +1202,8 @@ def make_doc(doc_id: str, fixture_class: str, seed: int = 42
         return _make_tagged_list_doc(doc_id, seed)
     if fixture_class == "tagged_pg":
         return _make_tagged_pg_doc(doc_id, seed)
+    if fixture_class == "cid_vertical":
+        return _make_cid_vertical_doc(doc_id, seed)
     plan = _plan_doc(doc_id, fixture_class, seed)
     pdf, golden = render_doc(plan)
     return golden, pdf
@@ -1271,6 +1273,69 @@ def _make_tagged_list_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
     for label, body in items:
         t = f"{label} {body}"
         golden.append({"kind": "text", "text": t, "media_ref": "", "offset": offset})
+        offset += len(t)
+    return golden, pdf
+
+
+def _make_cid_vertical_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
+    """Vertical writing mode (WMode 1, r2 VERDICT missing #6): Type0 font
+    with /Encoding /Identity-V — the pen advances DOWN one em per glyph, so
+    each column extracts as one paragraph with one glyph per line. Columns
+    are ordered left-to-right by the XY-cut (a wide gutter separates them)."""
+    rng = random.Random(f"{seed}:{doc_id}")
+    pool = "データ解析引擎数模型文書縦書き"
+    cols = []
+    for _ in range(rng.randint(1, 2)):
+        cols.append("".join(rng.choice(pool) for _ in range(rng.randint(3, 6))))
+
+    w = PdfFileWriter()
+    catalog = w.reserve()
+    pages = w.reserve()
+    page = w.reserve()
+    used = sorted({ord(ch) for col in cols for ch in col})
+    bf = bytearray(b"%d beginbfchar\n" % len(used))
+    for cde in used:
+        bf += b"<%04X> <%04X>\n" % (cde, cde)
+    bf += b"endbfchar\n"
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        + bytes(bf)
+        + b"endcmap CMapName currentdict /CMap defineresource pop end end\n"
+    )
+    tounicode, _ = w.add_stream(b"", cmap, compress=True)
+    desc = w.add(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureVert "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /DW 1000 >>"
+    )
+    f7 = w.add(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureVert "
+        b"/Encoding /Identity-V /DescendantFonts [ " + str(desc).encode()
+        + b" 0 R ] /ToUnicode " + str(tounicode).encode() + b" 0 R >>"
+    )
+    content = bytearray(b"BT\n/F7 12 Tf\n")
+    for ci, col in enumerate(cols):
+        content += b"1 0 0 1 %g 700 Tm\n" % (90.0 + ci * 120.0)
+        content += b"<" + "".join("%04X" % ord(ch) for ch in col).encode() + b"> Tj\n"
+    content += b"ET\n"
+    cnum, _ = w.add_stream(b"", bytes(content), compress=True)
+    res = b"<< /Font << /F7 " + str(f7).encode() + b" 0 R >> >>"
+    w.set_obj(page, b"<< /Type /Page /Parent " + str(pages).encode()
+              + b" 0 R /MediaBox [0 0 612 792] /Resources " + res
+              + b" /Contents " + str(cnum).encode() + b" 0 R >>")
+    w.set_obj(pages, b"<< /Type /Pages /Kids [ " + str(page).encode()
+              + b" 0 R ] /Count 1 >>")
+    w.set_obj(catalog, b"<< /Type /Catalog /Pages " + str(pages).encode()
+              + b" 0 R >>")
+    pdf = w.build(catalog)
+
+    golden = []
+    offset = 0
+    for col in cols:  # left-to-right column order (XY-cut)
+        t = "\n".join(col)
+        golden.append({"kind": "text", "text": t, "media_ref": "",
+                       "offset": offset})
         offset += len(t)
     return golden, pdf
 
@@ -1542,7 +1607,7 @@ DEFAULT_MIX = [
     ("incremental", 2), ("gridtable", 2), ("macroman", 3), ("wstable", 2),
     ("cid_predefined", 3), ("encrypted_aes256", 2), ("invisible", 2),
     ("tagged_list", 2), ("fax", 2), ("std14", 3), ("tagged_pg", 2),
-    ("twotables", 2), ("jbig2", 2),
+    ("twotables", 2), ("jbig2", 2), ("cid_vertical", 2),
 ]
 
 BENCH_MIX = [

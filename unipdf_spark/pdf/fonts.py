@@ -269,6 +269,7 @@ class Font:
         self.default_width = DEFAULT_WIDTH
         self.name = ""
         self.predef_mode: str | None = None  # 'identity' | 'ucs2' | 'utf16'
+        self.wmode = 0  # 1 = vertical writing (CMap WMode, cmap.go:17)
         # charcode→CID for Type0 width lookup (model/model.go:2506): from an
         # embedded CMap's cidrange entries; identity for Identity-H/V and
         # (approximation, documented) the predefined Uni*-UCS2/UTF16 forms
@@ -421,14 +422,20 @@ def load_font(doc, font_dict) -> Font:
         if hasattr(enc, "decoded"):
             enc_cmap = CMap.parse(enc.decoded(r))
             f.cid_map = enc_cmap.cid_map  # /W is CID-keyed (model:2506)
+            ed = getattr(enc, "dict", None)
+            if isinstance(ed, dict):
+                f.wmode = int(r(ed.get("WMode")) or 0)
             if f.to_unicode is None:
                 f.to_unicode = enc_cmap
             else:
                 f.to_unicode.codespaces = enc_cmap.codespaces or f.to_unicode.codespaces
         elif enc is not None:
-            pre = predefined_cmap(str(enc))
+            enc_name = str(enc)
+            pre = predefined_cmap(enc_name)
             if pre is not None:
                 f.predef_mode, predef_codespaces = pre
+                if enc_name.endswith("-V"):
+                    f.wmode = 1  # vertical predefined CMap (cmap.go:17)
         desc_list = r(fd.get("DescendantFonts")) or []
         if desc_list:
             desc = r(desc_list[0])

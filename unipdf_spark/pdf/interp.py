@@ -506,6 +506,37 @@ class Interpreter:
         is_cid = font.is_cid
         widths = font.charcode_width
         marks_append = self.marks.append
+
+        if font.wmode == 1:
+            # vertical writing (WMode 1, cmap.go:17; PDF 32000 §9.7.4.3):
+            # the pen advances DOWN the text-space y axis by one em + Tc per
+            # glyph (default vertical displacement w1 = 1000/1000; /W2
+            # arrays are not carried — advance-only effect); glyphs center
+            # on the vertical baseline.
+            cum_y = 0.0
+            for c, (u, missed) in zip(codes, texts):
+                w = widths(c) * ratio
+                dy = tfs + tc  # w1=1em vertical displacement
+                if missed:
+                    self.n_misses += 1
+                if u and u != "\x00":
+                    e = cum_y * mc + E0 - 0.5 * w * A
+                    f = cum_y * md + F0 - 0.5 * w * B
+                    if pb0 - 10 <= e <= pb2 + 10 and pb1 - 10 <= f <= pb3 + 10:
+                        wa, wb = w * A, w * B
+                        vx, vy = -dy * mc, -dy * md
+                        x0 = e + min(0.0, wa) + min(0.0, vx)
+                        x1 = e + max(0.0, wa) + max(0.0, vx)
+                        y0 = f + min(0.0, wb) + min(0.0, vy)
+                        y1 = f + max(0.0, wb) + max(0.0, vy)
+                        marks_append(
+                            TextMark(u, x0, y0, x1, y1, fsize, orient,
+                                     op_index, missed, self.cur_mcid,
+                                     gs.fill_rgb, ts.tmode)
+                        )
+                cum_y -= dy
+            return mmul(translation(0.0, cum_y), tm)
+
         cum = 0.0
         for c, (u, missed) in zip(codes, texts):
             w = widths(c) * ratio
