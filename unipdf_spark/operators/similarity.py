@@ -34,6 +34,16 @@ _W = [
 ]
 
 
+def _w28_arrays():
+    import numpy as np
+
+    return (np.asarray(_W, dtype="float64").T,          # 64×28 for m @ W.T
+            (1 << np.arange(REFINE_BITS)).astype("int64"))
+
+
+_W28_T, _W28_POW = _w28_arrays()
+
+
 def _sig_range(emb_col: Column, lo: int, hi: int) -> Column:
     """Random-hyperplane sign bits [lo, hi) packed into an int (Spark side):
     one zip_with fold per bit against that bit's 64-literal weight array.
@@ -395,14 +405,30 @@ ORDER BY b.query_id
 def _near_dup_blocked(e: DataFrame) -> DataFrame:
     """Core of embedding_near_dup_pairs over a (vec_id, embedding) frame —
     split out so the hot-block skew test can feed a synthetic corpus."""
+    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
 
+    @pandas_udf("long")
+    def sig28(emb):
+        import numpy as np
+        import pandas as pd
+
+        m = np.stack(emb.to_numpy()).astype("float64")
+        bits = (m @ _W28_T) > 0.0  # n×28 sign matrix, one vectorized matmul
+        return pd.Series((bits @ _W28_POW).astype("int64"))
+
+    # All 28 signature bits in ONE Arrow-batched numpy matmul — the
+    # per-bit Catalyst HOF folds are interpreted and cost ~5s at bench
+    # scale; numpy computes the same dot products in microseconds. Sign
+    # agreement with the oracle's LIST_DOT_PRODUCT holds except for dots
+    # within ~1e-15 of zero (pairwise vs sequential summation).
     sigs = e.select(
-        "vec_id",
-        "embedding",
-        _sig_range(F.col("embedding"), 0, 12).alias("s0"),
-        _sig_range(F.col("embedding"), 12, 20).alias("s1"),
-        _sig_range(F.col("embedding"), 20, 28).alias("s2"),
+        "vec_id", "embedding", sig28(F.col("embedding")).alias("sig")
+    ).select(
+        "vec_id", "embedding",
+        (F.col("sig") % 4096).alias("s0"),
+        (F.shiftright("sig", 12) % 256).alias("s1"),
+        (F.shiftright("sig", 20) % 256).alias("s2"),
     )
     # Hierarchical block sizing: count per (s0,s1) with ONE aggregation
     # (map-side partial), roll up to per-s0 with a window over the already
@@ -458,11 +484,20 @@ def _near_dup_blocked(e: DataFrame) -> DataFrame:
             }
         )
 
-    # Arrow-batched numpy matmul per block — ~64× fewer flops through the
-    # interpreter than per-pair higher-order-function dots (UDF guideline:
-    # when built-ins can't express it efficiently, vectorized pandas UDF).
-    return (
+    # Singleton blocks can't pair — drop them BEFORE the pandas stage so the
+    # per-group Arrow overhead is paid only for blocks that can produce
+    # output (most of a healthy corpus is singletons). Then one Arrow-batched
+    # numpy matmul per surviving block — ~64× fewer flops through the
+    # interpreter than per-pair higher-order-function dots.
+    multi = (
         blocked.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("block")
+    )
+    return (
+        blocked.join(multi, "block", "left_semi")
+        .groupBy("block")
         .applyInPandas(find_pairs, "vec_a long, vec_b long, cosine double")
         .orderBy("vec_a", "vec_b")
     )
