@@ -128,7 +128,7 @@ def _table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     detected table's (row, col)-addressable cell matrix over a deterministic
     table-heavy fixture corpus (ruled grids + whitespace-aligned)."""
     docs_pdf = pipeline.gen_docs_pdf(
-        spark, 40, mix=[("gridtable", 1), ("wstable", 1)]
+        spark, 40, mix=[("gridtable", 1), ("wstable", 1), ("twotables", 1)]
     )
     return pipeline.run_table_extraction(docs_pdf).orderBy(
         "doc_id", "table_idx", "row", "col"
@@ -140,7 +140,9 @@ def _list_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, list_idx, item_idx, label, body)."""
     import pandas as pd
 
-    docs_pdf = pipeline.gen_docs_pdf(spark, 30, mix=[("tagged_list", 1)])
+    docs_pdf = pipeline.gen_docs_pdf(
+        spark, 30, mix=[("tagged_list", 1), ("tagged_pg", 1)]
+    )
 
     def list_batch(batches):
         from unipdf_spark.pdf.extract import extract_lists
