@@ -180,3 +180,56 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     same = [d for d in ("a", "c", "d") if rows[d]]
     assert len(same) == 1 and same[0] in ("a", "c")
     assert rows["b"] and rows["e"]
+
+
+def test_streaming_minhash_candidates_across_batches(spark, tmp_path):
+    """Near-dup docs arriving in DIFFERENT micro-batches become a candidate
+    pair through per-bucket state; the candidate set matches the batch LSH
+    operator's on the same corpus; a hot bucket's output stays bounded."""
+    import pandas as pd
+
+    from unipdf_spark.operators.dedup import MAX_BUCKET, minhash_lsh_pairs
+    from unipdf_spark.streaming.ops import streaming_minhash_candidates
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("kappa", "kappa2", 1)
+    far = "completely different words with zero overlap whatsoever " * 5
+    b1 = pd.DataFrame({"doc_id": ["d0", "d2"], "text": [base, far]})
+    b2 = pd.DataFrame({"doc_id": ["d1"], "text": [near]})
+    src = f"{tmp_path}/in"
+    spark.createDataFrame(b1).coalesce(1).write.json(f"{src}/batch=0")
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/batch=*")
+    )
+    out = streaming_minhash_candidates(stream)
+    q = (
+        out.writeStream.format("memory").queryName("lshcand_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2).coalesce(1).write.json(f"{src}/batch=1")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM lshcand_out").collect()
+    finally:
+        q.stop()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert ("d0", "d1") in pairs  # near-dup found ACROSS micro-batches
+    assert all("d2" not in p for p in pairs)
+    # batch-operator agreement: the candidate pair is the one the batch LSH
+    # pipeline verifies on the same corpus
+    docs = pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, near, far]})
+    spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet")
+    batch_pairs = {(r["doc_a"], r["doc_b"])
+                   for r in minhash_lsh_pairs(spark, str(tmp_path)).collect()}
+    assert (0, 1) in batch_pairs
+    # per-arrival output is bounded by the bucket cap
+    by_doc: dict = {}
+    for a, b in pairs:
+        by_doc[b] = by_doc.get(b, 0) + 1
+    assert all(v <= 8 * MAX_BUCKET for v in by_doc.values())

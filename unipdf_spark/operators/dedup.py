@@ -115,16 +115,17 @@ def _shingles(col, n: int = 3):
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature: k=32 portable universal-hash families
-    ((A·h32 + B) mod P over md5-derived shingle hashes) — DuckDB computes
-    identical values, so this is fully oracle-checked."""
-    d = _docs(spark, sf_dir)
-    # hash each shingle string once, then derive the k families as modular
-    # arithmetic — all WITHIN the row and in ONE pass (aggregate with a
-    # 32-wide running-min accumulator; 32 separate array_min(transform)
-    # columns generate 32 re-traversals and a huge codegen class): no
-    # explode, no shuffle; identical values to the explode+min form
+def attach_minhash_signature(d: DataFrame) -> DataFrame:
+    """(doc_id, text, …) → (doc_id, h0..h31): k=32 portable universal-hash
+    families ((A·h32 + B) mod P over md5-derived shingle hashes). Works on
+    batch AND streaming frames (pure column expressions — shared by the
+    batch operators and the streaming candidate detector).
+
+    Hash each shingle string once, then derive the k families as modular
+    arithmetic — all WITHIN the row and in ONE pass (aggregate with a
+    32-wide running-min accumulator; 32 separate array_min(transform)
+    columns generate 32 re-traversals and a huge codegen class): no
+    explode, no shuffle; identical values to the explode+min form."""
     h32 = F.transform(_shingles(F.col("text")), lambda s: phash.h32(s))
     base = d.select("doc_id", h32.alias("h32"))
 
@@ -141,10 +142,33 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle lists are never empty (empty text yields the [''] shingle),
     # so the P-initialized accumulator always gets overwritten
     sigs = [F.element_at(F.col("acc"), i + 1).alias(f"h{i}") for i in range(N_HASHES)]
-    # no orderBy: a global sort adds a range-partition SAMPLING pass that
-    # recomputes this whole projection twice; the correctness check is
-    # order-insensitive
     return base.select("doc_id", acc.alias("acc")).select("doc_id", *sigs)
+
+
+def band_table(sig: DataFrame) -> DataFrame:
+    """Signature frame → one (doc_id, band, band_hash) row per band, in ONE
+    pass (explode of all 8 band keys from a single signature computation)."""
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            phash.fold(
+                [F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+            ).alias("band_hash"),
+        )
+        for b in range(N_HASHES // BAND_SIZE)
+    ])
+    return sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"),
+             F.col("bb.band_hash").alias("band_hash"))
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature — DuckDB computes identical values, so this
+    is fully oracle-checked. No orderBy: a global sort adds a
+    range-partition SAMPLING pass that recomputes the whole projection
+    twice; the correctness check is order-insensitive."""
+    return attach_minhash_signature(_docs(spark, sf_dir))
 
 
 # shared SQL fragments: tokenize → 3-gram shingles → h32 list (DuckDB's
@@ -198,22 +222,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the md5-shingle aggregation would be recomputed per reference. At
     # corpus scale this is the standard 'materialize signatures' step.
     sig = minhash_signatures(spark, sf_dir).persist()
-    # one pass: explode all 8 band keys from a single signature computation
-    # (separate per-band projections would recompute the shingle aggregation
-    # once per band)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            phash.fold(
-                [F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
-            ).alias("band_hash"),
-        )
-        for b in range(N_HASHES // BAND_SIZE)
-    ])
-    band_tbl = sig.select(
-        "doc_id", F.explode(band_structs).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"),
-             F.col("bb.band_hash").alias("band_hash"))
+    band_tbl = band_table(sig)
     ok = (
         band_tbl.groupBy("band", "band_hash")
         .agg(F.count("*").alias("n"))
@@ -273,20 +282,7 @@ def lsh_dropped_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_list over the full bucket."""
     from pyspark.sql.window import Window
 
-    sig = minhash_signatures(spark, sf_dir)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            phash.fold(
-                [F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
-            ).alias("band_hash"),
-        )
-        for b in range(N_HASHES // BAND_SIZE)
-    ])
-    band_tbl = sig.select(
-        "doc_id", F.explode(band_structs).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"),
-             F.col("bb.band_hash").alias("band_hash"))
+    band_tbl = band_table(minhash_signatures(spark, sf_dir))
     dropped = (
         band_tbl.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("size"))

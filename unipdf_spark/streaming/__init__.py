@@ -7,7 +7,9 @@ continuous ingestion of document/event streams with watermarked state —
 """
 
 from .ops import (  # noqa: F401
+    streaming_dedup_exact,
     streaming_extract,
     streaming_hourly_counts,
+    streaming_minhash_candidates,
     streaming_sessionize,
 )

@@ -158,3 +158,54 @@ def streaming_dedup_exact(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LSH_CAND_OUT = "band int, band_hash long, doc_a string, doc_b string"
+_LSH_STATE_SCHEMA = "ids array<string>"
+
+
+def _lsh_cand_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Cross-micro-batch LSH bucket state: remember up to MAX_BUCKET member
+    doc_ids per (band, band_hash); each new arrival pairs against the stored
+    members. The cap bounds state AND per-arrival output (skew armor — a
+    boilerplate bucket emits ≤ MAX_BUCKET pairs per arrival, never n²),
+    while arrivals beyond the cap still pair against the stored sample, so
+    a hot cluster keeps reporting instead of going silent."""
+    from ..operators.dedup import MAX_BUCKET
+
+    band, band_hash = key
+    ids = list(state.get[0]) if state.exists else []
+    rows = []
+    for pdf in pdfs:
+        for doc_id in sorted(pdf["doc_id"]):
+            if doc_id in ids:
+                continue
+            for old in ids:
+                a, b = sorted((old, doc_id))
+                rows.append((band, band_hash, a, b))
+            if len(ids) < MAX_BUCKET:
+                ids.append(doc_id)
+    state.update((ids,))
+    yield pd.DataFrame(rows, columns=["band", "band_hash", "doc_a", "doc_b"])
+
+
+def streaming_minhash_candidates(docs: DataFrame) -> DataFrame:
+    """Streaming near-dup candidate detection: MinHash signatures + LSH
+    banding (the SAME portable-hash expressions as the batch operator —
+    operators/dedup.py attach_minhash_signature/band_table) with per-bucket
+    state across micro-batches. Each incoming document is checked against
+    the full history of its buckets without reprocessing the stream —
+    the streaming analog of minhash_lsh_pairs' candidate stage. Verification
+    (true Jaccard) stays a batch join over the candidate output."""
+    from ..operators.dedup import attach_minhash_signature, band_table
+
+    bands = band_table(attach_minhash_signature(docs))
+    return bands.groupBy("band", "band_hash").applyInPandasWithState(
+        _lsh_cand_fn,
+        outputStructType=LSH_CAND_OUT,
+        stateStructType=_LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
