@@ -58,20 +58,42 @@ class Word:
 
 @dataclass
 class Line:
+    """Bounds (u0/u1/fontsize/op0) are maintained INCREMENTALLY on
+    add_word — recomputing them per access made paragraph assembly
+    quadratic in line length (profiled hot)."""
+
     words: list[Word] = field(default_factory=list)
     depth: float = 0.0
+    u0: float = 0.0
+    u1: float = 0.0
+    fontsize: float = 0.0
+    op0: int = 0
 
-    @property
-    def u0(self) -> float:
-        return min(w.u0 for w in self.words)
+    def __post_init__(self) -> None:
+        if self.words:
+            self.u0 = min(w.u0 for w in self.words)
+            self.u1 = max(w.u1 for w in self.words)
+            self.fontsize = max(w.fontsize for w in self.words)
+            self.op0 = min(w.op_index for w in self.words)
 
-    @property
-    def u1(self) -> float:
-        return max(w.u1 for w in self.words)
-
-    @property
-    def fontsize(self) -> float:
-        return max(w.fontsize for w in self.words)
+    def add_word(self, w: Word) -> None:
+        self.words.append(w)
+        if len(self.words) == 1:
+            self.u0, self.u1 = w.u0, w.u1
+            self.fontsize = w.fontsize
+            self.op0 = w.op_index
+            self.depth = w.depth
+            return
+        if w.u0 < self.u0:
+            self.u0 = w.u0
+        if w.u1 > self.u1:
+            self.u1 = w.u1
+        if w.fontsize > self.fontsize:
+            self.fontsize = w.fontsize
+        if w.op_index < self.op0:
+            self.op0 = w.op_index
+        if w.depth < self.depth:
+            self.depth = w.depth
 
     def text(self) -> str:
         """Visual-order words → logical text, with per-line RTL run
@@ -97,28 +119,41 @@ class Line:
 
 @dataclass
 class Para:
+    """Bounds are maintained incrementally on add_line (see Line)."""
+
     lines: list[Line] = field(default_factory=list)
     orientation_rank: int = 0
+    u0: float = 0.0
+    u1: float = 0.0
+    depth0: float = 0.0
+    depth1: float = 0.0
+    min_op: int = 0
 
-    @property
-    def u0(self) -> float:
-        return min(ln.u0 for ln in self.lines)
+    def __post_init__(self) -> None:
+        if self.lines:
+            self.u0 = min(ln.u0 for ln in self.lines)
+            self.u1 = max(ln.u1 for ln in self.lines)
+            self.depth0 = min(ln.depth for ln in self.lines)
+            self.depth1 = max(ln.depth for ln in self.lines)
+            self.min_op = min(ln.op0 for ln in self.lines)
 
-    @property
-    def u1(self) -> float:
-        return max(ln.u1 for ln in self.lines)
-
-    @property
-    def depth0(self) -> float:
-        return min(ln.depth for ln in self.lines)
-
-    @property
-    def depth1(self) -> float:
-        return max(ln.depth for ln in self.lines)
-
-    @property
-    def min_op(self) -> int:
-        return min(w.op_index for ln in self.lines for w in ln.words)
+    def add_line(self, ln: Line) -> None:
+        self.lines.append(ln)
+        if len(self.lines) == 1:
+            self.u0, self.u1 = ln.u0, ln.u1
+            self.depth0 = self.depth1 = ln.depth
+            self.min_op = ln.op0
+            return
+        if ln.u0 < self.u0:
+            self.u0 = ln.u0
+        if ln.u1 > self.u1:
+            self.u1 = ln.u1
+        if ln.depth < self.depth0:
+            self.depth0 = ln.depth
+        if ln.depth > self.depth1:
+            self.depth1 = ln.depth
+        if ln.op0 < self.min_op:
+            self.min_op = ln.op0
 
     def text(self, dehyphenate: bool = True) -> str:
         parts: list[str] = []
@@ -228,11 +263,9 @@ def make_lines(words: list[Word]) -> list[Line]:
         if best == "dup":
             continue
         if best is None:
-            ln = Line(words=[w], depth=w.depth)
-            lines.append(ln)
+            lines.append(Line(words=[w], depth=w.depth))
         else:
-            best.words.append(w)
-            best.depth = min(best.depth, w.depth)
+            best.add_word(w)
     return lines
 
 
@@ -243,14 +276,19 @@ def _split_line_columns(line: Line) -> list[Line]:
     ws = sorted(line.words, key=lambda w: w.u0)
     out: list[Line] = []
     cur: list[Word] = [ws[0]]
+    cur_u1 = ws[0].u1
+    cur_fs = ws[0].fontsize
     for w in ws[1:]:
-        gap = w.u0 - max(x.u1 for x in cur)
-        fs = max(w.fontsize, max(x.fontsize for x in cur))
+        gap = w.u0 - cur_u1
+        fs = max(w.fontsize, cur_fs)
         if gap > 3.0 * fs:  # gutter ≫ word gap (1.4·fs line cap, e:705 _ddeg)
             out.append(Line(words=cur, depth=min(x.depth for x in cur)))
             cur = [w]
+            cur_u1, cur_fs = w.u1, w.fontsize
         else:
             cur.append(w)
+            cur_u1 = max(cur_u1, w.u1)
+            cur_fs = max(cur_fs, w.fontsize)
     out.append(Line(words=cur, depth=min(x.depth for x in cur)))
     return out
 
@@ -293,7 +331,7 @@ def make_paras(lines: list[Line], orientation_rank: int,
         if attached is None:
             paras.append(Para(lines=[ln], orientation_rank=orientation_rank))
         else:
-            attached.lines.append(ln)
+            attached.add_line(ln)
     return paras
 
 
