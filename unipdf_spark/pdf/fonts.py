@@ -283,6 +283,7 @@ class Font:
         self.builtin_flat: float | None = None
         self.ttf: "truetype.TtfFont | None" = None
         self._u_cache: dict[int, tuple[str, bool]] = {}
+        self._w_cache: dict[int, float] = {}
 
     # decode chain ----------------------------------------------------------
     def bytes_to_charcodes(self, raw: bytes) -> list[int]:
@@ -329,7 +330,16 @@ class Font:
     def charcode_width(self, code: int) -> float:
         """Glyph-space width (units of 1/1000 text space; Type3 exempt).
         Type0 /W arrays are keyed by CID, so the charcode goes through the
-        encoding CMap's cid mapping first (identity when absent)."""
+        encoding CMap's cid mapping first (identity when absent). Memoized —
+        the fallback chain runs once per distinct charcode."""
+        hit = self._w_cache.get(code)
+        if hit is not None:
+            return hit
+        w = self._width_uncached(code)
+        self._w_cache[code] = w
+        return w
+
+    def _width_uncached(self, code: int) -> float:
         if self.is_cid:
             code = self.cid_map.get(code, code)
         w = self.widths.get(code)
