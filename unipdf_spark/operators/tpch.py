@@ -421,12 +421,212 @@ ORDER BY p_brand
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: shipping volume between two nations by year.
+    Dimension chain (supplier→nation, orders→customer→nation) broadcasts;
+    the fact table shuffles once for the final group-by."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2") & (
+        F.col("cust_nation") == "NATION_1")
+    return (
+        l.join(F.broadcast(su), l.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate)::INT AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (no partsupp table in this schema, so profit =
+    discounted revenue): per supplier-nation per year over parts whose name
+    contain a token ('ring')."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    su = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p.filter(F.col("p_name").contains("ring"))),
+               l.l_partkey == p.p_partkey)
+        .join(F.broadcast(su), l.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, EXTRACT(year FROM l_shipdate)::INT AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%ring%'
+GROUP BY n_name, EXTRACT(year FROM l_shipdate)::INT
+ORDER BY nation, o_year DESC
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: top-20 customers by revenue lost to returns in one
+    quarter. Fact filtered before the join; customer/nation broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                 & (F.col("o_orderdate") < F.lit("1996-04-01")))
+        .join(l.filter(F.col("l_returnflag") == "R"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        # floor(x*100+0.5)/100: engine-portable 2-digit rounding — plain
+        # ROUND diverges between engines exactly at .xx5 (Spark rounds the
+        # shortest-decimal rendering, DuckDB the binary double)
+        .agg((F.floor(F.sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))) * 100 + 0.5) / 100)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: promo revenue share for one month — conditional
+    aggregation over a broadcast part join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter((F.col("l_shipdate") >= F.lit("1996-03-01"))
+                 & (F.col("l_shipdate") < F.lit("1996-04-01")))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                        .otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: disjunctive brand/size/quantity predicates — the
+    OR-of-ANDs shape Catalyst must keep as a single join filter (no
+    cartesian)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#22") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(5, 35)))
+        | ((F.col("p_brand") == "Brand#15") & (F.col("p_size").between(1, 50))
+           & (F.col("l_quantity").between(10, 50)))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 5 AND 35)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 10 AND 50)
+"""
+
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_effect": q14_promo_effect,
+    "q19_discounted_revenue": q19_discounted_revenue,
     "top_customers_per_segment": top_customers_per_segment,
     "events_sessionize": events_sessionize,
     "events_hourly_rollup": events_hourly_rollup,
@@ -441,6 +641,11 @@ ORACLES = {
     "q4_order_priority": Q4_SQL,
     "q5_local_supplier_volume": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q14_promo_effect": Q14_SQL,
+    "q19_discounted_revenue": Q19_SQL,
     "top_customers_per_segment": TOP_CUST_SQL,
     "events_sessionize": SESSIONIZE_SQL,
     "events_hourly_rollup": HOURLY_SQL,
