@@ -15,9 +15,11 @@ def test_query_runs_and_returns_rows(spark, name):
     df = all_queries()[name](spark, SF)
     rows = df.limit(5000).collect()
     # near-dup pair queries may legitimately return 0 rows on this data;
-    # the cap-reporting companions are empty unless a bucket saturates
+    # the cap-reporting companions are empty unless a bucket saturates;
+    # q7's nation-pair filter can be empty at the tiny sf0.001
     if name not in ("embedding_near_dup_pairs", "minhash_lsh_pairs",
-                    "lsh_dropped_clusters", "simhash_saturated_blocks"):
+                    "lsh_dropped_clusters", "simhash_saturated_blocks",
+                    "q7_volume_shipping"):
         assert len(rows) > 0, name
     assert df.columns  # stable schema
 
