@@ -262,3 +262,38 @@ def test_jbig2_unsupported_region_types_raise():
         raise AssertionError("expected Jbig2Error")
     except Jbig2Error:
         pass
+
+
+def test_jbig2_symbol_text_region_roundtrip_fuzz():
+    """Symbol dictionary + text region (arithmetic) vs the independent
+    writer-side encoder: integer coder (Annex A), IAID trees, height-class
+    symbol coding, strip placement."""
+    import random
+
+    from unipdf_spark.fixtures.render import jbig2_text_encode
+    from unipdf_spark.pdf.jbig2 import decode_embedded
+
+    rng = random.Random(13)
+    for _ in range(15):
+        n_sym = rng.randint(1, 5)
+        symbols = [
+            [[rng.random() < 0.5 for _ in range(rng.randint(2, 9))]
+             for _ in range(h)]
+            for h in (rng.randint(2, 9) for _ in range(n_sym))
+        ]
+        # rectangularize each symbol (rows of equal width)
+        symbols = [
+            [[bool(row[i]) if i < len(row) else False
+              for i in range(len(sym[0]))] for row in sym]
+            for sym in symbols
+        ]
+        cols, nrows = rng.choice([32, 48]), rng.choice([16, 24])
+        placements = [
+            (rng.randrange(n_sym), rng.randint(0, cols - 10),
+             rng.randint(0, nrows - 10))
+            for _ in range(rng.randint(1, 9))
+        ]
+        stream, want = jbig2_text_encode(symbols, placements, cols, nrows)
+        got, w, h = decode_embedded(stream)
+        assert (w, h) == (cols, nrows)
+        assert [list(r) for r in got] == want

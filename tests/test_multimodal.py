@@ -116,7 +116,9 @@ def test_jbig2_bilevel_ink_ratio_matches_plan(spark):
     from unipdf_spark.fixtures.render import jbig2_encode
     from unipdf_spark import schema
 
-    checked = 0
+    from unipdf_spark.fixtures.render import jbig2_text_encode
+
+    checked = text_checked = 0
     for i in range(12):
         # gen_docs_pdf derivation: doc_id = f"doc_{i:08d}", seed = 42
         plan = _plan_doc(f"doc_{i:08d}", "jbig2", 42)
@@ -126,4 +128,10 @@ def test_jbig2_bilevel_ink_ratio_matches_plan(spark):
             want = sum(sum(r) for r in bits) / (cols * len(bits))
             assert abs(feats[ref]["ink_ratio"] - want) < 1e-6, ref
             checked += 1
-    assert checked >= 12
+        for key, (syms, places, cols, nrows) in plan.jbig2_text_images.items():
+            data, composed = jbig2_text_encode(syms, places, cols, nrows)
+            ref = schema.media_ref_for(data)
+            want = sum(sum(r) for r in composed) / (cols * nrows)
+            assert abs(feats[ref]["ink_ratio"] - want) < 1e-6, ref
+            text_checked += 1
+    assert checked >= 12 and text_checked >= 12

@@ -205,6 +205,7 @@ class DocPlan:
     blocks: list = field(default_factory=list)  # ParaPlan | ImagePlan, doc order
     fax_images: dict = field(default_factory=dict)  # key>=100 → (rows, cols)
     jbig2_images: dict = field(default_factory=dict)  # key → (rows, cols, mmr)
+    jbig2_text_images: dict = field(default_factory=dict)  # key → (symbols, placements, cols, nrows)
     theta: int = 0
     corrupt_xref: bool = False
     modern: bool = False  # xref stream + object stream container (PDF 1.5+)
@@ -646,6 +647,26 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
                 ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h)
             )
             v -= h + 10
+        # one SYMBOL-DICTIONARY + TEXT-REGION image (the jbig2enc shape):
+        # a few small glyph bitmaps stamped at random positions
+        n_sym = rng.randint(2, 3)
+        symbols = []
+        for _ in range(n_sym):
+            sw, sh = rng.randint(3, 6), rng.randint(4, 7)
+            symbols.append(
+                [[rng.random() < 0.5 for _ in range(sw)] for _ in range(sh)]
+            )
+        t_cols, t_rows = 48, 20
+        placements = []
+        for _ in range(rng.randint(3, 7)):
+            placements.append((rng.randrange(n_sym),
+                               rng.randint(0, t_cols - 8),
+                               rng.randint(0, t_rows - 8)))
+        key = 210
+        plan.jbig2_text_images[key] = (symbols, placements, t_cols, t_rows)
+        h = 30.0
+        plan.blocks.append(ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 2, h=h))
+        v -= h + 10
         p, v = _para(rng, MARGIN, v, width, (3, 6))
         plan.blocks.append(p)
         return plan
@@ -1058,6 +1079,22 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width " + str(cols).encode()
             + b" /Height " + str(len(rows)).encode()
+            + b" /ColorSpace /DeviceGray /BitsPerComponent 1 "
+            b"/Filter /JBIG2Decode /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream"
+        )
+        name = f"Im{key}"
+        img_names[key] = name
+        img_refs[key] = schema.media_ref_for(data)
+        xobj_res += f"/{name} {num} 0 R ".encode()
+
+    for key, (symbols, placements, t_cols, t_rows) in plan.jbig2_text_images.items():
+        from .render import jbig2_text_encode
+
+        data, _composed = jbig2_text_encode(symbols, placements, t_cols, t_rows)
+        num = w.add(
+            b"<< /Type /XObject /Subtype /Image /Width " + str(t_cols).encode()
+            + b" /Height " + str(t_rows).encode()
             + b" /ColorSpace /DeviceGray /BitsPerComponent 1 "
             b"/Filter /JBIG2Decode /Length " + str(len(data)).encode()
             + b" >>\nstream\n" + data + b"\nendstream"

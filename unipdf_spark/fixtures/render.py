@@ -752,3 +752,183 @@ def jbig2_encode(rows: list[list[bool]], cols: int, mmr: bool = False) -> bytes:
     seg2 = _jb2_segment(2, 38, region_info + gflags + at + body)
     seg3 = _jb2_segment(3, 49, b"")  # end of page
     return seg1 + seg2 + seg3
+
+
+def _jb2_int_ctx():
+    return [[0, 0] for _ in range(512)]
+
+
+def _jb2_enc_int(enc: "_MQEncoder", ctx: list, v: int | None) -> None:
+    """Integer arithmetic ENCODING (T.88 Annex A mirror): sign + prefix
+    class + value bits through the adaptive PREV tree. v=None encodes OOB
+    (S=1, V=0)."""
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        enc.encode(ctx[prev], b)
+        prev = ((prev << 1) | b) if prev < 256 else (
+            ((((prev << 1) | b) & 511) | 256))
+
+    if v is None:  # OOB
+        bit(1)
+        bit(0)
+        bit(0)
+        bit(0)
+        return
+    s = 1 if v < 0 else 0
+    av = -v if v < 0 else v
+    bit(s)
+    if av < 4:
+        cls, base, n = [0], 0, 2
+    elif av < 20:
+        cls, base, n = [1, 0], 4, 4
+    elif av < 84:
+        cls, base, n = [1, 1, 0], 20, 6
+    elif av < 340:
+        cls, base, n = [1, 1, 1, 0], 84, 8
+    elif av < 4436:
+        cls, base, n = [1, 1, 1, 1, 0], 340, 12
+    else:
+        cls, base, n = [1, 1, 1, 1, 1], 4436, 32
+    for b in cls:
+        bit(b)
+    val = av - base
+    for i in range(n - 1, -1, -1):
+        bit((val >> i) & 1)
+
+
+def _jb2_enc_iaid(enc: "_MQEncoder", cx: list, symcodelen: int, sym_id: int) -> None:
+    prev = 1
+    for i in range(symcodelen - 1, -1, -1):
+        b = (sym_id >> i) & 1
+        enc.encode(cx[prev], b)
+        prev = (prev << 1) | b
+
+
+def _jb2_generic_into(enc: "_MQEncoder", contexts: dict,
+                      rows: list[list[bool]], cols: int) -> None:
+    """Template-0 generic coding into an EXISTING MQ encoder + GB context
+    store (symbol-dictionary semantics: one coder for all symbol bitmaps)."""
+    h = len(rows)
+
+    def px(x: int, y: int) -> int:
+        if 0 <= x < cols and 0 <= y < h:
+            return 1 if rows[y][x] else 0
+        return 0
+
+    for y in range(h):
+        for x in range(cols):
+            ctx = 0
+            for dx, dy in _JB2_T0:
+                ctx = (ctx << 1) | px(x + dx, y + dy)
+            cx = contexts.setdefault(ctx, [0, 0])
+            enc.encode(cx, 1 if rows[y][x] else 0)
+
+
+def _jb2_segment_refs(number: int, seg_type: int, refs: list[int],
+                      data: bytes, page: int = 1) -> bytes:
+    """Segment header with 1-byte referred-to segment numbers (count ≤ 4)."""
+    rt = bytes([len(refs) << 5])
+    return (number.to_bytes(4, "big") + bytes([seg_type & 0x3F]) + rt
+            + bytes(refs) + bytes([page])
+            + len(data).to_bytes(4, "big") + data)
+
+
+def jbig2_text_encode(symbols: list[list[list[bool]]],
+                      placements: list[tuple[int, int, int]],
+                      cols: int, nrows: int) -> tuple[bytes, list[list[int]]]:
+    """Embedded JBIG2 with a SYMBOL DICTIONARY + TEXT REGION (the jbig2enc
+    shape): page info, symbol dict (arithmetic, template 0, all exported),
+    one-strip text region (TL corner, untransposed) placing
+    (sym_id, x, y) instances. Returns (stream, composed page rows 0/1)."""
+    # --- symbol dictionary segment -------------------------------------
+    order = sorted(range(len(symbols)), key=lambda i: len(symbols[i]))
+    enc = _MQEncoder()
+    gb_ctx: dict = {}
+    iadh, iadw, iaex = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = len(symbols[order[i]])
+        _jb2_enc_int(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(order) and len(symbols[order[i]]) == h:
+            w = len(symbols[order[i]][0])
+            _jb2_enc_int(enc, iadw, w - symwidth)
+            symwidth = w
+            _jb2_generic_into(enc, gb_ctx, symbols[order[i]], w)
+            i += 1
+        _jb2_enc_int(enc, iadw, None)  # OOB: end of height class
+    _jb2_enc_int(enc, iaex, 0)              # skip-run 0
+    _jb2_enc_int(enc, iaex, len(symbols))   # export-run all
+    sd_body = enc.flush()
+    at = bytes([3 & 0xFF, 0xFF, 0x100 - 3, 0xFF, 2, 0xFE, 0x100 - 2, 0xFE])
+    sd_data = (0).to_bytes(2, "big") + at \
+        + len(symbols).to_bytes(4, "big") + len(symbols).to_bytes(4, "big") \
+        + sd_body
+    # dictionary order is height-sorted: id in the TEXT REGION indexes the
+    # exported list, so remap caller ids
+    remap = {orig: k for k, orig in enumerate(order)}
+
+    # --- text region segment --------------------------------------------
+    n_syms = len(symbols)
+    symcodelen = max(1, (n_syms - 1).bit_length() if n_syms > 1 else 1)
+    enc2 = _MQEncoder()
+    iadt, iafs, iads = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
+    by_row: dict[int, list[tuple[int, int]]] = {}
+    for sym_id, x, y in placements:
+        by_row.setdefault(y, []).append((x, remap[sym_id]))
+    _jb2_enc_int(enc2, iadt, 0)  # STRIPT init = 0
+    stript = 0
+    firsts = 0
+    n_inst = 0
+    total = len(placements)
+    for y in sorted(by_row):
+        _jb2_enc_int(enc2, iadt, y - stript)
+        stript = y
+        first = True
+        curs = 0
+        for x, sid in sorted(by_row[y]):
+            if first:
+                _jb2_enc_int(enc2, iafs, x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                _jb2_enc_int(enc2, iads, x - curs)
+                curs = x
+            _jb2_enc_iaid(enc2, iaid_cx, symcodelen, sid)
+            curs += len(symbols[order[sid]][0]) - 1
+            n_inst += 1
+        if n_inst < total:
+            _jb2_enc_int(enc2, iads, None)  # end of strip
+    tr_body = enc2.flush()
+    region_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
+                   + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                   + bytes([0]))
+    tr_flags = (1 << 5)  # TL corner, strips=1, untransposed, OR, dsoffset 0
+    tr_data = (region_info + tr_flags.to_bytes(2, "big")
+               + total.to_bytes(4, "big") + tr_body)
+
+    page_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
+                 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + bytes([0x01]) + (0).to_bytes(2, "big"))
+    stream = (_jb2_segment(1, 48, page_info)
+              + _jb2_segment(2, 0, sd_data)
+              + _jb2_segment_refs(3, 6, [2], tr_data)
+              + _jb2_segment(4, 49, b""))
+
+    # composed reference bitmap (TL placement, OR)
+    page = [[0] * cols for _ in range(nrows)]
+    for sym_id, x, y in placements:
+        sym = symbols[sym_id]
+        for yy, srow in enumerate(sym):
+            if 0 <= y + yy < nrows:
+                prow = page[y + yy]
+                for xx, v in enumerate(srow):
+                    if v and 0 <= x + xx < cols:
+                        prow[x + xx] = 1
+    return stream, page

@@ -158,13 +158,23 @@ def decode_generic(
     data: bytes, width: int, height: int, template: int = 0,
     at: list[tuple[int, int]] | None = None, tpgdon: bool = False,
 ) -> list[bytearray]:
-    """Generic region decoding procedure (§6.2.5.7). Returns rows of 0/1
-    ints (1 = black)."""
+    """Generic region decoding procedure (§6.2.5.7) over a fresh decoder.
+    Returns rows of 0/1 ints (1 = black)."""
+    return decode_generic_with(
+        MQDecoder(data), {}, width, height, template, at, tpgdon)
+
+
+def decode_generic_with(
+    dec: MQDecoder, contexts: dict, width: int, height: int,
+    template: int = 0, at: list[tuple[int, int]] | None = None,
+    tpgdon: bool = False,
+) -> list[bytearray]:
+    """Generic region decoding sharing an MQ decoder + GB context store —
+    the symbol-dictionary procedure (§6.5.5) decodes every symbol bitmap
+    through ONE arithmetic decoder with persistent contexts."""
     at = at if at is not None else NOMINAL_AT[template]
     pts = template_pixels(template, at)
     nbits = len(pts)
-    dec = MQDecoder(data)
-    contexts: dict[int, list] = {}
     bitmap = [bytearray(width) for _ in range(height)]
     ltp = 0
 
@@ -193,12 +203,210 @@ def decode_generic(
     return bitmap
 
 
+OOB = object()  # out-of-band marker (Annex A integer decoding)
+
+
+class IntCtx:
+    """One integer-arithmetic context set (IADH, IADW, …): a 512-entry
+    adaptive context tree (Annex A)."""
+
+    __slots__ = ("cx",)
+
+    def __init__(self) -> None:
+        self.cx = [[0, 0] for _ in range(512)]
+
+
+def decode_int(dec: MQDecoder, ctx: IntCtx):
+    """Integer arithmetic decoding procedure (Annex A.2): sign bit + prefix
+    class + value bits, all through the adaptive PREV context tree. Returns
+    an int or OOB."""
+    cx = ctx.cx
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = dec.decode(cx[prev])
+        prev = ((prev << 1) | b) if prev < 256 else (
+            ((((prev << 1) | b) & 511) | 256))
+        return b
+
+    def read(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | bit()
+        return v
+
+    s = bit()
+    if not bit():
+        v = read(2)
+    elif not bit():
+        v = read(4) + 4
+    elif not bit():
+        v = read(6) + 20
+    elif not bit():
+        v = read(8) + 84
+    elif not bit():
+        v = read(12) + 340
+    else:
+        v = read(32) + 4436
+    if s:
+        if v == 0:
+            return OOB
+        return -v
+    return v
+
+
+def decode_iaid(dec: MQDecoder, cx: list, symcodelen: int) -> int:
+    """IAID decoding procedure (Annex A.3): symcodelen bits through a
+    (1 << (symcodelen+1))-entry context tree."""
+    prev = 1
+    for _ in range(symcodelen):
+        b = dec.decode(cx[prev])
+        prev = (prev << 1) | b
+    return prev - (1 << symcodelen)
+
+
 def _u32(b: bytes, off: int) -> int:
     return int.from_bytes(b[off : off + 4], "big")
 
 
 class Jbig2Error(Exception):
     pass
+
+
+def decode_symbol_dict(seg: bytes) -> list[list[bytearray]]:
+    """Symbol dictionary decoding (§6.5, arithmetic coding, no refinement/
+    aggregation, no Huffman — the jbig2enc-style shape). Returns exported
+    symbol bitmaps."""
+    flags = int.from_bytes(seg[0:2], "big")
+    huffman = flags & 1
+    refagg = (flags >> 1) & 1
+    template = (flags >> 10) & 3
+    if huffman or refagg:
+        raise Jbig2Error("huffman/refinement symbol dictionaries unsupported")
+    off = 2
+    n_at = 4 if template == 0 else 1
+    at = []
+    for _ in range(n_at):
+        at.append((int.from_bytes(seg[off : off + 1], "big", signed=True),
+                   int.from_bytes(seg[off + 1 : off + 2], "big", signed=True)))
+        off += 2
+    num_ex = _u32(seg, off)
+    num_new = _u32(seg, off + 4)
+    off += 8
+
+    dec = MQDecoder(seg[off:])
+    gb_ctx: dict[int, list] = {}
+    iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+    new_syms: list[list[bytearray]] = []
+    hcheight = 0
+    while len(new_syms) < num_new:
+        dh = decode_int(dec, iadh)
+        if dh is OOB:
+            raise Jbig2Error("unexpected OOB in height class")
+        hcheight += dh
+        symwidth = 0
+        while True:
+            dw = decode_int(dec, iadw)
+            if dw is OOB:
+                break  # end of height class
+            symwidth += dw
+            if len(new_syms) >= num_new:
+                raise Jbig2Error("too many symbols")
+            new_syms.append(
+                decode_generic_with(dec, gb_ctx, symwidth, hcheight,
+                                    template, at))
+    # export flags: alternating (skip, export) run lengths over the symbol
+    # list (no input symbols in this subset)
+    exported: list[list[bytearray]] = []
+    i = 0
+    cur_export = 0
+    while i < len(new_syms) and len(exported) < num_ex:
+        run = decode_int(dec, iaex)
+        if run is OOB:
+            break
+        if cur_export:
+            exported.extend(new_syms[i : i + run])
+        i += run
+        cur_export ^= 1
+    return exported
+
+
+def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
+    """Text region decoding (§6.4, arithmetic, SBHUFF=0, SBREFINE=0).
+    Returns (region rows, rw, rh, rx, ry)."""
+    rw, rh = _u32(seg, 0), _u32(seg, 4)
+    rx, ry = _u32(seg, 8), _u32(seg, 12)
+    flags = int.from_bytes(seg[17:19], "big")
+    huffman = flags & 1
+    refine = (flags >> 1) & 1
+    log_strips = (flags >> 2) & 3
+    strips = 1 << log_strips
+    ref_corner = (flags >> 5) & 3  # 0=BL 1=TL 2=BR 3=TR
+    transposed = (flags >> 7) & 1
+    def_pixel = (flags >> 10) & 1
+    ds_offset = (flags << 17) & 0xFFFFFFFF
+    ds_offset = (ds_offset >> 27) - 32 if (ds_offset >> 27) > 15 else (
+        ds_offset >> 27)
+    if huffman or refine or transposed:
+        raise Jbig2Error("huffman/refined/transposed text regions unsupported")
+    off = 19
+    num_instances = _u32(seg, off)
+    off += 4
+
+    n_syms = len(symbols)
+    symcodelen = max(1, (n_syms - 1).bit_length() if n_syms > 1 else 1)
+    dec = MQDecoder(seg[off:])
+    iadt, iafs, iads, iait = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
+
+    bitmap = [bytearray([def_pixel] * rw) for _ in range(rh)]
+    stript = -(decode_int(dec, iadt) or 0) * strips
+    firsts = 0
+    n_inst = 0
+    while n_inst < num_instances:
+        dt = decode_int(dec, iadt)
+        if dt is OOB:
+            raise Jbig2Error("unexpected OOB for DT")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = decode_int(dec, iafs)
+                if dfs is OOB:
+                    raise Jbig2Error("unexpected OOB for DFS")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = decode_int(dec, iads)
+                if ids is OOB:
+                    break  # end of strip
+                curs += ids + ds_offset
+            curt = 0 if strips == 1 else decode_int(dec, iait)
+            t = stript + curt
+            sym_id = decode_iaid(dec, iaid_cx, symcodelen)
+            sym = symbols[sym_id] if sym_id < n_syms else []
+            sh = len(sym)
+            sw = len(sym[0]) if sh else 0
+            # placement (untransposed): S along x, T along y; corner adjust
+            y0 = t if ref_corner in (1, 3) else t - sh + 1  # TL/TR vs BL/BR
+            x0 = curs if ref_corner in (0, 1) else curs - sw + 1
+            for yy in range(sh):
+                py = y0 + yy
+                if 0 <= py < rh:
+                    row = bitmap[py]
+                    srow = sym[yy]
+                    for xx in range(sw):
+                        px = x0 + xx
+                        if 0 <= px < rw and srow[xx]:
+                            row[px] = 1  # OR composition
+            curs += sw - 1
+            n_inst += 1
+            if n_inst >= num_instances:
+                break
+    return bitmap, rw, rh, rx, ry
 
 
 def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
@@ -210,6 +418,7 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
     n = len(data)
     page_w, page_h = width_hint, height_hint
     page: list[bytearray] | None = None
+    sym_dicts: dict[int, list] = {}  # segment number → exported symbols
 
     while pos + 11 <= n:
         # --- segment header (§7.2) ---
@@ -228,6 +437,11 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
             pos += 1
         # referred-to segment number size follows THIS segment's number
         ref_size = 4 if seg_number > 65536 else 2 if seg_number > 256 else 1
+        referred = [
+            int.from_bytes(data[pos + i * ref_size : pos + (i + 1) * ref_size],
+                           "big")
+            for i in range(count)
+        ]
         pos += count * ref_size
         pos += 4 if page_assoc_4 else 1
         dlen = _u32(data, pos)
@@ -290,7 +504,25 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
                 for x in range(rw):
                     if rx + x < len(prow):
                         prow[rx + x] |= row[x]  # OR composition (default)
-        elif seg_type in (0, 4, 6, 7, 16, 20, 22, 23):
+        elif seg_type == 0:  # symbol dictionary
+            sym_dicts[seg_number] = decode_symbol_dict(seg)
+        elif seg_type in (4, 6, 7):  # text region (intermediate/immediate)
+            symbols: list = []
+            for r in referred:
+                symbols.extend(sym_dicts.get(r, []))
+            rows, rw, rh, rx, ry = decode_text_region(seg, symbols)
+            if page is None:
+                page_w, page_h = max(page_w, rx + rw), max(page_h, ry + rh)
+                page = [bytearray(page_w) for _ in range(page_h)]
+            for y in range(rh):
+                if ry + y >= len(page):
+                    break
+                prow = page[ry + y]
+                row = rows[y]
+                for x in range(rw):
+                    if rx + x < len(prow):
+                        prow[rx + x] |= row[x]
+        elif seg_type in (16, 20, 22, 23):
             raise Jbig2Error(f"unsupported region type {seg_type}")
         # 49/50/51/62: end-of-* and extension segments — nothing to do
 
