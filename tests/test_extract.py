@@ -390,3 +390,19 @@ def test_aligned_table_adjacency_growth_ragged_row():
     assert (t.n_rows, t.n_cols) == (4, 3)
     assert t.cells[3] == ["r3c0", "", "r3c2"]
     assert [p.text() for p in rest] == ["lonely"]
+
+
+def test_w2_vertical_metrics_parsing():
+    """/DW2 + /W2 vertical displacements route into the vertical advance
+    (PDF 32000 §9.7.4.3); both the triplet-list and range forms parse."""
+    from unipdf_spark.pdf.fonts import Font, _parse_cid_w2, vadvance_em
+
+    r = lambda o: o  # noqa: E731
+    m = _parse_cid_w2([5, [-900, 0, 440, -1100, 0, 440], 10, 12, -750, 0, 400], r)
+    assert m == {5: -900.0, 6: -1100.0, 10: -750.0, 11: -750.0, 12: -750.0}
+    f = Font()
+    f.is_cid = True
+    f.default_w1 = -2200.0
+    f.w1_map = {7: -800.0}
+    assert vadvance_em(f, 7) == 0.8
+    assert vadvance_em(f, 8) == 2.2

@@ -1341,10 +1341,15 @@ def _make_cid_vertical_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
         + b"endcmap CMapName currentdict /CMap defineresource pop end end\n"
     )
     tounicode, _ = w.add_stream(b"", cmap, compress=True)
+    # some docs use a non-default /DW2: w1 = -2200 (2.2 em per glyph) puts
+    # consecutive glyphs past the paragraph merge cap, so each glyph
+    # extracts as its OWN span — an engine ignoring /DW2 would fuse them
+    wide = rng.random() < 0.4
+    dw2 = b" /DW2 [ 880 -2200 ]" if wide else b""
     desc = w.add(
         b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureVert "
         b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-        b"/Supplement 0 >> /DW 1000 >>"
+        b"/Supplement 0 >> /DW 1000" + dw2 + b" >>"
     )
     f7 = w.add(
         b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureVert "
@@ -1370,10 +1375,16 @@ def _make_cid_vertical_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
     golden = []
     offset = 0
     for col in cols:  # left-to-right column order (XY-cut)
-        t = "\n".join(col)
-        golden.append({"kind": "text", "text": t, "media_ref": "",
-                       "offset": offset})
-        offset += len(t)
+        if wide:  # 2.2 em advance: every glyph is its own paragraph
+            for ch in col:
+                golden.append({"kind": "text", "text": ch, "media_ref": "",
+                               "offset": offset})
+                offset += 1
+        else:
+            t = "\n".join(col)
+            golden.append({"kind": "text", "text": t, "media_ref": "",
+                           "offset": offset})
+            offset += len(t)
     return golden, pdf
 
 

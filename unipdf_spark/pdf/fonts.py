@@ -270,6 +270,10 @@ class Font:
         self.name = ""
         self.predef_mode: str | None = None  # 'identity' | 'ucs2' | 'utf16'
         self.wmode = 0  # 1 = vertical writing (CMap WMode, cmap.go:17)
+        # vertical metrics (PDF 32000 §9.7.4.3): default w1 from /DW2
+        # (default -1000 = one em down), per-CID overrides from /W2
+        self.default_w1 = -1000.0
+        self.w1_map: dict[int, float] = {}
         # charcode→CID for Type0 width lookup (model/model.go:2506): from an
         # embedded CMap's cidrange entries; identity for Identity-H/V and
         # (approximation, documented) the predefined Uni*-UCS2/UTF16 forms
@@ -454,6 +458,12 @@ def load_font(doc, font_dict) -> Font:
                 w_arr = r(desc.get("W"))
                 if isinstance(w_arr, list):
                     f.widths.update(_parse_cid_widths(w_arr, r))
+                dw2 = r(desc.get("DW2"))
+                if isinstance(dw2, list) and len(dw2) >= 2:
+                    f.default_w1 = float(r(dw2[1]))
+                w2 = r(desc.get("W2"))
+                if isinstance(w2, list):
+                    f.w1_map.update(_parse_cid_w2(w2, r))
         else:
             f.default_width = 1000.0
         if f.to_unicode is None:
@@ -535,6 +545,48 @@ def load_font(doc, font_dict) -> Font:
                     except Exception:
                         f.ttf = None
     return f
+
+
+def vadvance_em(font: "Font", code: int) -> float:
+    """Vertical advance magnitude in em units for a charcode (w1 is
+    negative-down in the PDF model; the interpreter subtracts)."""
+    cid = font.cid_map.get(code, code)
+    w1 = font.w1_map.get(cid, font.default_w1)
+    return -w1 / 1000.0
+
+
+def _parse_cid_w2(w2_arr: list, r) -> dict[int, float]:
+    """CID /W2 array (PDF 32000 §9.7.4.3): `c [w1 vx vy w1 vx vy …]` or
+    `cFirst cLast w1 vx vy`. Only w1 (vertical displacement) is carried —
+    the position vector affects glyph ink placement, not the span stream."""
+    out: dict[int, float] = {}
+    i = 0
+    n = len(w2_arr)
+    while i < n:
+        c = r(w2_arr[i])
+        if not isinstance(c, (int, float)):
+            i += 1
+            continue
+        c = int(c)
+        if i + 1 < n:
+            nxt = r(w2_arr[i + 1])
+            if isinstance(nxt, list):
+                for j in range(0, len(nxt) - 2, 3):
+                    w1 = r(nxt[j])
+                    if isinstance(w1, (int, float)):
+                        out[c + j // 3] = float(w1)
+                i += 2
+                continue
+            if i + 4 < n:
+                last = int(nxt)
+                w1 = r(w2_arr[i + 2])
+                if isinstance(w1, (int, float)):
+                    for cc in range(c, last + 1):
+                        out[cc] = float(w1)
+                i += 5
+                continue
+        i += 1
+    return out
 
 
 def _parse_cid_widths(w_arr: list, r) -> dict[int, float]:

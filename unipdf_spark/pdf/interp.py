@@ -509,14 +509,15 @@ class Interpreter:
 
         if font.wmode == 1:
             # vertical writing (WMode 1, cmap.go:17; PDF 32000 §9.7.4.3):
-            # the pen advances DOWN the text-space y axis by one em + Tc per
-            # glyph (default vertical displacement w1 = 1000/1000; /W2
-            # arrays are not carried — advance-only effect); glyphs center
-            # on the vertical baseline.
+            # the pen advances DOWN the text-space y axis by the glyph's
+            # vertical displacement (w1 from /DW2 default or the /W2 array)
+            # + Tc per glyph; glyphs center on the vertical baseline.
+            from .fonts import vadvance_em
+
             cum_y = 0.0
             for c, (u, missed) in zip(codes, texts):
                 w = widths(c) * ratio
-                dy = tfs + tc  # w1=1em vertical displacement
+                dy = vadvance_em(font, c) * tfs + tc
                 if missed:
                     self.n_misses += 1
                 if u and u != "\x00":
