@@ -406,3 +406,21 @@ def test_w2_vertical_metrics_parsing():
     f.w1_map = {7: -800.0}
     assert vadvance_em(f, 7) == 0.8
     assert vadvance_em(f, 8) == 2.2
+
+
+def test_macexpert_and_pdfdoc_encodings():
+    from unipdf_spark.pdf.fonts import load_font
+
+    class _Doc:
+        resolve = staticmethod(lambda o: o)
+
+    me = load_font(_Doc(), {"Subtype": "Type1", "BaseFont": "SomeExpert",
+                            "Encoding": "MacExpertEncoding"})
+    assert me.encoding_map[0x28] == "⁽"  # parenleftsuperior
+    assert me.encoding_map[0x2C] == ","       # comma stays comma
+    pd = load_font(_Doc(), {"Subtype": "Type1", "BaseFont": "X",
+                            "Encoding": "PDFDocEncoding"})
+    assert pd.encoding_map[0x18] == "˘"  # breve
+    assert pd.encoding_map[0x80] == "•"  # bullet
+    assert pd.encoding_map[0xA0] == "€"  # euro
+    assert pd.encoding_map[0x41] == "A"

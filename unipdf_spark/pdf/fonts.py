@@ -22,6 +22,7 @@ from __future__ import annotations
 import re
 
 from . import std14, truetype
+from .extra_enc import MAC_EXPERT, PDF_DOC
 from .symbol_enc import SYMBOL, ZAPF_DINGBATS
 
 # --- simple encodings -------------------------------------------------------
@@ -53,6 +54,9 @@ _ENCODINGS = {
     "WinAnsiEncoding": WIN_ANSI,
     "MacRomanEncoding": MAC_ROMAN,
     "StandardEncoding": STANDARD,
+    # Annex D.4/D.7 tables (reference textencoding.go:90/:100)
+    "MacExpertEncoding": MAC_EXPERT,
+    "PDFDocEncoding": PDF_DOC,
 }
 
 # Adobe glyph names → unicode (subset covering /Differences use in fixtures
