@@ -135,3 +135,34 @@ def test_jbig2_bilevel_ink_ratio_matches_plan(spark):
             assert abs(feats[ref]["ink_ratio"] - want) < 1e-6, ref
             text_checked += 1
     assert checked >= 12 and text_checked >= 12
+
+
+def test_media_feature_dedup_finds_identical_payloads(spark):
+    """Identical payloads share stub features -> cosine 1 pairs; blocks past
+    the cap refine instead of forming one giant join key."""
+    import pandas as pd
+
+    payloads = [bytes([i]) * 40 for i in range(30)]
+    payloads += [payloads[0]] * 2  # two exact dups of payload 0
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_ref": [f"img_{i:03d}" for i in range(len(payloads))],
+                "doc_id": ["d"] * len(payloads),
+                "kind": ["image"] * len(payloads),
+                "payload": payloads,
+                "width": [4] * len(payloads),
+                "height": [4] * len(payloads),
+                "n_bytes": [40] * len(payloads),
+                "codec": [""] * len(payloads),
+                "ccitt_k": [0] * len(payloads),
+                "blackis1": [False] * len(payloads),
+            }
+        ),
+        schema=mm.MEDIA_SCHEMA,
+    )
+    pairs = {(r["ref_a"], r["ref_b"]): r["dot"]
+             for r in mm.media_feature_dedup(media).collect()}
+    assert ("img_000", "img_030") in pairs
+    assert ("img_000", "img_031") in pairs
+    assert ("img_030", "img_031") in pairs

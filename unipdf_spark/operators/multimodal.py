@@ -163,24 +163,41 @@ def resize_thumbnails(media: DataFrame, max_side: int = 4) -> DataFrame:
     return media.mapInPandas(thumb_batch, schema=THUMB_SCHEMA)
 
 
+MEDIA_BLOCK_CAP = 64
+
+
 def media_feature_dedup(media: DataFrame) -> DataFrame:
     """Near-dup media via stub-feature cosine within blocks.
 
-    Blocking key = (feat_dim, 8-bit feature-sign LSH): the join is an
-    equality shuffle join on the block, never a cross product — near-dup
-    features share sign bits, so candidates stay within a block while block
-    cardinality bounds the per-task pair count at corpus scale.
+    Blocking key = (feat_dim, 8-bit feature-sign LSH); blocks larger than
+    MEDIA_BLOCK_CAP refine to the full 16-bit sign signature (same
+    hierarchical device as embedding_near_dup_pairs — a degenerate
+    all-identical-feature corpus can't force an n² join task). The join is
+    an equality shuffle join on the block, never a cross product.
     """
     feats = extract_features(media).filter(F.col("decode_ok"))
-    sign_bits = F.concat_ws(
-        "",
-        *[
-            (F.element_at(F.col("feature"), i + 1) > 0).cast("int").cast("string")
-            for i in range(8)
-        ],
-    )
+
+    def sign_bits(n: int):
+        return F.concat_ws(
+            "",
+            *[
+                (F.element_at(F.col("feature"), i + 1) > 0)
+                .cast("int").cast("string")
+                for i in range(n)
+            ],
+        )
+
     feats = feats.withColumn(
-        "block", F.concat_ws(":", F.col("feat_dim").cast("string"), sign_bits)
+        "b8", F.concat_ws(":", F.col("feat_dim").cast("string"), sign_bits(8))
+    ).withColumn("b16", sign_bits(STUB_FEAT_DIM))
+    from pyspark.sql.window import Window
+
+    feats = feats.withColumn(
+        "n8", F.count(F.lit(1)).over(Window.partitionBy("b8"))
+    ).withColumn(
+        "block",
+        F.when(F.col("n8") <= MEDIA_BLOCK_CAP, F.col("b8"))
+        .otherwise(F.concat_ws(":", F.col("b8"), F.col("b16"))),
     )
     a = feats.alias("a")
     b = feats.alias("b")
