@@ -373,3 +373,28 @@ def test_lsh_dropped_clusters_reports_capped_bucket(spark, tmp_path):
         for r in rows
     )
     assert [(b, h, s, list(ids)) for b, h, s, ids in want] == got
+
+
+def test_simhash_saturated_blocks_reports_and_matches_oracle(spark, tmp_path):
+    """A swarm of identical docs saturates every chunk bucket AND every
+    level-1 sub-bucket — the companion query must report those blocks (not
+    stay silent), matching DuckDB row-for-row."""
+    import duckdb
+
+    from unipdf_spark.operators import dedup
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 6
+    texts = [boiler] * (dedup.MAX_BUCKET + 36) + ["something else entirely"]
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = sorted(
+        tuple(r) for r in dedup.simhash_saturated_blocks(spark, sf).collect()
+    )
+    assert rows, "saturated blocks must be reported"
+    assert all(r[4] == dedup.MAX_BUCKET + 36 for r in rows)  # size col
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(dedup.SIMHASH_SATURATED_SQL).fetchall()))
+    assert rows == want
