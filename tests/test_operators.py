@@ -398,3 +398,37 @@ def test_simhash_saturated_blocks_reports_and_matches_oracle(spark, tmp_path):
     )
     want = sorted(map(tuple, con.execute(dedup.SIMHASH_SATURATED_SQL).fetchall()))
     assert rows == want
+
+
+def test_corpus_cleanup_drops_boilerplate_cluster(spark, tmp_path):
+    """The cleanup composite must act on LSH-dense boilerplate (the clusters
+    pairwise dedup caps away): one representative survives, the rest carry
+    drop_boilerplate — matching DuckDB on the same corpus."""
+    import duckdb
+
+    from unipdf_spark.operators import dedup
+    from unipdf_spark.operators.textops import CORPUS_CLEANUP_SQL, corpus_cleanup
+
+    boiler = "one two three four five six seven eight nine ten " * 6
+    texts = [boiler + f"tail{i}" for i in range(dedup.MAX_BUCKET + 36)]
+    texts.append("a completely different normal document body here today")
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = {r["doc_id"]: r for r in corpus_cleanup(spark, sf).collect()}
+    n_hot = dedup.MAX_BUCKET + 36
+    boiler_flags = [rows[i]["drop_boilerplate"] for i in range(n_hot)]
+    assert sum(boiler_flags) >= n_hot - 8  # at most a few escape blocking
+    assert not rows[n_hot]["drop_boilerplate"]  # the normal doc is kept
+    assert rows[n_hot]["keep"]
+    assert any(rows[i]["keep"] for i in range(n_hot))  # one representative
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(CORPUS_CLEANUP_SQL).fetchall()))
+    got = sorted(
+        (r["doc_id"], r["drop_duplicate"], r["drop_short"], r["drop_punct"],
+         r["drop_boilerplate"], r["keep"])
+        for r in rows.values()
+    )
+    assert got == want

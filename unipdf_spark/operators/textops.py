@@ -295,19 +295,43 @@ def corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("canonical_doc_id")
     )
     j = feats.join(canon, "text_hash")
+    # boilerplate gate: member of an LSH band bucket too dense for pairwise
+    # dedup (> MAX_BUCKET — the clusters lsh_dropped_clusters reports); one
+    # representative (the bucket's min doc_id) survives, the rest drop
+    from .dedup import MAX_BUCKET, attach_minhash_signature, band_table
+
+    bands = band_table(attach_minhash_signature(d))
+    hot = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n") > MAX_BUCKET)
+    )
+    boiler_ids = (
+        bands.join(hot, ["band", "band_hash"])
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("in_boiler", F.lit(True))
+    )
+    j = j.join(boiler_ids, "doc_id", "left")
     is_dup = F.col("doc_id") != F.col("canonical_doc_id")
     too_short = F.col("n_tokens") < 5
     too_punct = F.col("punct_ratio") > 0.10
+    is_boiler = F.coalesce(F.col("in_boiler"), F.lit(False))
     return j.select(
         "doc_id",
         is_dup.alias("drop_duplicate"),
         too_short.alias("drop_short"),
         too_punct.alias("drop_punct"),
-        (~(is_dup | too_short | too_punct)).alias("keep"),
+        is_boiler.alias("drop_boilerplate"),
+        (~(is_dup | too_short | too_punct | is_boiler)).alias("keep"),
     )
 
 
-CORPUS_CLEANUP_SQL = r"""
+def _cleanup_sql() -> str:
+    from .dedup import _BANDS_SQL, _SHINGLE_CTE, _SIG_COLS_SQL, MAX_BUCKET
+
+    return r"""
 WITH feats AS (
     SELECT doc_id,
            MD5(text) AS text_hash,
@@ -321,15 +345,39 @@ WITH feats AS (
 canon AS (
     SELECT text_hash, MIN(doc_id) AS canonical_doc_id
     FROM feats GROUP BY text_hash
+),
+""" + _SHINGLE_CTE.lstrip() + r""",
+sig AS (
+    SELECT doc_id,
+           """ + _SIG_COLS_SQL + r"""
+    FROM hs
+),
+bands AS (
+    """ + _BANDS_SQL + r"""
+),
+hot AS (
+    SELECT band, band_hash, MIN(doc_id) AS keeper FROM bands
+    GROUP BY band, band_hash HAVING COUNT(*) > """ + str(MAX_BUCKET) + r"""
+),
+boiler AS (
+    SELECT DISTINCT b.doc_id FROM bands b
+    JOIN hot USING (band, band_hash)
+    WHERE b.doc_id <> hot.keeper
 )
-SELECT doc_id,
-       doc_id <> canonical_doc_id                AS drop_duplicate,
+SELECT f.doc_id,
+       f.doc_id <> canonical_doc_id              AS drop_duplicate,
        n_tokens < 5                              AS drop_short,
        punct_ratio > 0.10                        AS drop_punct,
-       NOT (doc_id <> canonical_doc_id OR n_tokens < 5 OR punct_ratio > 0.10)
-                                                 AS keep
-FROM feats JOIN canon USING (text_hash)
+       (bl.doc_id IS NOT NULL)                   AS drop_boilerplate,
+       NOT (f.doc_id <> canonical_doc_id OR n_tokens < 5
+            OR punct_ratio > 0.10 OR bl.doc_id IS NOT NULL) AS keep
+FROM feats f
+JOIN canon USING (text_hash)
+LEFT JOIN boiler bl ON bl.doc_id = f.doc_id
 """
+
+
+CORPUS_CLEANUP_SQL = _cleanup_sql()
 
 
 QUERIES = {
