@@ -424,3 +424,24 @@ def test_macexpert_and_pdfdoc_encodings():
     assert pd.encoding_map[0x80] == "•"  # bullet
     assert pd.encoding_map[0xA0] == "€"  # euro
     assert pd.encoding_map[0x41] == "A"
+
+
+def test_agl_differences_resolution():
+    """Full Adobe Glyph List drives /Differences: names far outside the old
+    curated subset resolve (reference GlyphToRune parity)."""
+    from unipdf_spark.pdf.fonts import load_font
+
+    class _Doc:
+        resolve = staticmethod(lambda o: o)
+
+    f = load_font(_Doc(), {
+        "Subtype": "Type1", "BaseFont": "X",
+        "Encoding": {"BaseEncoding": "WinAnsiEncoding",
+                     "Differences": [65, "alpha", "summation", "uni4E2D",
+                                     "a.sc", "zcaron"]},
+    })
+    assert f.encoding_map[65] == "α"
+    assert f.encoding_map[66] == "∑"
+    assert f.encoding_map[67] == "中"
+    assert f.encoding_map[68] == "a"
+    assert f.encoding_map[69] == "ž"

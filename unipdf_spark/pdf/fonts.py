@@ -22,6 +22,7 @@ from __future__ import annotations
 import re
 
 from . import std14, truetype
+from .agl import glyph_to_unicode
 from .extra_enc import MAC_EXPERT, PDF_DOC
 from .symbol_enc import SYMBOL, ZAPF_DINGBATS
 
@@ -519,7 +520,8 @@ def load_font(doc, font_dict) -> Font:
                 code = int(item)
             else:
                 nm = str(item)
-                f.encoding_map[code] = GLYPH_NAMES.get(nm, MISSING_RUNE)
+                u = glyph_to_unicode(nm)
+                f.encoding_map[code] = u if u is not None else MISSING_RUNE
                 code += 1
 
     first = r(fd.get("FirstChar"))
