@@ -123,6 +123,20 @@ def _jbig2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG pixel decode over jpeg fixture media — grayscale
+    mean/std per image (pdf/jpeg.py T.81 subset)."""
+    from unipdf_spark.operators import multimodal as mm
+
+    media = mm.media_table_from_fixtures(spark, n_docs=30, mix=[("jpeg", 1)])
+    return (
+        mm.grayscale_features(media)
+        .select("media_ref", "doc_id", "width", "height", "mean_gray",
+                "std_gray", "decode_ok")
+        .orderBy("media_ref", "doc_id")
+    )
+
+
 def _table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextTable/TableCell structured API (extractor.go:35/:899): every
     detected table's (row, col)-addressable cell matrix over a deterministic
@@ -253,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["table_cells"] = _table_cells
     q["fax_decode"] = _fax_decode
     q["jbig2_decode"] = _jbig2_decode
+    q["jpeg_decode"] = _jpeg_decode
     q["list_items"] = _list_items
     q["text_visibility"] = _text_visibility
     q["page_inventory"] = _page_inventory

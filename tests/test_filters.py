@@ -297,3 +297,25 @@ def test_jbig2_symbol_text_region_roundtrip_fuzz():
         got, w, h = decode_embedded(stream)
         assert (w, h) == (cols, nrows)
         assert [list(r) for r in got] == want
+
+
+def test_jpeg_baseline_roundtrip_psnr():
+    """Engine T.81 decoder vs the independent writer-side encoder: smooth
+    images survive Q50 quantization at >30 dB PSNR; dimensions exact."""
+    import numpy as np
+
+    from unipdf_spark.fixtures.render import jpeg_gray_encode
+    from unipdf_spark.pdf.jpeg import JpegError, decode_baseline_gray
+
+    for h, w in ((16, 16), (24, 40), (17, 23), (8, 8)):
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        img = (128 + 100 * np.sin(x / 6.0) * np.cos(y / 5.0)).astype("u1")
+        out = decode_baseline_gray(jpeg_gray_encode(img))
+        assert out.shape == img.shape
+        mse = float(np.mean((out.astype("f8") - img) ** 2))
+        assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 30
+    try:
+        decode_baseline_gray(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+        raise AssertionError("expected JpegError")
+    except JpegError:
+        pass

@@ -20,6 +20,8 @@ def test_media_table_extraction(spark):
             assert r["width"] in (64, 96) and r["height"] >= 8
         elif r["codec"] == "JBIG2Decode":  # jbig2 class: bilevel scans
             assert r["width"] in (48, 64) and r["height"] >= 8
+        elif r["codec"] == "DCTDecode":  # jpeg class: grayscale photos
+            assert r["width"] in (24, 32) and r["height"] in (16, 24)
         else:
             assert r["width"] == 8 and r["height"] == 8
     media.unpersist()
@@ -166,3 +168,33 @@ def test_media_feature_dedup_finds_identical_payloads(spark):
     assert ("img_000", "img_030") in pairs
     assert ("img_000", "img_031") in pairs
     assert ("img_030", "img_031") in pairs
+
+
+def test_jpeg_grayscale_features_match_plan(spark):
+    """Baseline-JPEG decode: per-image mean/std must track the planned
+    pixels within quantization tolerance (PSNR ~37 dB at Q50)."""
+    import numpy as np
+
+    from unipdf_spark.fixtures.gen import _plan_doc
+    from unipdf_spark.fixtures.render import jpeg_gray_encode
+    from unipdf_spark import schema
+
+    media = mm.media_table_from_fixtures(
+        spark, n_docs=12, mix=[("jpeg", 1)]).persist()
+    rows = media.collect()
+    assert rows and all(r["codec"] == "DCTDecode" for r in rows)
+    feats = {r["media_ref"]: r for r in mm.grayscale_features(media).collect()}
+    media.unpersist()
+    assert feats and all(f["decode_ok"] for f in feats.values())
+    checked = 0
+    for i in range(12):
+        plan = _plan_doc(f"doc_{i:08d}", "jpeg", 42)
+        for key, img in plan.jpeg_images.items():
+            data = jpeg_gray_encode(img)
+            ref = schema.media_ref_for(data)
+            want_mean = float(np.mean(img))
+            want_std = float(np.std(img))
+            assert abs(feats[ref]["mean_gray"] - want_mean) < 3.0, ref
+            assert abs(feats[ref]["std_gray"] - want_std) < 5.0, ref
+            checked += 1
+    assert checked >= 12

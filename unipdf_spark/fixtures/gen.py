@@ -14,6 +14,7 @@ form_xobject, hyphenated, tagged, malformed, skew.
 from __future__ import annotations
 
 import math
+import math as _m
 import random
 import zlib
 from dataclasses import dataclass, field
@@ -94,7 +95,7 @@ FIXTURE_CLASSES = [
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
     "gridtable", "macroman", "wstable", "cid_predefined", "encrypted_aes256",
     "invisible", "tagged_list", "fax", "std14", "tagged_pg",
-    "twotables", "jbig2", "cid_vertical",
+    "twotables", "jbig2", "cid_vertical", "jpeg",
 ]
 
 
@@ -206,6 +207,7 @@ class DocPlan:
     fax_images: dict = field(default_factory=dict)  # key>=100 → (rows, cols)
     jbig2_images: dict = field(default_factory=dict)  # key → (rows, cols, mmr)
     jbig2_text_images: dict = field(default_factory=dict)  # key → (symbols, placements, cols, nrows)
+    jpeg_images: dict = field(default_factory=dict)  # key → uint8 pixel rows (list of lists)
     theta: int = 0
     corrupt_xref: bool = False
     modern: bool = False  # xref stream + object stream container (PDF 1.5+)
@@ -567,6 +569,33 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
             p, v = _para(rng, MARGIN, v, width, (5, 12), font="F5",
                          pool=CID_WORDS)
             plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "jpeg":
+        # baseline grayscale JPEG (DCTDecode) images: media spans round-trip
+        # on the ENCODED payload hash; the pixel path is exercised by the
+        # multimodal grayscale decode (pdf/jpeg.py)
+        p, v = _para(rng, MARGIN, v, width, (4, 8))
+        plan.blocks.append(p)
+        for k in range(rng.randint(1, 2)):
+            w_px = rng.choice([24, 32])
+            h_px = rng.choice([16, 24])
+            fx, fy = rng.uniform(3, 8), rng.uniform(3, 8)
+            img = [
+                [max(0, min(255, int(128 + 100 * _m.sin(x / fx)
+                                     * _m.cos(y / fy))))
+                 for x in range(w_px)]
+                for y in range(h_px)
+            ]
+            key = 300 + k
+            plan.jpeg_images[key] = img
+            h = 36.0
+            plan.blocks.append(
+                ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h)
+            )
+            v -= h + 10
+        p, v = _para(rng, MARGIN, v, width, (3, 6))
+        plan.blocks.append(p)
         return plan
 
     if fixture_class == "std14":
@@ -1097,6 +1126,23 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             + b" /Height " + str(t_rows).encode()
             + b" /ColorSpace /DeviceGray /BitsPerComponent 1 "
             b"/Filter /JBIG2Decode /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream"
+        )
+        name = f"Im{key}"
+        img_names[key] = name
+        img_refs[key] = schema.media_ref_for(data)
+        xobj_res += f"/{name} {num} 0 R ".encode()
+
+    for key, img in plan.jpeg_images.items():
+        from .render import jpeg_gray_encode
+
+        data = jpeg_gray_encode(img)
+        num = w.add(
+            b"<< /Type /XObject /Subtype /Image /Width "
+            + str(len(img[0])).encode()
+            + b" /Height " + str(len(img)).encode()
+            + b" /ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /DCTDecode /Length " + str(len(data)).encode()
             + b" >>\nstream\n" + data + b"\nendstream"
         )
         name = f"Im{key}"
@@ -1655,7 +1701,7 @@ DEFAULT_MIX = [
     ("incremental", 2), ("gridtable", 2), ("macroman", 3), ("wstable", 2),
     ("cid_predefined", 3), ("encrypted_aes256", 2), ("invisible", 2),
     ("tagged_list", 2), ("fax", 2), ("std14", 3), ("tagged_pg", 2),
-    ("twotables", 2), ("jbig2", 2), ("cid_vertical", 2),
+    ("twotables", 2), ("jbig2", 2), ("cid_vertical", 2), ("jpeg", 2),
 ]
 
 BENCH_MIX = [

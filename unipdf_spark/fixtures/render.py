@@ -932,3 +932,147 @@ def jbig2_text_encode(symbols: list[list[list[bool]]],
                     if v and 0 <= x + xx < cols:
                         prow[x + xx] = 1
     return stream, page
+
+
+# --- baseline grayscale JPEG writer-side encoder ------------------------------
+# Independent T.81 transcription (Annex K tables); the engine's decoder
+# (pdf/jpeg.py) is round-trip checked against it by PSNR.
+
+_JPG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_JPG_Q = [  # Annex K.1 luminance quantization table (quality ~50)
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPG_DC_VALS = list(range(12))
+_JPG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpg_codes(bits, vals):
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpgBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-fill
+        return bytes(self.out)
+
+
+def jpeg_gray_encode(img) -> bytes:
+    """Baseline grayscale JPEG encoder (T.81; Annex K tables)."""
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            c[k, n] = np.cos(np.pi * (2 * n + 1) * k / 16.0) * (
+                np.sqrt(0.125) if k == 0 else 0.5)
+    img = np.asarray(img, dtype="f8")
+    h, w = img.shape
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.zeros((bh * 8, bw * 8))
+    padded[:h, :w] = img
+    padded[h:, :w] = img[h - 1 : h, :]  # edge replicate
+    padded[:, w:] = padded[:, w - 1 : w]
+    q = np.zeros(64)
+    q[_JPG_ZZ] = _JPG_Q  # K.1 table is given in zigzag order
+    q = q.reshape(8, 8)
+    dc_codes = _jpg_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    bwr = _JpgBitWriter()
+    pred = 0
+
+    def mag(v: int) -> tuple[int, int]:
+        t = abs(v).bit_length()
+        return (v if v >= 0 else v + (1 << t) - 1, t)
+
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = c @ blk @ c.T
+            quant = np.rint(coef / q).astype("i8")
+            zz = quant.reshape(64)[_JPG_ZZ]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            v, t = mag(diff)
+            bwr.write(*dc_codes[t])
+            if t:
+                bwr.write(v & ((1 << t) - 1), t)
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bwr.write(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                v, t = mag(int(zz[k]))
+                bwr.write(*ac_codes[(run << 4) | t])
+                bwr.write(v & ((1 << t) - 1), t)
+                run = 0
+            if last_nz < 63:
+                bwr.write(*ac_codes[0x00])  # EOB
+    body = bwr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(_JPG_Q))
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)) \
+        + seg(0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"

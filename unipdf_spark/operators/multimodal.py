@@ -284,3 +284,46 @@ def bilevel_features(media: DataFrame) -> DataFrame:
     return media.filter(
         F.col("codec").isin("CCITTFaxDecode", "JBIG2Decode")
     ).mapInPandas(fax_batch, schema=BILEVEL_SCHEMA)
+
+
+GRAY_SCHEMA = (
+    "media_ref string, doc_id string, width int, height int, "
+    "mean_gray double, std_gray double, decode_ok boolean"
+)
+
+
+def grayscale_features(media: DataFrame) -> DataFrame:
+    """REAL pixel decode for baseline-JPEG (DCTDecode) media — grayscale
+    statistics per image via the engine's T.81 decoder (pdf/jpeg.py) inside
+    an Arrow-batched mapInPandas. Non-baseline/color streams land in
+    decode_ok=false rows (relaxed philosophy)."""
+
+    def jpg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..pdf.jpeg import decode_baseline_gray
+
+        for b in batches:
+            rows = []
+            for ref, doc_id, payload, w, h in zip(
+                b["media_ref"], b["doc_id"], b["payload"], b["width"],
+                b["height"],
+            ):
+                try:
+                    img = decode_baseline_gray(bytes(payload))
+                    rows.append(
+                        (ref, doc_id, int(w), int(h),
+                         round(float(np.mean(img)), 4),
+                         round(float(np.std(img)), 4), True)
+                    )
+                except Exception:  # noqa: BLE001 — per-row error path
+                    rows.append((ref, doc_id, int(w), int(h), 0.0, 0.0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "doc_id", "width", "height",
+                         "mean_gray", "std_gray", "decode_ok"],
+            )
+
+    return media.filter(F.col("codec") == "DCTDecode").mapInPandas(
+        jpg_batch, schema=GRAY_SCHEMA
+    )
