@@ -319,3 +319,22 @@ def test_jpeg_baseline_roundtrip_psnr():
         raise AssertionError("expected JpegError")
     except JpegError:
         pass
+
+
+def test_jpeg_color_roundtrip_psnr():
+    import numpy as np
+
+    from unipdf_spark.fixtures.render import jpeg_color_encode
+    from unipdf_spark.pdf.jpeg import decode_baseline
+
+    h, w = 17, 25
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack([
+        128 + 100 * np.sin(x / 6.0),
+        128 + 90 * np.cos(y / 5.0),
+        128 + 80 * np.sin((x + y) / 7.0),
+    ], axis=2).astype("u1")
+    out = decode_baseline(jpeg_color_encode(rgb))
+    assert out.shape == rgb.shape
+    mse = float(np.mean((out.astype("f8") - rgb) ** 2))
+    assert 10 * np.log10(255**2 / mse) > 28

@@ -186,7 +186,9 @@ def test_jpeg_grayscale_features_match_plan(spark):
     feats = {r["media_ref"]: r for r in mm.grayscale_features(media).collect()}
     media.unpersist()
     assert feats and all(f["decode_ok"] for f in feats.values())
-    checked = 0
+    from unipdf_spark.fixtures.render import jpeg_color_encode
+
+    checked = color_checked = 0
     for i in range(12):
         plan = _plan_doc(f"doc_{i:08d}", "jpeg", 42)
         for key, img in plan.jpeg_images.items():
@@ -197,4 +199,12 @@ def test_jpeg_grayscale_features_match_plan(spark):
             assert abs(feats[ref]["mean_gray"] - want_mean) < 3.0, ref
             assert abs(feats[ref]["std_gray"] - want_std) < 5.0, ref
             checked += 1
-    assert checked >= 12
+        for key, rgbimg in plan.jpeg_color_images.items():
+            data = jpeg_color_encode(rgbimg)
+            ref = schema.media_ref_for(data)
+            a = np.asarray(rgbimg, dtype="f8")
+            luma = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+            assert abs(feats[ref]["mean_gray"] - float(np.mean(luma))) < 3.0
+            assert abs(feats[ref]["std_gray"] - float(np.std(luma))) < 5.0
+            color_checked += 1
+    assert checked >= 12 and color_checked >= 12

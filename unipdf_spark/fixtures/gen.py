@@ -208,6 +208,7 @@ class DocPlan:
     jbig2_images: dict = field(default_factory=dict)  # key → (rows, cols, mmr)
     jbig2_text_images: dict = field(default_factory=dict)  # key → (symbols, placements, cols, nrows)
     jpeg_images: dict = field(default_factory=dict)  # key → uint8 pixel rows (list of lists)
+    jpeg_color_images: dict = field(default_factory=dict)  # key → rgb rows
     theta: int = 0
     corrupt_xref: bool = False
     modern: bool = False  # xref stream + object stream container (PDF 1.5+)
@@ -594,6 +595,21 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
                 ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h)
             )
             v -= h + 10
+        # one 4:4:4 COLOR image (three interleaved YCbCr components)
+        w_px, h_px = 24, 16
+        fx, fy = rng.uniform(4, 8), rng.uniform(4, 8)
+        rgbimg = [
+            [[max(0, min(255, int(128 + a * _m.sin(x / fx + ph)
+                                  * _m.cos(y / fy))))
+              for a, ph in ((100, 0.0), (90, 1.0), (80, 2.0))]
+             for x in range(w_px)]
+            for y in range(h_px)
+        ]
+        key = 310
+        plan.jpeg_color_images[key] = rgbimg
+        h = 30.0
+        plan.blocks.append(ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h))
+        v -= h + 10
         p, v = _para(rng, MARGIN, v, width, (3, 6))
         plan.blocks.append(p)
         return plan
@@ -1142,6 +1158,23 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             + str(len(img[0])).encode()
             + b" /Height " + str(len(img)).encode()
             + b" /ColorSpace /DeviceGray /BitsPerComponent 8 "
+            b"/Filter /DCTDecode /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream"
+        )
+        name = f"Im{key}"
+        img_names[key] = name
+        img_refs[key] = schema.media_ref_for(data)
+        xobj_res += f"/{name} {num} 0 R ".encode()
+
+    for key, rgbimg in plan.jpeg_color_images.items():
+        from .render import jpeg_color_encode
+
+        data = jpeg_color_encode(rgbimg)
+        num = w.add(
+            b"<< /Type /XObject /Subtype /Image /Width "
+            + str(len(rgbimg[0])).encode()
+            + b" /Height " + str(len(rgbimg)).encode()
+            + b" /ColorSpace /DeviceRGB /BitsPerComponent 8 "
             b"/Filter /DCTDecode /Length " + str(len(data)).encode()
             + b" >>\nstream\n" + data + b"\nendstream"
         )

@@ -96,16 +96,42 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_baseline_gray(data: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JPEG to an (h, w) uint8 array."""
+def _decode_block(br: _BitReader, dc_h: _Huff, ac_h: _Huff,
+                  q: np.ndarray, pred: int) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype="f8")
+    t = br.decode(dc_h)
+    pred += _extend(br.bits(t), t)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = br.decode(ac_h)
+        r, ssss = rs >> 4, rs & 15
+        if ssss == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC run past block")
+        zz[k] = _extend(br.bits(ssss), ssss)
+        k += 1
+    blk = np.zeros(64, dtype="f8")
+    blk[ZIGZAG] = zz * q
+    return _C.T @ blk.reshape(8, 8) @ _C + 128.0, pred
+
+
+def decode_baseline(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG: grayscale → (h, w) uint8; 4:4:4 YCbCr →
+    (h, w, 3) uint8 RGB (JFIF color transform)."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("no SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _Huff] = {}
     w = h = 0
-    qsel = 0
-    dc_sel = ac_sel = 0
+    comps: list[tuple[int, int]] = []  # (component id, q selector)
+    scan_sel: list[tuple[int, int]] = []  # (dc table, ac table) per comp
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError("bad marker")
@@ -124,13 +150,17 @@ def decode_baseline_gray(data: bytes) -> np.ndarray:
                 qtables[tq] = np.array(list(seg[i + 1 : i + 65]), dtype="f8")
                 i += 65
         elif marker == 0xC0:  # SOF0 baseline
-            if seg[5] != 1:
-                raise JpegError("only single-component (grayscale) supported")
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise JpegError("1 or 3 components supported")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
-            if seg[7] != 0x11:
-                raise JpegError("subsampling unsupported")
-            qsel = seg[8]
+            comps = []
+            for ci in range(nc):
+                off = 6 + 3 * ci
+                if seg[off + 1] != 0x11:
+                    raise JpegError("subsampling unsupported (4:4:4 only)")
+                comps.append((seg[off], seg[off + 2]))
         elif marker in (0xC1, 0xC2, 0xC3):
             raise JpegError("non-baseline SOF unsupported")
         elif marker == 0xC4:  # DHT
@@ -143,44 +173,46 @@ def decode_baseline_gray(data: bytes) -> np.ndarray:
                 htables[(tc, th)] = _Huff(bits, vals)
                 i += 17 + n
         elif marker == 0xDA:  # SOS
-            dc_sel = seg[2] >> 4
-            ac_sel = seg[2] & 15
+            ns = seg[0]
+            scan_sel = [
+                (seg[2 + 2 * ci] >> 4, seg[2 + 2 * ci] & 15)
+                for ci in range(ns)
+            ]
             pos += seg_len
             break
         pos += seg_len
-    if not w or not h:
+    if not w or not h or not comps:
         raise JpegError("no SOF0")
-    q = qtables[qsel]
-    dc_h = htables[(0, dc_sel)]
-    ac_h = htables[(1, ac_sel)]
     br = _BitReader(data, pos)
     bw = (w + 7) // 8
     bh = (h + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype="f8")
-    pred = 0
+    planes = [np.zeros((bh * 8, bw * 8), dtype="f8") for _ in comps]
+    preds = [0] * len(comps)
     for by in range(bh):
         for bx in range(bw):
-            zz = np.zeros(64, dtype="f8")
-            t = br.decode(dc_h)
-            diff = _extend(br.bits(t), t)
-            pred += diff
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                rs = br.decode(ac_h)
-                r, ssss = rs >> 4, rs & 15
-                if ssss == 0:
-                    if r == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise JpegError("AC run past block")
-                zz[k] = _extend(br.bits(ssss), ssss)
-                k += 1
-            blk = np.zeros(64, dtype="f8")
-            blk[ZIGZAG] = zz * q
-            spatial = _C.T @ blk.reshape(8, 8) @ _C + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
-    return np.clip(np.rint(out[:h, :w]), 0, 255).astype("u1")
+            for ci, (_cid, qsel) in enumerate(comps):  # interleaved MCU
+                dc_h = htables[(0, scan_sel[ci][0])]
+                ac_h = htables[(1, scan_sel[ci][1])]
+                spatial, preds[ci] = _decode_block(
+                    br, dc_h, ac_h, qtables[qsel], preds[ci])
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+    if len(comps) == 1:
+        return np.clip(np.rint(planes[0][:h, :w]), 0, 255).astype("u1")
+    y = planes[0][:h, :w]
+    cb = planes[1][:h, :w] - 128.0
+    cr = planes[2][:h, :w] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype("u1")
+
+
+def decode_baseline_gray(data: bytes) -> np.ndarray:
+    """Decode to a single grayscale plane: native for 1-component streams,
+    the luma-weighted average for color ones."""
+    out = decode_baseline(data)
+    if out.ndim == 2:
+        return out
+    y = (0.299 * out[:, :, 0] + 0.587 * out[:, :, 1] + 0.114 * out[:, :, 2])
+    return np.clip(np.rint(y), 0, 255).astype("u1")
