@@ -338,3 +338,22 @@ def test_jpeg_color_roundtrip_psnr():
     assert out.shape == rgb.shape
     mse = float(np.mean((out.astype("f8") - rgb) ** 2))
     assert 10 * np.log10(255**2 / mse) > 28
+
+
+def test_jpeg_420_roundtrip_psnr():
+    import numpy as np
+
+    from unipdf_spark.fixtures.render import jpeg_420_encode
+    from unipdf_spark.pdf.jpeg import decode_baseline
+
+    h, w = 24, 40
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack([
+        128 + 100 * np.sin(x / 7.0),
+        128 + 90 * np.cos(y / 6.0),
+        128 + 80 * np.sin((x + y) / 9.0),
+    ], axis=2).astype("u1")
+    out = decode_baseline(jpeg_420_encode(rgb))
+    assert out.shape == rgb.shape
+    mse = float(np.mean((out.astype("f8") - rgb) ** 2))
+    assert 10 * np.log10(255**2 / mse) > 26  # chroma subsampling cost

@@ -199,8 +199,10 @@ def test_jpeg_grayscale_features_match_plan(spark):
             assert abs(feats[ref]["mean_gray"] - want_mean) < 3.0, ref
             assert abs(feats[ref]["std_gray"] - want_std) < 5.0, ref
             checked += 1
-        for key, rgbimg in plan.jpeg_color_images.items():
-            data = jpeg_color_encode(rgbimg)
+        for key, (rgbimg, subsample) in plan.jpeg_color_images.items():
+            from unipdf_spark.fixtures.render import jpeg_420_encode
+
+            data = (jpeg_420_encode if subsample else jpeg_color_encode)(rgbimg)
             ref = schema.media_ref_for(data)
             a = np.asarray(rgbimg, dtype="f8")
             luma = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]

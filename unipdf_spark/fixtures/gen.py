@@ -606,7 +606,7 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
             for y in range(h_px)
         ]
         key = 310
-        plan.jpeg_color_images[key] = rgbimg
+        plan.jpeg_color_images[key] = (rgbimg, rng.random() < 0.5)
         h = 30.0
         plan.blocks.append(ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h))
         v -= h + 10
@@ -1166,10 +1166,10 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         img_refs[key] = schema.media_ref_for(data)
         xobj_res += f"/{name} {num} 0 R ".encode()
 
-    for key, rgbimg in plan.jpeg_color_images.items():
-        from .render import jpeg_color_encode
+    for key, (rgbimg, subsample) in plan.jpeg_color_images.items():
+        from .render import jpeg_420_encode, jpeg_color_encode
 
-        data = jpeg_color_encode(rgbimg)
+        data = (jpeg_420_encode if subsample else jpeg_color_encode)(rgbimg)
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width "
             + str(len(rgbimg[0])).encode()

@@ -1157,3 +1157,97 @@ def jpeg_color_encode(rgb) -> bytes:
         + seg(0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS))
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
+
+
+def jpeg_420_encode(rgb) -> bytes:
+    """Baseline 4:2:0 color JPEG encoder (the common camera/scanner shape):
+    16×16 MCUs of 4 luma blocks + box-averaged Cb/Cr."""
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype="f8")
+    h, w, _ = rgb.shape
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    mh, mw = (h + 15) // 16, (w + 15) // 16
+
+    def pad(pl, ph, pw):
+        p = np.zeros((ph, pw))
+        p[: pl.shape[0], : pl.shape[1]] = pl
+        p[pl.shape[0]:, : pl.shape[1]] = pl[-1:, :]
+        p[:, pl.shape[1]:] = p[:, pl.shape[1] - 1 : pl.shape[1]]
+        return p
+
+    yp = pad(y, mh * 16, mw * 16)
+    # 2x2 box-average the chroma planes, then pad to the chroma grid
+    cb2 = cb[: (h // 2) * 2, : (w // 2) * 2].reshape(
+        h // 2, 2, w // 2, 2).mean(axis=(1, 3)) if h >= 2 and w >= 2 else cb
+    cr2 = cr[: (h // 2) * 2, : (w // 2) * 2].reshape(
+        h // 2, 2, w // 2, 2).mean(axis=(1, 3)) if h >= 2 and w >= 2 else cr
+    cbp = pad(cb2, mh * 8, mw * 8)
+    crp = pad(cr2, mh * 8, mw * 8)
+
+    c = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            c[k, n] = np.cos(np.pi * (2 * n + 1) * k / 16.0) * (
+                np.sqrt(0.125) if k == 0 else 0.5)
+    q = np.zeros(64)
+    q[_JPG_ZZ] = _JPG_Q
+    q = q.reshape(8, 8)
+    dc_codes = _jpg_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    bwr = _JpgBitWriter()
+    preds = [0, 0, 0]
+
+    def mag(v: int) -> tuple[int, int]:
+        t = abs(v).bit_length()
+        return (v if v >= 0 else v + (1 << t) - 1, t)
+
+    def put_block(plane, py, px, ci):
+        blk = plane[py : py + 8, px : px + 8] - 128.0
+        quant = np.rint((c @ blk @ c.T) / q).astype("i8")
+        zz = quant.reshape(64)[_JPG_ZZ]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        v, t = mag(diff)
+        bwr.write(*dc_codes[t])
+        if t:
+            bwr.write(v & ((1 << t) - 1), t)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                bwr.write(*ac_codes[0xF0])
+                run -= 16
+            v, t = mag(int(zz[k]))
+            bwr.write(*ac_codes[(run << 4) | t])
+            bwr.write(v & ((1 << t) - 1), t)
+            run = 0
+        if last_nz < 63:
+            bwr.write(*ac_codes[0x00])
+
+    for my in range(mh):
+        for mx in range(mw):
+            for sub in range(4):
+                put_block(yp, my * 16 + (sub // 2) * 8,
+                          mx * 16 + (sub % 2) * 8, 0)
+            put_block(cbp, my * 8, mx * 8, 1)
+            put_block(crp, my * 8, mx * 8, 2)
+    body = bwr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(_JPG_Q))
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)) \
+        + seg(0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"

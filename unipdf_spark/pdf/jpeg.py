@@ -132,6 +132,7 @@ def decode_baseline(data: bytes) -> np.ndarray:
     w = h = 0
     comps: list[tuple[int, int]] = []  # (component id, q selector)
     scan_sel: list[tuple[int, int]] = []  # (dc table, ac table) per comp
+    subsampled = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError("bad marker")
@@ -156,11 +157,17 @@ def decode_baseline(data: bytes) -> np.ndarray:
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             comps = []
+            samp = []
             for ci in range(nc):
                 off = 6 + 3 * ci
-                if seg[off + 1] != 0x11:
-                    raise JpegError("subsampling unsupported (4:4:4 only)")
+                samp.append((seg[off + 1] >> 4, seg[off + 1] & 15))
                 comps.append((seg[off], seg[off + 2]))
+            if nc == 1:
+                if samp != [(1, 1)]:
+                    raise JpegError("grayscale must be 1x1 sampled")
+            elif samp not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
+                raise JpegError("only 4:4:4 and 4:2:0 sampling supported")
+            subsampled = samp[0] == (2, 2) if nc == 3 else False
         elif marker in (0xC1, 0xC2, 0xC3):
             raise JpegError("non-baseline SOF unsupported")
         elif marker == 0xC4:  # DHT
@@ -184,23 +191,55 @@ def decode_baseline(data: bytes) -> np.ndarray:
     if not w or not h or not comps:
         raise JpegError("no SOF0")
     br = _BitReader(data, pos)
-    bw = (w + 7) // 8
-    bh = (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8), dtype="f8") for _ in comps]
     preds = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (_cid, qsel) in enumerate(comps):  # interleaved MCU
-                dc_h = htables[(0, scan_sel[ci][0])]
-                ac_h = htables[(1, scan_sel[ci][1])]
-                spatial, preds[ci] = _decode_block(
-                    br, dc_h, ac_h, qtables[qsel], preds[ci])
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
-    if len(comps) == 1:
-        return np.clip(np.rint(planes[0][:h, :w]), 0, 255).astype("u1")
-    y = planes[0][:h, :w]
-    cb = planes[1][:h, :w] - 128.0
-    cr = planes[2][:h, :w] - 128.0
+    if not subsampled:
+        bw = (w + 7) // 8
+        bh = (h + 7) // 8
+        planes = [np.zeros((bh * 8, bw * 8), dtype="f8") for _ in comps]
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, (_cid, qsel) in enumerate(comps):  # interleaved MCU
+                    dc_h = htables[(0, scan_sel[ci][0])]
+                    ac_h = htables[(1, scan_sel[ci][1])]
+                    spatial, preds[ci] = _decode_block(
+                        br, dc_h, ac_h, qtables[qsel], preds[ci])
+                    planes[ci][by * 8 : by * 8 + 8,
+                               bx * 8 : bx * 8 + 8] = spatial
+        if len(comps) == 1:
+            return np.clip(np.rint(planes[0][:h, :w]), 0, 255).astype("u1")
+        yp = planes[0][:h, :w]
+        cbp = planes[1][:h, :w]
+        crp = planes[2][:h, :w]
+    else:
+        # 4:2:0: MCU = 16×16 luma (4 blocks, raster order) + 1 Cb + 1 Cr
+        mw = (w + 15) // 16
+        mh = (h + 15) // 16
+        yplane = np.zeros((mh * 16, mw * 16), dtype="f8")
+        cplanes = [np.zeros((mh * 8, mw * 8), dtype="f8") for _ in range(2)]
+        for my in range(mh):
+            for mx in range(mw):
+                for sub in range(4):
+                    dy, dx = (sub // 2) * 8, (sub % 2) * 8
+                    dc_h = htables[(0, scan_sel[0][0])]
+                    ac_h = htables[(1, scan_sel[0][1])]
+                    spatial, preds[0] = _decode_block(
+                        br, dc_h, ac_h, qtables[comps[0][1]], preds[0])
+                    yplane[my * 16 + dy : my * 16 + dy + 8,
+                           mx * 16 + dx : mx * 16 + dx + 8] = spatial
+                for ci in (1, 2):
+                    dc_h = htables[(0, scan_sel[ci][0])]
+                    ac_h = htables[(1, scan_sel[ci][1])]
+                    spatial, preds[ci] = _decode_block(
+                        br, dc_h, ac_h, qtables[comps[ci][1]], preds[ci])
+                    cplanes[ci - 1][my * 8 : my * 8 + 8,
+                                    mx * 8 : mx * 8 + 8] = spatial
+        yp = yplane[:h, :w]
+        # nearest-neighbour chroma upsample (2×)
+        cbp = np.repeat(np.repeat(cplanes[0], 2, 0), 2, 1)[:h, :w]
+        crp = np.repeat(np.repeat(cplanes[1], 2, 0), 2, 1)[:h, :w]
+    y = yp
+    cb = cbp - 128.0
+    cr = crp - 128.0
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
         axis=2,
