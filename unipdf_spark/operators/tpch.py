@@ -616,6 +616,79 @@ WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 
 
 
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel view→click→purchase: per stage, how many users
+    reached it IN ORDER (min-timestamp comparison per user — one shuffle on
+    user_id with map-side partial min aggregation)."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return per_user.agg(
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .alias("n_view"),
+        F.sum(F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0))
+        .alias("n_click_after_view"),
+        F.sum(F.when((F.col("t_click") > F.col("t_view"))
+                     & (F.col("t_buy") > F.col("t_click")), 1).otherwise(0))
+        .alias("n_full_funnel"),
+    )
+
+
+USER_FUNNEL_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+    FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_view,
+       CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_click_after_view,
+       CAST(SUM(CASE WHEN t_click > t_view AND t_buy > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT)           AS n_full_funnel
+FROM per_user
+"""
+
+
+def props_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: extract the numeric "k" attribute with
+    a portable regexp (JSON functions differ between engines) and aggregate
+    per event type — the JSON-ish payload leg a log pipeline needs."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PROPS_KEY_SQL = r"""
+SELECT event_type, COUNT(*) AS n,
+       ROUND(AVG(k), 4) AS avg_k, MAX(k) AS max_k
+FROM (
+    SELECT event_type,
+           CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+    FROM events
+)
+WHERE k IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -629,6 +702,8 @@ QUERIES = {
     "q19_discounted_revenue": q19_discounted_revenue,
     "top_customers_per_segment": top_customers_per_segment,
     "events_sessionize": events_sessionize,
+    "user_funnel": user_funnel,
+    "props_key_stats": props_key_stats,
     "events_hourly_rollup": events_hourly_rollup,
     "revenue_rollup": revenue_rollup,
     "user_running_value": user_running_value,
@@ -648,6 +723,8 @@ ORACLES = {
     "q19_discounted_revenue": Q19_SQL,
     "top_customers_per_segment": TOP_CUST_SQL,
     "events_sessionize": SESSIONIZE_SQL,
+    "user_funnel": USER_FUNNEL_SQL,
+    "props_key_stats": PROPS_KEY_SQL,
     "events_hourly_rollup": HOURLY_SQL,
     "revenue_rollup": ROLLUP_SQL,
     "user_running_value": RUNNING_SQL,
