@@ -252,6 +252,41 @@ def test_jbig2_mq_and_generic_region_roundtrip_fuzz():
             ]
 
 
+def test_jbig2_tpgdon_and_custom_at():
+    """TPGDON typical-prediction rows + custom AT pixel positions: the
+    pseudo-context must be re-derived per AT layout (fixed constants only
+    hold for nominal AT under raster-sorted bit ordering)."""
+    import random
+
+    from unipdf_spark.fixtures.render import jbig2_encode
+    from unipdf_spark.pdf.jbig2 import decode_embedded
+
+    rng = random.Random(99)
+    at_variants = [
+        None,                                     # nominal
+        [(1, -1), (-3, -1), (2, -2), (-2, -2)],   # A1 moved
+        [(-2, -3), (3, -3), (1, -2), (-1, -1)],   # all four moved
+    ]
+    for at in at_variants:
+        for _ in range(4):
+            cols = rng.choice([24, 40])
+            h = rng.randint(6, 18)
+            base = [rng.random() < 0.35 for _ in range(cols)]
+            rows = []
+            for y in range(h):  # runs of identical rows exercise TPGDON
+                if y and rng.random() < 0.5:
+                    rows.append(list(rows[-1]))
+                else:
+                    base = [rng.random() < 0.35 for _ in range(cols)]
+                    rows.append(list(base))
+            stream = jbig2_encode(rows, cols, tpgdon=True, at_pixels=at)
+            got, w, hh = decode_embedded(stream)
+            assert (w, hh) == (cols, h)
+            assert [list(r) for r in got] == [
+                [1 if v else 0 for v in r] for r in rows
+            ]
+
+
 def test_jbig2_unsupported_region_types_raise():
     from unipdf_spark.pdf.jbig2 import Jbig2Error, decode_embedded
 
@@ -293,10 +328,15 @@ def test_jbig2_symbol_text_region_roundtrip_fuzz():
              rng.randint(0, nrows - 10))
             for _ in range(rng.randint(1, 9))
         ]
-        stream, want = jbig2_text_encode(symbols, placements, cols, nrows)
-        got, w, h = decode_embedded(stream)
-        assert (w, h) == (cols, nrows)
-        assert [list(r) for r in got] == want
+        # all four REFCORNER encodings must reproduce the same page
+        # (T.88 §6.4.5: corner moves only the T edge; S always spans
+        # CURS..CURS+W-1 when untransposed)
+        for corner in (0, 1, 2, 3):
+            stream, want = jbig2_text_encode(
+                symbols, placements, cols, nrows, ref_corner=corner)
+            got, w, h = decode_embedded(stream)
+            assert (w, h) == (cols, nrows)
+            assert [list(r) for r in got] == want, f"corner={corner}"
 
 
 def test_jpeg_baseline_roundtrip_psnr():
@@ -314,11 +354,51 @@ def test_jpeg_baseline_roundtrip_psnr():
         assert out.shape == img.shape
         mse = float(np.mean((out.astype("f8") - img) ** 2))
         assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 30
-    try:
-        decode_baseline_gray(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+    try:  # 12-bit precision (arithmetic/extended forms) stays a typed error
+        decode_baseline_gray(b"\xff\xd8\xff\xc0\x00\x04\x0c\x00")
         raise AssertionError("expected JpegError")
     except JpegError:
         pass
+
+
+def test_jpeg_progressive_roundtrip_exact():
+    """Progressive decode (DC first/refine, AC first with EOB runs, AC
+    refine with correction bits, T.81 §G) reconstructs the SAME pixels as
+    the baseline decode of the same quantized coefficients — a
+    coefficient-exact round trip through all five scan types."""
+    import numpy as np
+
+    from unipdf_spark.fixtures.render import (jpeg_gray_encode,
+                                              jpeg_progressive_encode)
+    from unipdf_spark.pdf.jpeg import decode_baseline_gray
+
+    rng = np.random.default_rng(7)
+    for h, w in ((64, 64), (17, 23), (8, 8), (40, 56)):
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        img = np.clip(128 + 80 * np.sin(x / 9.0) + 40 * np.cos(y / 7.0)
+                      + rng.normal(0, 8, (h, w)), 0, 255).astype("u1")
+        base = decode_baseline_gray(jpeg_gray_encode(img))
+        prog = decode_baseline_gray(jpeg_progressive_encode(img))
+        assert np.array_equal(base, prog)
+        mse = float(np.mean((prog.astype("f8") - img) ** 2))
+        assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 28
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn: every restart interval decodes bit-identically to the
+    unsegmented stream (DC predictor reset + byte realignment)."""
+    import numpy as np
+
+    from unipdf_spark.fixtures.render import jpeg_gray_encode
+    from unipdf_spark.pdf.jpeg import decode_baseline_gray
+
+    h, w = 40, 48
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    img = (128 + 100 * np.sin(x / 6.0) * np.cos(y / 5.0)).astype("u1")
+    base = decode_baseline_gray(jpeg_gray_encode(img))
+    for ri in (1, 2, 5, 9):
+        out = decode_baseline_gray(jpeg_gray_encode(img, restart_interval=ri))
+        assert np.array_equal(out, base)
 
 
 def test_jpeg_color_roundtrip_psnr():

@@ -693,30 +693,61 @@ class _MQEncoder:
         return bytes(self.out[1:] if self.out[0] == 0 else self.out)
 
 
-# template-0 pixel layout (spec §6.2.5.7, nominal AT), raster order
-_JB2_T0 = sorted(
-    [(-1, -2), (0, -2), (1, -2),
-     (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
-     (-4, 0), (-3, 0), (-2, 0), (-1, 0),
-     (3, -1), (-3, -1), (2, -2), (-2, -2)],
-    key=lambda p: (p[1], p[0]),
-)
+# template-0 fixed pixels + nominal AT (spec §6.2.5.7)
+_JB2_FIXED0 = [(-1, -2), (0, -2), (1, -2),
+               (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+               (-4, 0), (-3, 0), (-2, 0), (-1, 0)]
+_JB2_NOMINAL0 = [(3, -1), (-3, -1), (2, -2), (-2, -2)]
+
+# template-0 pixel layout (nominal AT), raster order
+_JB2_T0 = sorted(_JB2_FIXED0 + _JB2_NOMINAL0, key=lambda p: (p[1], p[0]))
 
 
-def _jb2_generic_body(rows: list[list[bool]], cols: int) -> bytes:
+def _jb2_tpgdon_ctx(at) -> int:
+    """Template-0 TPGDON pseudo-context for arbitrary AT positions: the
+    spec gives each SLOT a fixed pseudo value (0x9B25 in nominal sorted
+    order); re-encode those per-slot values in the actual sort order."""
+    nom = [((p[1], p[0]), ("f", p)) for p in _JB2_FIXED0] + [
+        ((p[1], p[0]), ("a", i)) for i, p in enumerate(_JB2_NOMINAL0)]
+    nom.sort(key=lambda t: t[0])
+    n = len(nom)
+    val = {tag: (0x9B25 >> (n - 1 - k)) & 1 for k, (_, tag) in enumerate(nom)}
+    cur = [((p[1], p[0]), ("f", p)) for p in _JB2_FIXED0] + [
+        ((p[1], p[0]), ("a", i)) for i, p in enumerate(at)]
+    cur.sort(key=lambda t: t[0])
+    ctx = 0
+    for _, tag in cur:
+        ctx = (ctx << 1) | val[tag]
+    return ctx
+
+
+def _jb2_generic_body(rows: list[list[bool]], cols: int,
+                      at=None, tpgdon: bool = False) -> bytes:
     enc = _MQEncoder()
     contexts: dict[int, list] = {}
     h = len(rows)
+    at = list(at) if at is not None else list(_JB2_NOMINAL0)
+    tmpl = sorted(_JB2_FIXED0 + at, key=lambda p: (p[1], p[0]))
+    tp_ctx = _jb2_tpgdon_ctx(at)
 
     def px(x: int, y: int) -> int:
         if 0 <= x < cols and 0 <= y < h:
             return 1 if rows[y][x] else 0
         return 0
 
+    ltp = 0
     for y in range(h):
+        if tpgdon:
+            same = y > 0 and rows[y] == rows[y - 1]
+            sltp = (1 if same else 0) ^ ltp
+            cx = contexts.setdefault(tp_ctx, [0, 0])
+            enc.encode(cx, sltp)
+            ltp ^= sltp
+            if ltp:
+                continue  # typical row: copy of the previous one
         for x in range(cols):
             ctx = 0
-            for dx, dy in _JB2_T0:
+            for dx, dy in tmpl:
                 ctx = (ctx << 1) | px(x + dx, y + dy)
             cx = contexts.setdefault(ctx, [0, 0])
             enc.encode(cx, 1 if rows[y][x] else 0)
@@ -729,10 +760,12 @@ def _jb2_segment(number: int, seg_type: int, data: bytes,
             + len(data).to_bytes(4, "big") + data)
 
 
-def jbig2_encode(rows: list[list[bool]], cols: int, mmr: bool = False) -> bytes:
+def jbig2_encode(rows: list[list[bool]], cols: int, mmr: bool = False,
+                 tpgdon: bool = False, at_pixels=None) -> bytes:
     """Embedded-organization JBIG2: page info + one immediate lossless
     generic region (type 38). mmr=True uses MMR (T.6) region coding via the
-    writer's independent G4 encoder; else MQ template-0 arithmetic coding."""
+    writer's independent G4 encoder; else MQ template-0 arithmetic coding,
+    optionally with TPGDON typical-prediction and custom AT positions."""
     h = len(rows)
     page_info = (cols.to_bytes(4, "big") + h.to_bytes(4, "big")
                  + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
@@ -745,9 +778,10 @@ def jbig2_encode(rows: list[list[bool]], cols: int, mmr: bool = False) -> bytes:
         at = b""
         body = ccitt_g4_encode(rows, cols)
     else:
-        gflags = bytes([0x00])  # MQ, template 0, no TPGDON
-        at = bytes([3 & 0xFF, 0xFF, 0x100 - 3, 0xFF, 2, 0xFE, 0x100 - 2, 0xFE])
-        body = _jb2_generic_body(rows, cols)
+        gflags = bytes([0x08 if tpgdon else 0x00])  # MQ, template 0
+        at_pts = list(at_pixels) if at_pixels is not None else _JB2_NOMINAL0
+        at = b"".join(bytes([ax & 0xFF, ay & 0xFF]) for ax, ay in at_pts)
+        body = _jb2_generic_body(rows, cols, at=at_pts, tpgdon=tpgdon)
     seg1 = _jb2_segment(1, 48, page_info)
     seg2 = _jb2_segment(2, 38, region_info + gflags + at + body)
     seg3 = _jb2_segment(3, 49, b"")  # end of page
@@ -837,11 +871,14 @@ def _jb2_segment_refs(number: int, seg_type: int, refs: list[int],
 
 def jbig2_text_encode(symbols: list[list[list[bool]]],
                       placements: list[tuple[int, int, int]],
-                      cols: int, nrows: int) -> tuple[bytes, list[list[int]]]:
+                      cols: int, nrows: int,
+                      ref_corner: int = 1) -> tuple[bytes, list[list[int]]]:
     """Embedded JBIG2 with a SYMBOL DICTIONARY + TEXT REGION (the jbig2enc
     shape): page info, symbol dict (arithmetic, template 0, all exported),
-    one-strip text region (TL corner, untransposed) placing
-    (sym_id, x, y) instances. Returns (stream, composed page rows 0/1)."""
+    one-strip text region (untransposed) placing (sym_id, x, y) instances,
+    where (x, y) is always the TOP-LEFT pixel of the symbol; ref_corner
+    (0=BL 1=TL 2=BR 3=TR) selects how the T coordinate is encoded per
+    T.88 §6.4.5. Returns (stream, composed page rows 0/1)."""
     # --- symbol dictionary segment -------------------------------------
     order = sorted(range(len(symbols)), key=lambda i: len(symbols[i]))
     enc = _MQEncoder()
@@ -880,7 +917,9 @@ def jbig2_text_encode(symbols: list[list[list[bool]]],
     iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
     by_row: dict[int, list[tuple[int, int]]] = {}
     for sym_id, x, y in placements:
-        by_row.setdefault(y, []).append((x, remap[sym_id]))
+        # encoded T: top edge for TL/TR, bottom row for BL/BR (§6.4.5)
+        t_enc = y if ref_corner in (1, 3) else y + len(symbols[sym_id]) - 1
+        by_row.setdefault(t_enc, []).append((x, remap[sym_id]))
     _jb2_enc_int(enc2, iadt, 0)  # STRIPT init = 0
     stript = 0
     firsts = 0
@@ -909,7 +948,7 @@ def jbig2_text_encode(symbols: list[list[list[bool]]],
     region_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
                    + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
                    + bytes([0]))
-    tr_flags = (1 << 5)  # TL corner, strips=1, untransposed, OR, dsoffset 0
+    tr_flags = (ref_corner & 3) << 4  # REFCORNER bits 4-5; strips=1, OR
     tr_data = (region_info + tr_flags.to_bytes(2, "big")
                + total.to_bytes(4, "big") + tr_body)
 
@@ -1007,9 +1046,18 @@ class _JpgBitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill
         return bytes(self.out)
 
+    def marker(self, m: int) -> None:
+        """Pad to byte boundary and emit a raw marker (RSTn) unstuffed."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, m])
 
-def jpeg_gray_encode(img) -> bytes:
-    """Baseline grayscale JPEG encoder (T.81; Annex K tables)."""
+
+def jpeg_gray_encode(img, restart_interval: int = 0) -> bytes:
+    """Baseline grayscale JPEG encoder (T.81; Annex K tables). With
+    restart_interval > 0, emits a DRI segment and RSTn markers every that
+    many MCUs (DC predictor reset + byte realignment)."""
     import numpy as np
 
     c = np.zeros((8, 8))
@@ -1036,8 +1084,15 @@ def jpeg_gray_encode(img) -> bytes:
         t = abs(v).bit_length()
         return (v if v >= 0 else v + (1 << t) - 1, t)
 
+    mcu = 0
+    rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bwr.marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                pred = 0
+            mcu += 1
             blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
             coef = c @ blk @ c.T
             quant = np.rint(coef / q).astype("i8")
@@ -1074,8 +1129,10 @@ def jpeg_gray_encode(img) -> bytes:
               + bytes([1, 1, 0x11, 0]))
     dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)) \
         + seg(0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS))
+    dri = seg(0xDD, restart_interval.to_bytes(2, "big")) \
+        if restart_interval else b""
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + body + b"\xff\xd9"
 
 
 def jpeg_color_encode(rgb) -> bytes:
@@ -1251,3 +1308,200 @@ def jpeg_420_encode(rgb) -> bytes:
         + seg(0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS))
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
+
+
+def jpeg_progressive_encode(img) -> bytes:
+    """Progressive grayscale JPEG encoder (T.81 §G, spectral selection +
+    one level of successive approximation). Scan script: DC first (Al=1),
+    AC 1-5 first (Al=1), AC 6-63 first (Al=1, EOB-run accumulated via a
+    flat per-scan Huffman table with EOBn symbols), DC refine, AC refine
+    1-63 (correction bits + EOB-run buffered bits). Used as the
+    independent round-trip oracle for pdf/jpeg.py's progressive path."""
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            c[k, n] = np.cos(np.pi * (2 * n + 1) * k / 16.0) * (
+                np.sqrt(0.125) if k == 0 else 0.5)
+    img = np.asarray(img, dtype="f8")
+    h, w = img.shape
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.zeros((bh * 8, bw * 8))
+    padded[:h, :w] = img
+    padded[h:, :w] = img[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    q = np.zeros(64)
+    q[_JPG_ZZ] = _JPG_Q
+    q = q.reshape(8, 8)
+    blocks: list[list[int]] = []
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            quant = np.rint((c @ blk @ c.T) / q).astype("i8")
+            blocks.append([int(v) for v in quant.reshape(64)[_JPG_ZZ]])
+
+    def mag(v: int) -> tuple[int, int]:
+        t = abs(v).bit_length()
+        return (v if v >= 0 else v + (1 << t) - 1, t)
+
+    def flat_table(symbols):
+        """Canonical table giving every symbol the same code length L with
+        2^L >= n+1 (reserves the all-ones code)."""
+        syms = sorted(symbols)
+        n = len(syms)
+        L = 1
+        while (1 << L) < n + 1:
+            L += 1
+        bits = [0] * 16
+        bits[L - 1] = n
+        return bits, syms
+
+    def scan_events(ss, se, ah, al):
+        """Emit one scan as [(('sym', s) | ('bits', v, n)), ...]."""
+        ev = []
+        sym = lambda s: ev.append(("sym", s))
+        put = lambda v, n: ev.append(("bits", v & ((1 << n) - 1), n))
+        if ss == 0 and ah == 0:  # DC first
+            pred = 0
+            for zz in blocks:
+                diff = (zz[0] >> al) - pred
+                pred = zz[0] >> al
+                v, t = mag(diff)
+                sym(t)
+                if t:
+                    put(v, t)
+        elif ss == 0:  # DC refinement: one raw bit per block
+            for zz in blocks:
+                put(zz[0] >> al, 1)
+        elif ah == 0:  # AC first with EOB-run accumulation
+            eobrun = 0
+
+            def flush():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    sym(r << 4)
+                    if r:
+                        put(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for zz in blocks:
+                vals = [(0 if zz[k] >= 0 else 1,
+                         (abs(zz[k]) >> al)) for k in range(ss, se + 1)]
+                last = max((i for i, (_, m) in enumerate(vals) if m),
+                           default=-1)
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+                    continue
+                flush()
+                run = 0
+                for i in range(last + 1):
+                    sign, m = vals[i]
+                    if m == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        sym(0xF0)
+                        run -= 16
+                    v, t = mag(-m if sign else m)
+                    sym((run << 4) | t)
+                    put(v, t)
+                    run = 0
+                if last < se - ss:
+                    eobrun = 1
+            flush()
+        else:  # AC refinement (G.1.2.3 dual of the decoder)
+            eobrun = 0
+            pend: list[int] = []
+
+            def flush():
+                nonlocal eobrun, pend
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    sym(r << 4)
+                    if r:
+                        put(eobrun - (1 << r), r)
+                    for b in pend:
+                        put(b, 1)
+                    eobrun = 0
+                    pend = []
+
+            for zz in blocks:
+                t_of = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+                if 1 not in t_of:
+                    # no newly-significant coefficient: whole band rides the
+                    # EOB run; its correction bits are buffered
+                    eobrun += 1
+                    pend.extend(t & 1 for t in t_of if t > 1)
+                    if eobrun == 0x7FFF:
+                        flush()
+                    continue
+                flush()
+                k = 0  # index into the band
+                nb = se - ss + 1
+                while k < nb:
+                    r = 0
+                    j = k
+                    nsig = None
+                    while j < nb:
+                        if t_of[j] == 1:
+                            nsig = j
+                            break
+                        if t_of[j] == 0:
+                            r += 1
+                        j += 1
+                    if nsig is None:
+                        if k < nb:  # trailing zeros/corrections → EOB run
+                            eobrun = 1
+                            pend.extend(
+                                t_of[jj] & 1 for jj in range(k, nb)
+                                if t_of[jj] > 1)
+                        break
+                    while r > 15:
+                        sym(0xF0)
+                        z = 0
+                        while z < 16:  # decoder passes 16 zero-history slots
+                            if t_of[k] > 1:
+                                put(t_of[k] & 1, 1)
+                            else:
+                                z += 1
+                            k += 1
+                        r -= 16
+                    sym((r << 4) | 1)
+                    put(0 if zz[ss + nsig] < 0 else 1, 1)
+                    for jj in range(k, nsig):
+                        if t_of[jj] > 1:
+                            put(t_of[jj] & 1, 1)
+                    k = nsig + 1
+            flush()
+        return ev
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    out = b"\xff\xd8" + seg(0xDB, bytes([0]) + bytes(_JPG_Q))
+    out += seg(0xC2, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+               + bytes([1, 1, 0x11, 0]))
+    for ss, se, ah, al in ((0, 0, 0, 1), (1, 5, 0, 1), (6, 63, 0, 1),
+                           (0, 0, 1, 0), (1, 63, 1, 0)):
+        ev = scan_events(ss, se, ah, al)
+        syms = sorted({e[1] for e in ev if e[0] == "sym"})
+        bwr = _JpgBitWriter()
+        if syms:
+            bits, vals = flat_table(syms)
+            codes = _jpg_codes(bits, vals)
+            tc = 0 if ss == 0 else 1
+            out += seg(0xC4, bytes([(tc << 4) | 0]) + bytes(bits)
+                       + bytes(vals))
+        for e in ev:
+            if e[0] == "sym":
+                bwr.write(*codes[e[1]])
+            else:
+                bwr.write(e[1], e[2])
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += bwr.flush()
+    return out + b"\xff\xd9"

@@ -142,7 +142,8 @@ _FIXED = {
         (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
 }
 
-# TPGDON pseudo-pixel contexts per template (§6.2.5.7)
+# TPGDON pseudo-pixel contexts per template (§6.2.5.7), valid for the
+# NOMINAL AT positions under raster-sorted bit ordering.
 _TPGDON_CTX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
 
 
@@ -152,6 +153,37 @@ def template_pixels(template: int, at: list[tuple[int, int]]):
     pts = list(_FIXED[template]) + list(at)
     pts.sort(key=lambda p: (p[1], p[0]))
     return pts
+
+
+def tpgdon_context(template: int, at: list[tuple[int, int]]) -> int:
+    """TPGDON pseudo-pixel context for an arbitrary AT configuration.
+
+    The spec assigns a fixed pseudo VALUE to each template slot (fixed
+    pixels and the A-pixels themselves), independent of where the A-pixels
+    sit. The published constants encode those values in raster-sorted order
+    for the NOMINAL AT positions; with custom AT the sort order permutes, so
+    we recover the per-slot values from the nominal layout and re-encode
+    them in the actual layout's sort order.
+    """
+    fixed = _FIXED[template]
+    nominal = NOMINAL_AT[template]
+
+    def tagged(at_pts):
+        pts = [((p[1], p[0]), ("f", p)) for p in fixed] + [
+            ((p[1], p[0]), ("a", i)) for i, p in enumerate(at_pts)
+        ]
+        pts.sort(key=lambda t: t[0])
+        return pts
+
+    nom = tagged(nominal)
+    const = _TPGDON_CTX[template]
+    n = len(nom)
+    slot_val = {tag: (const >> (n - 1 - k)) & 1 for k, (_, tag) in
+                enumerate(nom)}
+    ctx = 0
+    for _, tag in tagged(at):
+        ctx = (ctx << 1) | slot_val[tag]
+    return ctx
 
 
 def decode_generic(
@@ -175,6 +207,7 @@ def decode_generic_with(
     at = at if at is not None else NOMINAL_AT[template]
     pts = template_pixels(template, at)
     nbits = len(pts)
+    tpgdon_cx = tpgdon_context(template, at) if tpgdon else 0
     bitmap = [bytearray(width) for _ in range(height)]
     ltp = 0
 
@@ -185,7 +218,7 @@ def decode_generic_with(
 
     for y in range(height):
         if tpgdon:
-            cx = contexts.setdefault(_TPGDON_CTX[template], [0, 0])
+            cx = contexts.setdefault(tpgdon_cx, [0, 0])
             if dec.decode(cx):
                 ltp ^= 1
             if ltp:
@@ -342,9 +375,13 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
     refine = (flags >> 1) & 1
     log_strips = (flags >> 2) & 3
     strips = 1 << log_strips
-    ref_corner = (flags >> 5) & 3  # 0=BL 1=TL 2=BR 3=TR
-    transposed = (flags >> 7) & 1
-    def_pixel = (flags >> 10) & 1
+    # T.88 §7.4.3.1.1 text region segment flags layout:
+    # bit0 SBHUFF, bit1 SBREFINE, bits2-3 LOGSBSTRIPS, bits4-5 REFCORNER,
+    # bit6 TRANSPOSED, bits7-8 SBCOMBOP, bit9 SBDEFPIXEL, bits10-14 SBDSOFFSET
+    ref_corner = (flags >> 4) & 3  # 0=BL 1=TL 2=BR 3=TR
+    transposed = (flags >> 6) & 1
+    comb_op = (flags >> 7) & 3
+    def_pixel = (flags >> 9) & 1
     ds_offset = (flags << 17) & 0xFFFFFFFF
     ds_offset = (ds_offset >> 27) - 32 if (ds_offset >> 27) > 15 else (
         ds_offset >> 27)
@@ -390,9 +427,11 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
             sym = symbols[sym_id] if sym_id < n_syms else []
             sh = len(sym)
             sw = len(sym[0]) if sh else 0
-            # placement (untransposed): S along x, T along y; corner adjust
+            # placement (untransposed, T.88 §6.4.5): S always spans
+            # CURS..CURS+WI-1; the corner only moves the T edge (TL/TR keep
+            # T at the top, BL/BR anchor the bottom row at T).
             y0 = t if ref_corner in (1, 3) else t - sh + 1  # TL/TR vs BL/BR
-            x0 = curs if ref_corner in (0, 1) else curs - sw + 1
+            x0 = curs
             for yy in range(sh):
                 py = y0 + yy
                 if 0 <= py < rh:

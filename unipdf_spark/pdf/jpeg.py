@@ -1,12 +1,18 @@
-"""Baseline JPEG (DCTDecode) decoder — grayscale subset.
+"""JPEG (DCTDecode) decoder — baseline + progressive subset.
 
 Re-expresses the reference's JPEG image leg (unipdf decodes DCTDecode via
-Go's image/jpeg for ExtractPageImages) from the public ITU-T T.81 spec:
-marker parse (SOI/APP/DQT/SOF0/DHT/SOS/EOI), Huffman entropy decode with
-byte unstuffing, DC prediction, dequantize, 8×8 IDCT (numpy matrix form),
-level shift. Scope: baseline sequential, single grayscale component, no
-subsampling; progressive/multi-component streams raise a typed error (the
-span path keeps byte-identity media_ref either way).
+Go's image/jpeg for ExtractPageImages, core/core.go:1347/:363) from the
+public ITU-T T.81 spec: marker parse (SOI/APP/DQT/SOF/DHT/DRI/SOS/EOI),
+Huffman entropy decode with byte unstuffing and RST restart-marker
+realignment, DC prediction, progressive spectral-selection + successive-
+approximation scans (T.81 §G: DC first/refine, AC first/refine with EOB
+runs), dequantize, 8×8 IDCT (numpy matrix form), level shift, chroma
+upsample, JFIF YCbCr→RGB.
+
+Scope: 8-bit Huffman streams, 1 or 3 components, sampling factors in
+{1,2}×{1,2} (covers 4:4:4, 4:2:2, 4:2:0, 4:4:0). Arithmetic-coded,
+12-bit, hierarchical and lossless streams raise a typed error (the span
+path keeps byte-identity media_ref either way).
 """
 
 from __future__ import annotations
@@ -88,6 +94,22 @@ class _BitReader:
                 return val
         raise JpegError("invalid Huffman code")
 
+    def restart(self) -> None:
+        """Consume an RSTn marker: drop padding bits, realign to the byte
+        boundary, verify the marker (T.81 F.2.1.3.1 / §B.2.1 DRI). A
+        stuffed 0xFF00 pair produced by 1-bit padding is tolerated."""
+        self.nbits = 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                self.pos = p + 2
+                return
+            if d[p] == 0xFF and d[p + 1] == 0x00:
+                p += 2  # stuffed padding byte before the marker
+                continue
+            raise JpegError("expected RST marker at restart interval")
+        raise JpegError("truncated at restart interval")
+
 
 def _extend(v: int, t: int) -> int:
     """DC/AC value extension (T.81 F.2.2.1): t-bit magnitude to signed."""
@@ -96,17 +118,40 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _decode_block(br: _BitReader, dc_h: _Huff, ac_h: _Huff,
-                  q: np.ndarray, pred: int) -> tuple[np.ndarray, int]:
-    zz = np.zeros(64, dtype="f8")
+class _Component:
+    """One frame component: geometry + zigzag-order coefficient store."""
+
+    __slots__ = ("cid", "h", "v", "qsel", "bw", "bh", "nbw", "nbh",
+                 "blocks", "pred", "dc_sel", "ac_sel")
+
+    def __init__(self, cid: int, h: int, v: int, qsel: int) -> None:
+        self.cid, self.h, self.v, self.qsel = cid, h, v, qsel
+        self.pred = 0
+        self.dc_sel = 0
+        self.ac_sel = 0
+
+    def alloc(self, mcux: int, mcuy: int, w: int, h: int,
+              hmax: int, vmax: int) -> None:
+        self.bw = mcux * self.h  # interleaved-padded block grid
+        self.bh = mcuy * self.v
+        cw = -(-w * self.h // hmax)  # component sample dims (A.1.1)
+        ch = -(-h * self.v // vmax)
+        self.nbw = -(-cw // 8)  # non-interleaved scan block grid
+        self.nbh = -(-ch // 8)
+        self.blocks = [[0] * 64 for _ in range(self.bw * self.bh)]
+
+
+def _seq_block(br: _BitReader, comp: _Component, zz: list[int],
+               dc_h: _Huff, ac_h: _Huff) -> None:
+    """Sequential (baseline) block: DC diff + full AC run-length (F.2.2)."""
     t = br.decode(dc_h)
-    pred += _extend(br.bits(t), t)
-    zz[0] = pred
+    comp.pred += _extend(br.bits(t), t)
+    zz[0] = comp.pred
     k = 1
     while k < 64:
         rs = br.decode(ac_h)
-        r, ssss = rs >> 4, rs & 15
-        if ssss == 0:
+        r, s = rs >> 4, rs & 15
+        if s == 0:
             if r == 15:
                 k += 16  # ZRL
                 continue
@@ -114,32 +159,179 @@ def _decode_block(br: _BitReader, dc_h: _Huff, ac_h: _Huff,
         k += r
         if k > 63:
             raise JpegError("AC run past block")
-        zz[k] = _extend(br.bits(ssss), ssss)
+        zz[k] = _extend(br.bits(s), s)
         k += 1
-    blk = np.zeros(64, dtype="f8")
-    blk[ZIGZAG] = zz * q
-    return _C.T @ blk.reshape(8, 8) @ _C + 128.0, pred
+
+
+def _ac_first(br: _BitReader, ac_h: _Huff, zz: list[int], ss: int, se: int,
+              al: int, eobrun: int) -> int:
+    """Progressive AC first scan for one block (T.81 G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode(ac_h)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise JpegError("AC run past spectral band")
+        zz[k] = _extend(br.bits(s), s) * (1 << al)
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br: _BitReader, ac_h: _Huff, zz: list[int], ss: int, se: int,
+               al: int, eobrun: int) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3): correction
+    bits on known-nonzero coefficients, newly-nonzero insertions of ±2^Al."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode(ac_h)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # r == 15: ZRL — pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegError("bad AC refinement magnitude")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                c = zz[k]
+                if c != 0:
+                    if br.bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = zz[k]
+            if c != 0:
+                if br.bit() and (c & p1) == 0:
+                    zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(data: bytes, pos: int, comps: list[_Component],
+                 scan_comps: list[_Component], htables: dict,
+                 ss: int, se: int, ah: int, al: int,
+                 mcux: int, mcuy: int, restart_interval: int,
+                 progressive: bool) -> int:
+    """Decode one entropy-coded scan into the components' coefficient
+    arrays; returns the stream position after the scan data."""
+    br = _BitReader(data, pos)
+    for c in scan_comps:
+        c.pred = 0
+    eobrun = 0
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        c = scan_comps[0]
+        units = c.nbw * c.nbh
+    ri = restart_interval
+    to_restart = ri if ri else -1
+
+    for u in range(units):
+        if ri and u and u % ri == 0:
+            br.restart()
+            for c in scan_comps:
+                c.pred = 0
+            eobrun = 0
+        if interleaved:
+            mx, my = u % mcux, u // mcux
+            for c in scan_comps:
+                dc_h = htables.get((0, c.dc_sel))
+                ac_h = htables.get((1, c.ac_sel))
+                for sub in range(c.h * c.v):
+                    bx = mx * c.h + sub % c.h
+                    by = my * c.v + sub // c.h
+                    zz = c.blocks[by * c.bw + bx]
+                    if not progressive:
+                        _seq_block(br, c, zz, dc_h, ac_h)
+                    elif ah == 0:  # DC first (interleaved DC scan)
+                        t = br.decode(dc_h)
+                        c.pred += _extend(br.bits(t), t)
+                        zz[0] = c.pred << al
+                    else:  # DC refinement
+                        if br.bit():
+                            zz[0] |= 1 << al
+        else:
+            c = scan_comps[0]
+            bx, by = u % c.nbw, u // c.nbw
+            zz = c.blocks[by * c.bw + bx]
+            if not progressive:
+                _seq_block(br, c, zz, htables[(0, c.dc_sel)],
+                           htables[(1, c.ac_sel)])
+            elif ss == 0:
+                if ah == 0:
+                    dc_h = htables[(0, c.dc_sel)]
+                    t = br.decode(dc_h)
+                    c.pred += _extend(br.bits(t), t)
+                    zz[0] = c.pred << al
+                else:
+                    if br.bit():
+                        zz[0] |= 1 << al
+            else:
+                ac_h = htables[(1, c.ac_sel)]
+                if ah == 0:
+                    eobrun = _ac_first(br, ac_h, zz, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(br, ac_h, zz, ss, se, al, eobrun)
+    return br.pos
 
 
 def decode_baseline(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG: grayscale → (h, w) uint8; 4:4:4 YCbCr →
-    (h, w, 3) uint8 RGB (JFIF color transform)."""
+    """Decode a JPEG (baseline sequential or progressive): grayscale →
+    (h, w) uint8; YCbCr → (h, w, 3) uint8 RGB (JFIF color transform)."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("no SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _Huff] = {}
     w = h = 0
-    comps: list[tuple[int, int]] = []  # (component id, q selector)
-    scan_sel: list[tuple[int, int]] = []  # (dc table, ac table) per comp
-    subsampled = False
-    while pos + 4 <= len(data):
+    comps: list[_Component] = []
+    progressive = False
+    restart_interval = 0
+    mcux = mcuy = 0
+    hmax = vmax = 1
+    n = len(data)
+    while pos + 2 <= n:
         if data[pos] != 0xFF:
-            raise JpegError("bad marker")
+            pos += 1  # garbage/padding between segments — resync
+            continue
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xFF:  # fill byte
+            pos -= 1
+            continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or marker == 0x00 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / stuffed pad byte / stray RST
         seg_len = int.from_bytes(data[pos : pos + 2], "big")
         seg = data[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
@@ -150,96 +342,89 @@ def decode_baseline(data: bytes) -> np.ndarray:
                     raise JpegError("16-bit quant tables unsupported")
                 qtables[tq] = np.array(list(seg[i + 1 : i + 65]), dtype="f8")
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progr.
+            progressive = marker == 0xC2
+            if seg[0] != 8:
+                raise JpegError("only 8-bit precision supported")
             nc = seg[5]
             if nc not in (1, 3):
                 raise JpegError("1 or 3 components supported")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             comps = []
-            samp = []
             for ci in range(nc):
                 off = 6 + 3 * ci
-                samp.append((seg[off + 1] >> 4, seg[off + 1] & 15))
-                comps.append((seg[off], seg[off + 2]))
-            if nc == 1:
-                if samp != [(1, 1)]:
-                    raise JpegError("grayscale must be 1x1 sampled")
-            elif samp not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
-                raise JpegError("only 4:4:4 and 4:2:0 sampling supported")
-            subsampled = samp[0] == (2, 2) if nc == 3 else False
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise JpegError("non-baseline SOF unsupported")
+                hv = seg[off + 1]
+                comps.append(_Component(seg[off], hv >> 4, hv & 15,
+                                        seg[off + 2]))
+            for c in comps:
+                if c.h not in (1, 2) or c.v not in (1, 2):
+                    raise JpegError("sampling factors beyond 2 unsupported")
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c.alloc(mcux, mcuy, w, h, hmax, vmax)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegError("unsupported SOF type 0x%02X" % marker)
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 15
                 bits = list(seg[i + 1 : i + 17])
-                n = sum(bits)
-                vals = list(seg[i + 17 : i + 17 + n])
+                cnt = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + cnt])
                 htables[(tc, th)] = _Huff(bits, vals)
-                i += 17 + n
+                i += 17 + cnt
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise JpegError("SOS before SOF")
             ns = seg[0]
-            scan_sel = [
-                (seg[2 + 2 * ci] >> 4, seg[2 + 2 * ci] & 15)
-                for ci in range(ns)
-            ]
-            pos += seg_len
-            break
+            by_id = {c.cid: c for c in comps}
+            scan_comps = []
+            for ci in range(ns):
+                c = by_id.get(seg[1 + 2 * ci])
+                if c is None:
+                    raise JpegError("scan references unknown component")
+                sel = seg[2 + 2 * ci]
+                c.dc_sel, c.ac_sel = sel >> 4, sel & 15
+                scan_comps.append(c)
+            ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah_, al_ = a >> 4, a & 15
+            pos = _decode_scan(
+                data, pos + seg_len, comps, scan_comps, htables,
+                ss_, se_, ah_, al_, mcux, mcuy, restart_interval,
+                progressive)
+            continue
         pos += seg_len
     if not w or not h or not comps:
-        raise JpegError("no SOF0")
-    br = _BitReader(data, pos)
-    preds = [0] * len(comps)
-    if not subsampled:
-        bw = (w + 7) // 8
-        bh = (h + 7) // 8
-        planes = [np.zeros((bh * 8, bw * 8), dtype="f8") for _ in comps]
-        for by in range(bh):
-            for bx in range(bw):
-                for ci, (_cid, qsel) in enumerate(comps):  # interleaved MCU
-                    dc_h = htables[(0, scan_sel[ci][0])]
-                    ac_h = htables[(1, scan_sel[ci][1])]
-                    spatial, preds[ci] = _decode_block(
-                        br, dc_h, ac_h, qtables[qsel], preds[ci])
-                    planes[ci][by * 8 : by * 8 + 8,
-                               bx * 8 : bx * 8 + 8] = spatial
-        if len(comps) == 1:
-            return np.clip(np.rint(planes[0][:h, :w]), 0, 255).astype("u1")
-        yp = planes[0][:h, :w]
-        cbp = planes[1][:h, :w]
-        crp = planes[2][:h, :w]
-    else:
-        # 4:2:0: MCU = 16×16 luma (4 blocks, raster order) + 1 Cb + 1 Cr
-        mw = (w + 15) // 16
-        mh = (h + 15) // 16
-        yplane = np.zeros((mh * 16, mw * 16), dtype="f8")
-        cplanes = [np.zeros((mh * 8, mw * 8), dtype="f8") for _ in range(2)]
-        for my in range(mh):
-            for mx in range(mw):
-                for sub in range(4):
-                    dy, dx = (sub // 2) * 8, (sub % 2) * 8
-                    dc_h = htables[(0, scan_sel[0][0])]
-                    ac_h = htables[(1, scan_sel[0][1])]
-                    spatial, preds[0] = _decode_block(
-                        br, dc_h, ac_h, qtables[comps[0][1]], preds[0])
-                    yplane[my * 16 + dy : my * 16 + dy + 8,
-                           mx * 16 + dx : mx * 16 + dx + 8] = spatial
-                for ci in (1, 2):
-                    dc_h = htables[(0, scan_sel[ci][0])]
-                    ac_h = htables[(1, scan_sel[ci][1])]
-                    spatial, preds[ci] = _decode_block(
-                        br, dc_h, ac_h, qtables[comps[ci][1]], preds[ci])
-                    cplanes[ci - 1][my * 8 : my * 8 + 8,
-                                    mx * 8 : mx * 8 + 8] = spatial
-        yp = yplane[:h, :w]
-        # nearest-neighbour chroma upsample (2×)
-        cbp = np.repeat(np.repeat(cplanes[0], 2, 0), 2, 1)[:h, :w]
-        crp = np.repeat(np.repeat(cplanes[1], 2, 0), 2, 1)[:h, :w]
-    y = yp
-    cb = cbp - 128.0
-    cr = crp - 128.0
+        raise JpegError("no SOF")
+
+    planes = []
+    for c in comps:
+        q = qtables[c.qsel]
+        zz = np.array(c.blocks, dtype="f8")  # (nblocks, 64) zigzag order
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz * q
+        blk = nat.reshape(-1, 8, 8)
+        spatial = (_C.T @ blk) @ _C + 128.0  # batched IDCT
+        plane = (spatial.reshape(c.bh, c.bw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(c.bh * 8, c.bw * 8))
+        cw = -(-w * c.h // hmax)
+        ch = -(-h * c.v // vmax)
+        plane = plane[:ch, :cw]
+        if c.h != hmax or c.v != vmax:  # nearest-neighbour chroma upsample
+            plane = np.repeat(np.repeat(plane, vmax // c.v, 0),
+                              hmax // c.h, 1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype("u1")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
         axis=2,
