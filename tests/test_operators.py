@@ -19,7 +19,7 @@ def test_query_runs_and_returns_rows(spark, name):
     # q7's nation-pair filter can be empty at the tiny sf0.001
     if name not in ("embedding_near_dup_pairs", "minhash_lsh_pairs",
                     "lsh_dropped_clusters", "simhash_saturated_blocks",
-                    "q7_volume_shipping"):
+                    "simhash_swarm_clusters", "q7_volume_shipping"):
         assert len(rows) > 0, name
     assert df.columns  # stable schema
 
@@ -300,22 +300,52 @@ def test_simhash_hot_bucket_refinement_finds_planted_pair(spark):
     assert all(h <= 3 for h in pairs.values())
 
 
-def test_simhash_identical_swarm_reports_all_pairs(spark):
-    """Level 2: a swarm of identical fingerprints larger than every cap must
-    report its Hamming-0 pairs (the boilerplate a cleanup acts on), not
-    vanish."""
+def test_simhash_identical_swarm_reports_cluster_row(spark):
+    """Level 2 (r3 VERDICT #1): a swarm of identical fingerprints larger
+    than every cap must surface as ONE cluster row (simhash, size, 8-doc
+    sample) — never as m(m-1)/2 Hamming-0 pairs (at 10M docs that is
+    5×10¹³ output rows), and never silently vanish."""
     import pandas as pd
 
-    from unipdf_spark.operators.dedup import MAX_BUCKET, _simhash_pairs_from_fp
+    from unipdf_spark.operators.dedup import (
+        MAX_BUCKET, _simhash_pairs_from_fp, _simhash_swarms_from_fp)
 
     n = MAX_BUCKET + 36
     fp = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(n), "simhash": [0x123456789ABCDE] * n}),
         schema="doc_id long, simhash long",
     )
-    pairs = _simhash_pairs_from_fp(fp).collect()
-    assert len(pairs) == n * (n - 1) // 2
-    assert all(r["hamming"] == 0 for r in pairs)
+    assert _simhash_pairs_from_fp(fp).count() == 0  # no pair expansion
+    clusters = _simhash_swarms_from_fp(fp).collect()
+    assert len(clusters) == 1
+    assert clusters[0]["size"] == n
+    assert list(clusters[0]["sample_doc_ids"]) == list(range(8))
+
+
+def test_simhash_100k_swarm_bounded_output_and_planted_pair(spark):
+    """The r3 'done' criterion: a 100k-identical-fingerprint swarm completes
+    with O(1) output rows for the swarm while a planted Hamming-2 pair
+    elsewhere in the corpus is still found."""
+    import pandas as pd
+
+    from unipdf_spark.operators.dedup import (
+        _simhash_pairs_from_fp, _simhash_swarms_from_fp)
+
+    n = 100_000
+    swarm_fp = 0x0F0F0F0F0F0F0F & ((1 << 60) - 1)
+    base = 0x2AAAAAAAAAAAAAA & ((1 << 60) - 1)
+    fps = [swarm_fp] * n + [base, base ^ (1 << 7) ^ (1 << 44)]
+    fp = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(n + 2), "simhash": fps}),
+        schema="doc_id long, simhash long",
+    ).repartition(16).persist()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in _simhash_pairs_from_fp(fp).collect()}
+    assert pairs.get((n, n + 1)) == 2  # planted pair found via level 0
+    assert all(a >= n for a, _ in pairs)  # swarm produced no pairs
+    clusters = _simhash_swarms_from_fp(fp).collect()
+    assert len(clusters) == 1 and clusters[0]["size"] == n
+    fp.unpersist()
 
 
 def test_simhash_hot_corpus_oracle_parity(spark, tmp_path):
@@ -340,9 +370,16 @@ def test_simhash_hot_corpus_oracle_parity(spark, tmp_path):
     want = sorted(map(tuple, con.execute(dedup.SIMHASH_PAIRS_SQL).fetchall()))
     assert got == want
     n_hot = dedup.MAX_BUCKET + 36
-    # the identical-boilerplate swarm now reports its pairs (was: dropped)
-    assert (0, 1, 0) in got
+    # the Hamming<=3 pair outside the swarm is found via level 0
     assert (n_hot, n_hot + 1) in {(x, y) for x, y, _ in got}
+    # the identical-boilerplate swarm is cluster rows, not pairs (r3 #1)
+    assert (0, 1, 0) not in got
+    swarm = dedup.simhash_swarm_clusters(spark, sf).collect()
+    assert len(swarm) == 1 and swarm[0]["size"] == n_hot
+    assert list(swarm[0]["sample_doc_ids"]) == list(range(8))
+    want_swarm = con.execute(dedup.SIMHASH_SWARMS_SQL).fetchall()
+    assert [(r["simhash"], r["size"], list(r["sample_doc_ids"]))
+            for r in swarm] == [(s, z, list(ids)) for s, z, ids in want_swarm]
 
 
 def test_lsh_dropped_clusters_reports_capped_bucket(spark, tmp_path):

@@ -167,8 +167,73 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature — DuckDB computes identical values, so this
     is fully oracle-checked. No orderBy: a global sort adds a
     range-partition SAMPLING pass that recomputes the whole projection
-    twice; the correctness check is order-insensitive."""
-    return attach_minhash_signature(_docs(spark, sf_dir))
+    twice; the correctness check is order-insensitive.
+
+    The signature math runs in an Arrow-batched numpy worker
+    (:func:`minhash_signatures_pandas`): Catalyst higher-order-function
+    lambdas are interpreted (never codegen'd), which made the column-
+    expression form the suite's dominant cost (r3 VERDICT: 7.5 s
+    steady-state, 2.5× the next-slowest query). hashlib md5 is
+    bit-identical to SQL ``md5`` and the modular family math is exact in
+    int64, so the DuckDB oracle is unchanged. The column-expression form
+    (:func:`attach_minhash_signature`) remains for streaming frames."""
+    return minhash_signatures_pandas(_docs(spark, sf_dir))
+
+
+_SIG_FIELDS = ", ".join(f"h{i} long" for i in range(N_HASHES))
+
+
+def minhash_signatures_pandas(d: DataFrame) -> DataFrame:
+    """(doc_id, text, …) → (doc_id, h0..h31) via mapInPandas: Python-side
+    tokenize → 3-gram shingles → md5-derived h32 → one numpy (n_shingles ×
+    32) modular matmul-min. Bit-identical to MINHASH_SIG_SQL:
+
+    * tokens: ``re.ASCII`` ``\\s+`` split of ``text.lower()`` — Java's and
+      RE2's ``\\s`` are ASCII-only, so the Python pattern must be too;
+    * shingle hash: ``int(md5(s)[:15], 16) % P`` ≡ Spark
+      ``conv(substr(md5(s),1,15),16,10)`` ≡ DuckDB
+      ``('0x'||substr(md5(s),1,15))::BIGINT`` (< 2^60, exact in int64);
+    * families: ``(A_i·h + B_i) % P`` with A_i < 2^30 → products < 2^62.
+    """
+    import numpy as np
+
+    a_arr = np.array(phash.A, dtype=np.int64)
+    b_arr = np.array(phash.B, dtype=np.int64)
+    p = phash.P
+
+    def batches(pdfs):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in pdfs:
+            n = len(pdf)
+            sigs = np.empty((n, N_HASHES), dtype=np.int64)
+            texts = pdf["text"].tolist()
+            for i, text in enumerate(texts):
+                toks = [t for t in ws.split(text.lower()) if t]
+                end = max(len(toks) - 3, 0) + 1
+                sh = {" ".join(toks[j : j + 3]) for j in range(end)}
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15],
+                            16) % p
+                        for s in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                sigs[i] = ((hs[:, None] * a_arr + b_arr) % p).min(axis=0)
+            out = pd.DataFrame({"doc_id": pdf["doc_id"]})
+            for k in range(N_HASHES):
+                out[f"h{k}"] = sigs[:, k]
+            yield out
+
+    return d.select("doc_id", "text").mapInPandas(
+        batches, schema=f"doc_id long, {_SIG_FIELDS}"
+    )
 
 
 # shared SQL fragments: tokenize → 3-gram shingles → h32 list (DuckDB's
@@ -269,6 +334,26 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j
 
 
+def bounded_min_sample(df: DataFrame, keys: list[str], col: str = "doc_id",
+                       k: int = 8, salt_buckets: int = 64) -> DataFrame:
+    """The k smallest `col` values per key group WITHOUT sorting a whole
+    group in one task (r3 VERDICT #6: a window row_number over a dropped
+    bucket puts the biggest skew cluster — possibly 10^7+ rows — into one
+    straggler sort). Two-phase salted aggregate instead: per (key, salt)
+    partial top-k (each ≤ group_size/salt_buckets rows), then a tiny final
+    merge over salt_buckets arrays of ≤ k. Deterministic: the k smallest
+    overall are the k smallest of the per-salt minima."""
+    part = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(col), F.lit(salt_buckets)))
+        .groupBy(*keys, "_salt")
+        .agg(F.slice(F.array_sort(F.collect_list(col)), 1, k).alias("_part"))
+    )
+    return part.groupBy(*keys).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_part"))), 1, k)
+        .alias("sample_doc_ids")
+    )
+
+
 def lsh_dropped_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The no-silent-caps companion to minhash_lsh_pairs (r2 VERDICT #3):
     every LSH band bucket larger than MAX_BUCKET — precisely the heavy
@@ -277,11 +362,9 @@ def lsh_dropped_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     these cluster rows directly (keep min doc_id, drop the rest) instead of
     needing the quadratic pair expansion.
 
-    Scale shape: the sample is the 8 smallest doc_ids via a window
-    row_number (spillable sort within the bucket partition), never a
-    collect_list over the full bucket."""
-    from pyspark.sql.window import Window
-
+    Scale shape: the 8-doc sample comes from :func:`bounded_min_sample`
+    (salted two-phase aggregate) — no single task ever sorts a whole
+    mega-bucket."""
     band_tbl = band_table(minhash_signatures(spark, sf_dir))
     dropped = (
         band_tbl.groupBy("band", "band_hash")
@@ -289,12 +372,9 @@ def lsh_dropped_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("size") > MAX_BUCKET)
     )
     members = band_tbl.join(dropped, ["band", "band_hash"])
-    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
     return (
-        members.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 8)
-        .groupBy("band", "band_hash", "size")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("sample_doc_ids"))
+        bounded_min_sample(members, ["band", "band_hash", "size"])
+        .select("band", "band_hash", "size", "sample_doc_ids")
         .orderBy("band", "band_hash")
     )
 
@@ -366,39 +446,51 @@ ORDER BY band, band_hash
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash per doc: bit votes of portable token hashes, computed
-    in ONE within-row aggregate pass with a 60-wide vote-array accumulator
-    (each token hash is decomposed into ±1 bit votes once — not one
-    re-traversal of the token array per bit)."""
-    d = _docs(spark, sf_dir)
-    th = F.transform(
-        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""),
-        lambda t: phash.base60(t),
-    )
+    """60-bit SimHash per doc: bit votes of portable token hashes. Runs in
+    an Arrow-batched numpy worker (same rationale as
+    :func:`minhash_signatures_pandas`: interpreted Catalyst HOF folds are
+    the per-core bottleneck; hashlib md5 + int64 bit math is bit-identical
+    to the SQL oracle)."""
+    return simhash_fingerprints_pandas(_docs(spark, sf_dir))
 
-    def _bit_votes(h):
-        return F.array(*[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-            .otherwise(F.lit(-1))
-            for i in range(SIM_BITS)
-        ])
 
-    votes = F.aggregate(
-        th,
-        F.array_repeat(F.lit(0), SIM_BITS),
-        lambda acc, h: F.zip_with(acc, _bit_votes(h), lambda a, b: a + b),
-    )
-    fingerprint = sum(
-        (
-            F.when(F.element_at("votes", i + 1) > 0, F.lit(2**i))
-            .otherwise(F.lit(0))
-            .cast("long")
-            for i in range(SIM_BITS)
-        ),
-        start=F.lit(0).cast("long"),
-    )
-    return d.select("doc_id", votes.alias("votes")).select(
-        "doc_id", fingerprint.alias("simhash")
+def simhash_fingerprints_pandas(d: DataFrame) -> DataFrame:
+    """(doc_id, text, …) → (doc_id, simhash) via mapInPandas. Per doc:
+    ASCII-``\\s+`` tokens of lower(text) → base60 md5 hash per token →
+    per-bit ±1 votes (numpy (n_tokens × 60) popcount) → majority bits.
+    Matches SIMHASH_SQL exactly: vote > 0 sets the bit (ties → 0), empty
+    token lists yield simhash 0."""
+    import numpy as np
+
+    shifts = np.arange(SIM_BITS, dtype=np.int64)
+    powers = (np.int64(1) << shifts)
+
+    def batches(pdfs):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in pdfs:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf["text"].tolist()):
+                toks = [t for t in ws.split(text.lower()) if t]
+                if not toks:
+                    continue
+                hs = np.fromiter(
+                    (int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                     for t in toks),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                ones = ((hs[:, None] >> shifts) & 1).sum(axis=0)
+                votes = 2 * ones - len(toks)
+                out[i] = int(powers[votes > 0].sum())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return d.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, simhash long"
     )
 
 
@@ -451,24 +543,11 @@ def _interleaved_subkey_sql(expr: str, sc: str) -> str:
     return f"({terms})"
 
 
-def _simhash_pairs_from_fp(fp: DataFrame) -> DataFrame:
-    """Pair generation over a (doc_id, simhash) frame — split out so skew
-    tests can feed synthetic fingerprints directly.
-
-    Hierarchical blocking (r2 VERDICT #2 fix — nothing is silently dropped):
-
-    * level 0 — 4 contiguous 15-bit chunks; Hamming ≤ 3 ⇒ ≥1 chunk untouched
-      (pigeonhole), so buckets with ≤ MAX_BUCKET members pair directly;
-    * level 1 — members of OVERSIZED chunk buckets are re-blocked by each of
-      4 interleaved 15-bit sub-chunks (bit i → class i mod 4): ≤ 3 diffs
-      also leave ≥1 interleaved class untouched, so the guarantee survives
-      refinement while the effective key grows to ~26 bits;
-    * level 2 — still-oversized sub-buckets block on the full fingerprint:
-      identical-simhash swarms (the boilerplate case) report ALL their
-      Hamming-0 pairs instead of vanishing. Only Hamming-1..3 pairs whose
-      EVERY eligible (chunk, sub-chunk) bucket is denser than MAX_BUCKET can
-      be missed — `simhash_saturated_blocks` reports exactly those blocks.
-    """
+def _simhash_blocking(fp: DataFrame):
+    """Shared hierarchical blocking over a (doc_id, simhash) frame.
+    Returns (lvl0, lvl1, hot_sub): level-0/1 block memberships for pair
+    generation and the still-oversized level-1 members (doc_id, simhash)
+    that form level-2 swarms."""
     chunk_structs = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),
@@ -517,14 +596,36 @@ def _simhash_pairs_from_fp(fp: DataFrame) -> DataFrame:
                     F.col("key").cast("string"), F.col("sc").cast("string"),
                     F.col("skey").cast("string")).alias("block"),
     )
-    lvl2 = sub1.filter(F.col("n1") > MAX_BUCKET).select(
-        "doc_id", "simhash",
-        F.concat_ws(":", F.lit("2"), F.col("chunk").cast("string"),
-                    F.col("key").cast("string"), F.col("sc").cast("string"),
-                    F.col("skey").cast("string"),
-                    F.col("simhash").cast("string")).alias("block"),
-    )
-    bt = lvl0.unionByName(lvl1).unionByName(lvl2)
+    hot_sub = sub1.filter(F.col("n1") > MAX_BUCKET).select("doc_id", "simhash")
+    return lvl0, lvl1, hot_sub
+
+
+def _simhash_pairs_from_fp(fp: DataFrame) -> DataFrame:
+    """Pair generation over a (doc_id, simhash) frame — split out so skew
+    tests can feed synthetic fingerprints directly.
+
+    Hierarchical blocking (r2 VERDICT #2 fix — nothing is silently dropped):
+
+    * level 0 — 4 contiguous 15-bit chunks; Hamming ≤ 3 ⇒ ≥1 chunk untouched
+      (pigeonhole), so buckets with ≤ MAX_BUCKET members pair directly;
+    * level 1 — members of OVERSIZED chunk buckets are re-blocked by each of
+      4 interleaved 15-bit sub-chunks (bit i → class i mod 4): ≤ 3 diffs
+      also leave ≥1 interleaved class untouched, so the guarantee survives
+      refinement while the effective key grows to ~26 bits;
+    * level 2 — still-oversized sub-buckets are NOT pair-expanded (r3
+      VERDICT #1: an identical-fingerprint boilerplate swarm of m docs
+      would emit m(m−1)/2 Hamming-0 rows — 5×10¹³ for a 10M-doc swarm; the
+      job dies on output volume, not compute). They are reported as
+      CLUSTER rows by :func:`simhash_swarm_clusters` (simhash, size,
+      sample_doc_ids) — the lsh_dropped_clusters representation — which a
+      cleanup pipeline acts on directly. Hamming-1..3 pairs whose EVERY
+      eligible (chunk, sub-chunk) bucket is denser than MAX_BUCKET are the
+      only ones missing from the pair output; `simhash_saturated_blocks`
+      reports exactly those blocks, and the swarm clusters carry the
+      Hamming-0 mass.
+    """
+    lvl0, lvl1, _hot_sub = _simhash_blocking(fp)
+    bt = lvl0.unionByName(lvl1)
     return (
         bt.alias("a")
         .join(bt.alias("b"), ["block"])
@@ -544,8 +645,41 @@ def _simhash_pairs_from_fp(fp: DataFrame) -> DataFrame:
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) with hierarchical chunk blocking
     — see :func:`_simhash_pairs_from_fp` for the refinement scheme that
-    replaced round-2's silent drop of oversized buckets."""
+    replaced round-2's silent drop of oversized buckets. Identical-
+    fingerprint swarms too dense for level-1 are reported by
+    :func:`simhash_swarm_clusters`, never pair-expanded."""
     return _simhash_pairs_from_fp(
+        simhash_fingerprints(spark, sf_dir).persist()
+    )
+
+
+def _simhash_swarms_from_fp(fp: DataFrame) -> DataFrame:
+    """Cluster rows for level-2 swarms: docs in still-oversized level-1
+    sub-buckets, grouped by FULL fingerprint (r3 VERDICT #1). Each
+    fingerprint group of ≥ 2 docs is one row (simhash, size,
+    sample_doc_ids) — O(#distinct fingerprints) output instead of
+    O(m²/2) Hamming-0 pairs for an m-doc boilerplate swarm."""
+    swarm = _simhash_blocking(fp)[2].distinct()
+    sizes = (
+        swarm.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") >= 2)
+    )
+    members = swarm.join(sizes, "simhash")
+    return (
+        bounded_min_sample(members, ["simhash", "size"])
+        .select("simhash", "size", "sample_doc_ids")
+        .orderBy("simhash")
+    )
+
+
+def simhash_swarm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-silent-caps companion for level-2: every identical-simhash
+    swarm inside a saturated sub-bucket as ONE cluster row. Together with
+    simhash_near_dup_pairs (levels 0/1) and simhash_saturated_blocks
+    (recall holes), nothing the blocking hierarchy touches is dropped
+    without being reported."""
+    return _simhash_swarms_from_fp(
         simhash_fingerprints(spark, sf_dir).persist()
     )
 
@@ -579,12 +713,6 @@ blocks AS (
            '1:' || chunk::VARCHAR || ':' || key::VARCHAR || ':'
                || sc::VARCHAR || ':' || skey::VARCHAR AS block
     FROM k1 WHERE n1 <= {MAX_BUCKET}
-    UNION ALL
-    SELECT doc_id, simhash,
-           '2:' || chunk::VARCHAR || ':' || key::VARCHAR || ':'
-               || sc::VARCHAR || ':' || skey::VARCHAR || ':'
-               || simhash::VARCHAR AS block
-    FROM k1 WHERE n1 > {MAX_BUCKET}
 )"""
 
 SIMHASH_PAIRS_SQL = f"""
@@ -598,6 +726,27 @@ cand AS (
     WHERE a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {MAX_HAMMING}
+"""
+
+SIMHASH_SWARMS_SQL = f"""
+WITH {_SIMHASH_CTE},
+{_SIMHASH_BLOCK_CTE},
+swarm AS (
+    SELECT DISTINCT doc_id, simhash FROM k1 WHERE n1 > {MAX_BUCKET}
+),
+sized AS (
+    SELECT simhash, COUNT(*) AS size FROM swarm
+    GROUP BY simhash HAVING COUNT(*) >= 2
+),
+ranked AS (
+    SELECT s.simhash, z.size, s.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY s.simhash ORDER BY s.doc_id) AS rn
+    FROM swarm s JOIN sized z USING (simhash)
+)
+SELECT simhash, size, LIST(doc_id ORDER BY doc_id) AS sample_doc_ids
+FROM ranked WHERE rn <= 8
+GROUP BY simhash, size
+ORDER BY simhash
 """
 
 
@@ -710,6 +859,7 @@ QUERIES = {
     "lsh_dropped_clusters": lsh_dropped_clusters,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
+    "simhash_swarm_clusters": simhash_swarm_clusters,
     "simhash_saturated_blocks": simhash_saturated_blocks,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
 }
@@ -722,6 +872,7 @@ ORACLES = {
     "lsh_dropped_clusters": LSH_DROPPED_SQL,
     "simhash_fingerprints": SIMHASH_SQL,
     "simhash_near_dup_pairs": SIMHASH_PAIRS_SQL,
+    "simhash_swarm_clusters": SIMHASH_SWARMS_SQL,
     "simhash_saturated_blocks": SIMHASH_SATURATED_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
 }
