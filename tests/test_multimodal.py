@@ -188,11 +188,21 @@ def test_jpeg_grayscale_features_match_plan(spark):
     assert feats and all(f["decode_ok"] for f in feats.values())
     from unipdf_spark.fixtures.render import jpeg_color_encode
 
+    from unipdf_spark.fixtures.render import jpeg_progressive_encode
+
     checked = color_checked = 0
+    modes_seen = set()
     for i in range(12):
         plan = _plan_doc(f"doc_{i:08d}", "jpeg", 42)
         for key, img in plan.jpeg_images.items():
-            data = jpeg_gray_encode(img)
+            mode = plan.jpeg_modes.get(key, "baseline")
+            modes_seen.add("restart" if mode.startswith("restart") else mode)
+            if mode == "progressive":
+                data = jpeg_progressive_encode(img)
+            elif mode.startswith("restart"):
+                data = jpeg_gray_encode(img, restart_interval=int(mode[7:]))
+            else:
+                data = jpeg_gray_encode(img)
             ref = schema.media_ref_for(data)
             want_mean = float(np.mean(img))
             want_std = float(np.std(img))
@@ -210,3 +220,4 @@ def test_jpeg_grayscale_features_match_plan(spark):
             assert abs(feats[ref]["std_gray"] - float(np.std(luma))) < 5.0
             color_checked += 1
     assert checked >= 12 and color_checked >= 12
+    assert modes_seen == {"baseline", "progressive", "restart"}

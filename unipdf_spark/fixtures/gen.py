@@ -208,6 +208,7 @@ class DocPlan:
     jbig2_images: dict = field(default_factory=dict)  # key → (rows, cols, mmr)
     jbig2_text_images: dict = field(default_factory=dict)  # key → (symbols, placements, cols, nrows)
     jpeg_images: dict = field(default_factory=dict)  # key → uint8 pixel rows (list of lists)
+    jpeg_modes: dict = field(default_factory=dict)  # key → baseline|progressive|restartN
     jpeg_color_images: dict = field(default_factory=dict)  # key → rgb rows
     theta: int = 0
     corrupt_xref: bool = False
@@ -573,9 +574,10 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         return plan
 
     if fixture_class == "jpeg":
-        # baseline grayscale JPEG (DCTDecode) images: media spans round-trip
-        # on the ENCODED payload hash; the pixel path is exercised by the
-        # multimodal grayscale decode (pdf/jpeg.py)
+        # grayscale JPEG (DCTDecode) images — baseline, baseline with DRI
+        # restart intervals, and progressive (T.81 §G) legs: media spans
+        # round-trip on the ENCODED payload hash; the pixel path is
+        # exercised by the multimodal grayscale decode (pdf/jpeg.py)
         p, v = _para(rng, MARGIN, v, width, (4, 8))
         plan.blocks.append(p)
         for k in range(rng.randint(1, 2)):
@@ -590,6 +592,8 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
             ]
             key = 300 + k
             plan.jpeg_images[key] = img
+            plan.jpeg_modes[key] = rng.choice(
+                ["baseline", "progressive", "restart2", "restart4"])
             h = 36.0
             plan.blocks.append(
                 ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h)
@@ -1150,9 +1154,15 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         xobj_res += f"/{name} {num} 0 R ".encode()
 
     for key, img in plan.jpeg_images.items():
-        from .render import jpeg_gray_encode
+        from .render import jpeg_gray_encode, jpeg_progressive_encode
 
-        data = jpeg_gray_encode(img)
+        mode = plan.jpeg_modes.get(key, "baseline")
+        if mode == "progressive":
+            data = jpeg_progressive_encode(img)
+        elif mode.startswith("restart"):
+            data = jpeg_gray_encode(img, restart_interval=int(mode[7:]))
+        else:
+            data = jpeg_gray_encode(img)
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width "
             + str(len(img[0])).encode()
