@@ -1410,9 +1410,31 @@ def _make_cid_vertical_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
     are ordered left-to-right by the XY-cut (a wide gutter separates them)."""
     rng = random.Random(f"{seed}:{doc_id}")
     pool = "データ解析引擎数模型文書縦書き"
-    cols = []
-    for _ in range(rng.randint(1, 2)):
-        cols.append("".join(rng.choice(pool) for _ in range(rng.randint(3, 6))))
+    # three deterministic variants: normal (1 em advance), wide (/DW2 w1
+    # -2200: every glyph its own span), vshift (/W2 position vectors: a
+    # mid-column vy jump of +1.8 em splits the column into two paragraphs
+    # — span-differential iff the engine honors per-CID v)
+    roll = rng.random()
+    wide = roll < 0.4
+    vshift = 0.4 <= roll < 0.7
+    n_cols = rng.randint(1, 2)
+    if vshift:
+        # distinct glyphs per doc so each /W2 entry hits exactly one slot
+        # (dict.fromkeys dedupes the pool — '書' appears twice in it)
+        total = [rng.randint(4, 6) for _ in range(n_cols)]
+        picked = rng.sample(list(dict.fromkeys(pool)), sum(total))
+        cols, splits, k = [], [], 0
+        for t in total:
+            cols.append("".join(picked[k : k + t]))
+            splits.append(rng.randint(2, t - 2) if t > 3 else 2)
+            k += t
+        shifted = {ord(ch) for col, s in zip(cols, splits)
+                   for ch in col[s:]}
+    else:
+        cols = []
+        for _ in range(n_cols):
+            cols.append("".join(rng.choice(pool)
+                                for _ in range(rng.randint(3, 6))))
 
     w = PdfFileWriter()
     catalog = w.reserve()
@@ -1430,15 +1452,20 @@ def _make_cid_vertical_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
         + b"endcmap CMapName currentdict /CMap defineresource pop end end\n"
     )
     tounicode, _ = w.add_stream(b"", cmap, compress=True)
-    # some docs use a non-default /DW2: w1 = -2200 (2.2 em per glyph) puts
+    # wide docs use a non-default /DW2: w1 = -2200 (2.2 em per glyph) puts
     # consecutive glyphs past the paragraph merge cap, so each glyph
     # extracts as its OWN span — an engine ignoring /DW2 would fuse them
-    wide = rng.random() < 0.4
     dw2 = b" /DW2 [ 880 -2200 ]" if wide else b""
+    w2 = b""
+    if vshift:
+        # per-CID position vectors: same advance (w1 -1000) and centering
+        # (vx 500), vy 880+1800 drops the ink 1.8 em below its pen slot
+        ents = b" ".join(b"%d [ -1000 500 2680 ]" % c for c in sorted(shifted))
+        w2 = b" /W2 [ " + ents + b" ]"
     desc = w.add(
         b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureVert "
         b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-        b"/Supplement 0 >> /DW 1000" + dw2 + b" >>"
+        b"/Supplement 0 >> /DW 1000" + dw2 + w2 + b" >>"
     )
     f7 = w.add(
         b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureVert "
@@ -1463,12 +1490,21 @@ def _make_cid_vertical_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
 
     golden = []
     offset = 0
-    for col in cols:  # left-to-right column order (XY-cut)
+    for ci, col in enumerate(cols):  # left-to-right column order (XY-cut)
         if wide:  # 2.2 em advance: every glyph is its own paragraph
             for ch in col:
                 golden.append({"kind": "text", "text": ch, "media_ref": "",
                                "offset": offset})
                 offset += 1
+        elif vshift:
+            # the +1.8 em ink gap at the split index exceeds the paragraph
+            # merge cap: two spans per column
+            s = splits[ci]
+            for part in (col[:s], col[s:]):
+                t = "\n".join(part)
+                golden.append({"kind": "text", "text": t, "media_ref": "",
+                               "offset": offset})
+                offset += len(t)
         else:
             t = "\n".join(col)
             golden.append({"kind": "text", "text": t, "media_ref": "",

@@ -511,18 +511,21 @@ class Interpreter:
             # vertical writing (WMode 1, cmap.go:17; PDF 32000 §9.7.4.3):
             # the pen advances DOWN the text-space y axis by the glyph's
             # vertical displacement (w1 from /DW2 default or the /W2 array)
-            # + Tc per glyph; glyphs center on the vertical baseline.
-            from .fonts import vadvance_em
+            # + Tc per glyph; the glyph's horizontal origin is the pen minus
+            # the position vector v (per-CID from /W2; defaults vx = w0/2 —
+            # centering on the vertical baseline — and vy = DW2[0]).
+            from .fonts import vadvance_em, vorigin_em
 
             cum_y = 0.0
             for c, (u, missed) in zip(codes, texts):
                 w = widths(c) * ratio
+                v_x, v_y = vorigin_em(font, c, w)
                 dy = vadvance_em(font, c) * tfs + tc
                 if missed:
                     self.n_misses += 1
                 if u and u != "\x00":
-                    e = cum_y * mc + E0 - 0.5 * w * A
-                    f = cum_y * md + F0 - 0.5 * w * B
+                    e = cum_y * mc + E0 - v_x * A - v_y * C
+                    f = cum_y * md + F0 - v_x * B - v_y * D
                     if pb0 - 10 <= e <= pb2 + 10 and pb1 - 10 <= f <= pb3 + 10:
                         wa, wb = w * A, w * B
                         vx, vy = -dy * mc, -dy * md
