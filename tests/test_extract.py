@@ -479,3 +479,43 @@ def test_agl_differences_resolution():
     assert f.encoding_map[67] == "中"
     assert f.encoding_map[68] == "a"
     assert f.encoding_map[69] == "ž"
+
+
+def test_arabic_contextual_shaping():
+    """Write-side contextual shaper (textshaping.go:15 parity): joining
+    forms match hand-derived T.Unicode expectations; extraction-side NFKC
+    unshaping (independent data path) inverts it."""
+    from unipdf_spark.pdf.arabic import arabic_shape, shape
+    from unipdf_spark.pdf.fonts import normalize_presentation_forms
+
+    # meem-hah-meem-dal: initial, medial, medial, final
+    assert [ord(c) for c in shape("محمد")] == [0xFEE3, 0xFEA4, 0xFEE4, 0xFEAA]
+    # alef(R, isolated) lam(initial) seen(medial) lam+alef(ligature final) meem(isolated)
+    assert [ord(c) for c in shape("السلام")] == [
+        0xFE8D, 0xFEDF, 0xFEB4, 0xFEFC, 0xFEE1]
+    for w in ["محمد", "السلام", "عليكم", "كتاب", "لا", "ولا", "قراءة",
+              "مـد", "شيء"]:
+        # per-glyph unshape + whole-word reversal (the bidi pass) inverts
+        # the shaped visual form back to logical
+        visual = shape(w)[::-1]
+        unshaped = "".join(normalize_presentation_forms(c) for c in visual)
+        assert unshaped[::-1] == w, w
+    out = arabic_shape("hello السلام عليكم world")
+    assert out.startswith("hello ") and out.endswith(" world")
+    assert "ﻼ" in out  # the lam-alef ligature survived into visual order
+
+
+def test_arabic_fixture_class_span_equal():
+    """The arabic fixture class (UCD-derived writer shaper, independent of
+    the engine tables) round-trips span-equal: presentation forms in
+    visual order -> unshape + bidi -> logical base text."""
+    from unipdf_spark.fixtures.gen import make_doc
+    from unipdf_spark.pdf.extract import extract_spans
+
+    for i in range(40):
+        golden, pdf = make_doc(f"a{i}", "arabic", 42)
+        want = [(g["kind"], g["text"], g["media_ref"], g["offset"])
+                for g in golden]
+        have = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in extract_spans(pdf).spans]
+        assert have == want, f"a{i}"

@@ -95,7 +95,7 @@ FIXTURE_CLASSES = [
     "filters", "type3", "bidi", "annot", "encrypted", "rules", "incremental",
     "gridtable", "macroman", "wstable", "cid_predefined", "encrypted_aes256",
     "invisible", "tagged_list", "fax", "std14", "tagged_pg",
-    "twotables", "jbig2", "cid_vertical", "jpeg",
+    "twotables", "jbig2", "cid_vertical", "jpeg", "arabic",
 ]
 
 
@@ -354,6 +354,136 @@ def _bidi_para(rng: random.Random, x: float, v_cursor: float, width: float
     return plan, v + LEADING - PARA_SKIP
 
 
+ARABIC_WORDS = ["بيانات", "تحليل", "نص", "كتاب", "مكتبة", "سلام", "محرك",
+                "نموذج", "وثيقة", "استخراج", "لا", "ولا", "قراءة", "الحل"]
+
+
+def _arabic_tables():
+    """Writer-side shaping tables derived from the UCD itself
+    (unicodedata decompositions of the Presentation Forms-B block) — an
+    INDEPENDENT data path from the engine's pdf/arabic.py hand table, so
+    table bugs on either side cannot cancel in the round trip."""
+    import unicodedata
+
+    forms: dict[str, dict[str, str]] = {}
+    ligs: dict[tuple[str, str], dict[str, str]] = {}
+    for cp in range(0xFE70, 0xFF00):
+        ch = chr(cp)
+        d = unicodedata.decomposition(ch)
+        if not d.startswith("<"):
+            continue
+        tag, _, rest = d.partition("> ")
+        tag = tag[1:]
+        parts = [chr(int(x, 16)) for x in rest.split()]
+        if len(parts) == 1:
+            forms.setdefault(parts[0], {})[tag] = ch
+        elif len(parts) == 2:
+            ligs.setdefault((parts[0], parts[1]), {})[tag] = ch
+    return forms, ligs
+
+
+_AR_FORMS, _AR_LIGS = None, None
+
+
+def _fixture_arabic_shape(word: str) -> str:
+    """Contextual shaping (logical → presentation forms) from the UCD
+    tables: dual-joining = has an <initial> form, right-joining = <final>
+    only; lam+alef collapses to the mandatory ligature."""
+    global _AR_FORMS, _AR_LIGS
+    if _AR_FORMS is None:
+        _AR_FORMS, _AR_LIGS = _arabic_tables()
+    forms, ligs = _AR_FORMS, _AR_LIGS
+    chars = list(word)
+    n = len(chars)
+    out = []
+    prev_joins = False
+    i = 0
+    while i < n:
+        ch = chars[i]
+        f = forms.get(ch)
+        if f is None:
+            out.append(ch)
+            prev_joins = ch == "ـ"  # tatweel joins both ways
+            i += 1
+            continue
+        if i + 1 < n and (ch, chars[i + 1]) in ligs:
+            lf = ligs[(ch, chars[i + 1])]
+            out.append(lf["final"] if prev_joins and "final" in lf
+                       else lf["isolated"])
+            prev_joins = False
+            i += 2
+            continue
+        dual = "initial" in f
+        nx = chars[i + 1] if i + 1 < n else None
+        join_next = dual and nx is not None and (
+            nx in forms or nx == "ـ")
+        join_prev = prev_joins and "final" in f
+        if join_prev and join_next:
+            out.append(f["medial"])
+        elif join_next:
+            out.append(f["initial"])
+        elif join_prev:
+            out.append(f["final"])
+        else:
+            out.append(f["isolated"])
+        prev_joins = join_next
+        i += 1
+    return "".join(out)
+
+
+def _arabic_para(rng: random.Random, x: float, v_cursor: float, width: float
+                 ) -> tuple[ParaPlan, float]:
+    """Mixed Latin/Arabic paragraph where the Arabic words appear in the
+    PDF as contextually SHAPED presentation forms in visual order (how a
+    writer using the reference's textshaping.ArabicShape emits them,
+    textshaping.go:15). Golden = logical base-letter order: the engine
+    must unshape each glyph and bidi-reorder the runs."""
+    n = rng.randint(5, 10)
+    logical: list[str] = []
+    while len(logical) < n:
+        if rng.random() < 0.6:
+            logical.extend(rng.choice(ARABIC_WORDS)
+                           for _ in range(rng.randint(1, 2)))
+        else:
+            logical.append(rng.choice(WORDS[:20]))
+
+    def is_rtl(wd: str) -> bool:
+        return any("֐" <= ch <= "ࣿ" for ch in wd)
+
+    lines_logical: list[list[str]] = [[]]
+    cur_w = 0.0
+    for wd in logical:
+        cost = _cid_text_w(wd + " ", FS)
+        if cur_w + cost > width and lines_logical[-1]:
+            lines_logical.append([])
+            cur_w = 0.0
+        lines_logical[-1].append(wd)
+        cur_w += cost
+
+    seg_lines: list[list[Seg]] = []
+    baselines: list[float] = []
+    v = v_cursor - FS
+    for toks in lines_logical:
+        visual: list[str] = []
+        i = 0
+        while i < len(toks):
+            if is_rtl(toks[i]):
+                j = i
+                while j < len(toks) and is_rtl(toks[j]):
+                    j += 1
+                visual.extend(_fixture_arabic_shape(t)[::-1]
+                              for t in reversed(toks[i:j]))
+                i = j
+            else:
+                visual.append(toks[i])
+                i += 1
+        seg_lines.append([Seg(" ".join(visual), golden=" ".join(toks))])
+        baselines.append(v)
+        v -= LEADING
+    plan = ParaPlan(lines=seg_lines, x=x, baselines=baselines, font="F2")
+    return plan, v + LEADING - PARA_SKIP
+
+
 def _hyphen_para(rng: random.Random, x: float, v_cursor: float, width: float
                  ) -> tuple[ParaPlan, float]:
     pre = [rng.choice(WORDS) for _ in range(rng.randint(3, 6))]
@@ -523,6 +653,12 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
     if fixture_class == "bidi":
         for _ in range(rng.randint(2, 4)):
             p, v = _bidi_para(rng, MARGIN, v, width)
+            plan.blocks.append(p)
+        return plan
+
+    if fixture_class == "arabic":
+        for _ in range(rng.randint(2, 4)):
+            p, v = _arabic_para(rng, MARGIN, v, width)
             plan.blocks.append(p)
         return plan
 
@@ -1781,6 +1917,7 @@ DEFAULT_MIX = [
     ("cid_predefined", 3), ("encrypted_aes256", 2), ("invisible", 2),
     ("tagged_list", 2), ("fax", 2), ("std14", 3), ("tagged_pg", 2),
     ("twotables", 2), ("jbig2", 2), ("cid_vertical", 2), ("jpeg", 2),
+    ("arabic", 2),
 ]
 
 BENCH_MIX = [

@@ -125,6 +125,29 @@ def expand_ligatures(s: str) -> str:
     return s
 
 
+def normalize_presentation_forms(s: str) -> str:
+    """Arabic Presentation Forms (U+FB50–FDFF, U+FE70–FEFF) → base letters
+    via stdlib NFKC, applied per glyph alongside ligature expansion. This
+    is the extraction-side inverse of the write-side contextual shaper
+    (pdf/arabic.py, reference textshaping.go:15) and deliberately does NOT
+    share its tables — writer/engine bugs cannot cancel."""
+    if not any("ﭐ" <= ch <= "﷿" or "ﹰ" <= ch <= "﻿" for ch in s):
+        return s
+    import unicodedata
+
+    out = []
+    for ch in s:
+        if "ﭐ" <= ch <= "﷿" or "ﹰ" <= ch <= "﻿":
+            norm = unicodedata.normalize("NFKC", ch)
+            # a ligature glyph (lam-alef) occupies ONE visual slot; emit its
+            # expansion in VISUAL order so the bidi pass's whole-word char
+            # reversal restores logical order
+            out.append(norm[::-1] if len(norm) > 1 else norm)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 # --- CMap (ToUnicode + CID) --------------------------------------------------
 
 _CMAP_TOKEN = re.compile(
@@ -336,7 +359,7 @@ class Font:
         if u is None:
             res = (MISSING_RUNE, True)
         else:
-            res = (expand_ligatures(u), False)
+            res = (normalize_presentation_forms(expand_ligatures(u)), False)
         self._u_cache[code] = res
         return res
 
