@@ -519,3 +519,75 @@ def test_arabic_fixture_class_span_equal():
         have = [(s["kind"], s["text"], s["media_ref"], s["offset"])
                 for s in extract_spans(pdf).spans]
         assert have == want, f"a{i}"
+
+
+def test_predefined_registry_cmap_routes_cids():
+    """Registry-resource predefined CMaps (LoadPredefinedCMap parity):
+    usecmap chain + decimal cid operands + overlay precedence; /W routes
+    through the non-identity CIDs. Without the resource the identity
+    approximation gives different widths — the fixture variant is a real
+    span differential."""
+    from unipdf_spark.pdf import cmap_resources
+    from unipdf_spark.fixtures.gen import make_doc
+    from unipdf_spark.pdf.extract import extract_spans
+
+    cm = cmap_resources.cid_cmap("FixtureGB-UCS2-H")
+    assert cm.cid_map[0x20] == 7032          # overlay (decimal operand)
+    assert cm.cid_map[0x4E2D] == 0x4E2D + 7000
+    assert cm.cid_map[0x3000] == 0x3000 + 5000  # usecmap base fallthrough
+
+    # find a registry-variant doc and check the span round trip flips when
+    # the registry is withheld
+    for i in range(40):
+        golden, pdf = make_doc(f"cpreg{i}", "cid_predefined", 42)
+        if b"FixtureGB-UCS2-H" not in pdf:
+            continue
+        want = [(g["kind"], g["text"], g["media_ref"], g["offset"])
+                for g in golden]
+        have = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in extract_spans(pdf).spans]
+        assert have == want, f"cpreg{i}"
+        saved = dict(cmap_resources._REGISTRY)
+        try:
+            cmap_resources._REGISTRY.clear()
+            cmap_resources._PARSED.clear()
+            without = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                       for s in extract_spans(pdf).spans]
+        finally:
+            cmap_resources._REGISTRY.update(saved)
+            cmap_resources._PARSED.clear()
+        if without != want:
+            break  # differential demonstrated
+    else:
+        raise AssertionError("no doc demonstrated the registry differential")
+
+
+def test_cmap_resource_dir_loading(tmp_path, monkeypatch):
+    """UNIPDF_SPARK_CMAP_DIR deployment path: files named after the CMap
+    (Adobe cmap-resources layout) are discovered and parsed."""
+    import importlib
+
+    from unipdf_spark.pdf import cmap_resources
+
+    d = tmp_path / "Adobe-GB1-6" / "CMap"
+    d.mkdir(parents=True)
+    (d / "Test-UCS2-H").write_bytes(
+        b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap\n"
+        b"/CMapName /Test-UCS2-H def /CMapType 1 def\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"1 begincidrange\n<0041> <005a> 900\nendcidrange\n"
+        b"endcmap CMapName currentdict /CMap defineresource pop end end\n")
+    monkeypatch.setenv("UNIPDF_SPARK_CMAP_DIR", str(tmp_path))
+    monkeypatch.setattr(cmap_resources, "_dir_scanned", False)
+    saved = dict(cmap_resources._REGISTRY)
+    try:
+        cm = cmap_resources.cid_cmap("Test-UCS2-H")
+        assert cm is not None and cm.cid_map[0x41] == 900
+        assert cm.cid_map[0x5A] == 900 + 25
+        from unipdf_spark.pdf.fonts import predefined_cmap
+        assert predefined_cmap("Test-UCS2-H")[0] == "ucs2"
+    finally:
+        cmap_resources._REGISTRY.clear()
+        cmap_resources._REGISTRY.update(saved)
+        cmap_resources._PARSED.clear()
+        cmap_resources._dir_scanned = False

@@ -249,7 +249,7 @@ def _para(rng: random.Random, x: float, v_cursor: float, width: float,
     pool = pool or WORDS
     words = [rng.choice(pool) for _ in range(rng.randint(*n_words))]
     th = tz / 100.0
-    lines = _wrap(words, fs, width, tc, th, cid=(font in ("F2", "F5")), tw=tw, font=font)
+    lines = _wrap(words, fs, width, tc, th, cid=(font in ("F2", "F5", "F8")), tw=tw, font=font)
     leading = fs * 1.2
     baselines = []
     v = v_cursor - fs
@@ -702,9 +702,15 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
     if fixture_class == "cid_predefined":
         # Type0 font whose /Encoding is a predefined Uni*-UCS2-H CMap NAME
         # (no embedded CMap stream, no ToUnicode): the engine must decode
-        # charcodes via the predefined mapping (cmap.go:66)
+        # charcodes via the predefined mapping (cmap.go:66). Half the docs
+        # use the REGISTRY resource FixtureGB-UCS2-H (F8) whose usecmap
+        # chain maps charcode→CID = code+7000: the /W array is keyed by
+        # those NON-IDENTITY CIDs, so widths (and hence wrapping golden)
+        # only line up if the engine loads the registry CID table
+        # (LoadPredefinedCMap parity, r3 VERDICT missing #1).
+        fnt = "F8" if rng.random() < 0.5 else "F5"
         for _ in range(rng.randint(2, 4)):
-            p, v = _para(rng, MARGIN, v, width, (5, 12), font="F5",
+            p, v = _para(rng, MARGIN, v, width, (5, 12), font=fnt,
                          pool=CID_WORDS)
             plan.blocks.append(p)
         return plan
@@ -1008,7 +1014,7 @@ def _para_content(p: ParaPlan, theta: int) -> bytes:
                 out += b"%g %g %g %g %g %g Tm\n" % (c, s, -s, c, x, y)
             else:
                 out += b"T*\n"
-        if p.font in ("F2", "F5"):
+        if p.font in ("F2", "F5", "F8"):
             hexes = "".join("%04X" % ord(ch) for seg in segs for ch in seg.text)
             out += b"<" + hexes.encode() + b"> Tj\n"
             continue
@@ -1130,6 +1136,35 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             + str(desc5).encode() + b" 0 R ] >>"
         )
         font_res += b"/F5 " + str(f5).encode() + b" 0 R "
+
+    # Registry-resource CID font (F8): /Encoding names the built-in
+    # FixtureGB-UCS2-H resource (usecmap chain, cid = charcode + 7000);
+    # /W is keyed by those non-identity CIDs — engine must resolve the
+    # registry CMap for widths to line up
+    used_f8: set[int] = set()
+    for b in plan.blocks:
+        if isinstance(b, ParaPlan) and b.font == "F8":
+            for segs in b.lines:
+                for seg in segs:
+                    used_f8.update(ord(ch) for ch in seg.text)
+    if used_f8:
+        codes8 = sorted(used_f8)
+        wr8 = bytearray(b"[ ")
+        for cde in codes8:
+            wr8 += b"%d %d %d " % (cde + 7000, cde + 7000,
+                                   int(_cid_char_w(chr(cde))))
+        wr8 += b"]"
+        desc8 = w.add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureReg "
+            b"/CIDSystemInfo << /Registry (Fixture) /Ordering (GB1) "
+            b"/Supplement 0 >> /DW 1000 /W " + bytes(wr8) + b" >>"
+        )
+        f8 = w.add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureReg "
+            b"/Encoding /FixtureGB-UCS2-H /DescendantFonts [ "
+            + str(desc8).encode() + b" 0 R ] >>"
+        )
+        font_res += b"/F8 " + str(f8).encode() + b" 0 R "
 
     # MacRoman simple font (F4): same Helvetica metrics, different encoding
     used_mac: set[str] = set()

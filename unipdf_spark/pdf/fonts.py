@@ -151,9 +151,10 @@ def normalize_presentation_forms(s: str) -> str:
 # --- CMap (ToUnicode + CID) --------------------------------------------------
 
 _CMAP_TOKEN = re.compile(
-    rb"<([0-9A-Fa-f]+)>|\[|\]|(begincodespacerange|endcodespacerange|"
+    rb"<([0-9A-Fa-f]+)>|(begincodespacerange|endcodespacerange|"
     rb"beginbfchar|endbfchar|beginbfrange|endbfrange|begincidrange|"
-    rb"endcidrange|begincidchar|endcidchar)|(\S)"
+    rb"endcidrange|begincidchar|endcidchar|usecmap)(?![0-9A-Za-z])|"
+    rb"/([^\s/<>\[\]{}()]+)|(-?\d+)(?![0-9A-Za-z])|(\[|\])|(\S)"
 )
 
 
@@ -164,6 +165,7 @@ class CMap:
         self.codespaces: list[tuple[int, int, int]] = []  # (nbytes, lo, hi)
         self.to_unicode: dict[int, str] = {}
         self.cid_map: dict[int, int] = {}
+        self.use_cmap: str | None = None  # usecmap chain parent (cmap.go:66)
 
     @classmethod
     def parse(cls, data: bytes) -> "CMap":
@@ -174,8 +176,12 @@ class CMap:
                 toks.append(("hex", m.group(1)))
             elif m.group(2) is not None:
                 toks.append(("kw", m.group(2).decode()))
-            elif m.group(3) in (b"[", b"]"):
-                toks.append(("br", m.group(3)))
+            elif m.group(3) is not None:
+                toks.append(("name", m.group(3).decode("latin-1")))
+            elif m.group(4) is not None:
+                toks.append(("int", int(m.group(4))))
+            elif m.group(5) is not None:
+                toks.append(("br", m.group(5)))
         i = 0
         n = len(toks)
 
@@ -231,13 +237,31 @@ class CMap:
                 ):
                     lo, _ = hexint(toks[i])
                     hi, _ = hexint(toks[i + 1])
-                    # cid operand is a plain integer in real CMaps; our token
-                    # stream only keeps hex tokens, so accept hex form too
-                    if toks[i + 2][0] == "hex":
+                    # real Adobe CMaps write the cid operand as a plain
+                    # decimal integer; embedded fixtures may use hex
+                    if toks[i + 2][0] == "int":
+                        cid = toks[i + 2][1]
+                    elif toks[i + 2][0] == "hex":
                         cid = int(toks[i + 2][1], 16)
-                        for c in range(lo, hi + 1):
-                            cm.cid_map[c] = cid + (c - lo)
+                    else:
+                        i += 3
+                        continue
+                    for c in range(lo, hi + 1):
+                        cm.cid_map[c] = cid + (c - lo)
                     i += 3
+            elif kind == "kw" and val == "begincidchar":
+                i += 1
+                while i + 1 < n and toks[i][0] == "hex" and toks[i + 1][0] in (
+                        "int", "hex"):
+                    code, _ = hexint(toks[i])
+                    t = toks[i + 1]
+                    cm.cid_map[code] = t[1] if t[0] == "int" else int(t[1], 16)
+                    i += 2
+            elif kind == "kw" and val == "usecmap":
+                # stack form: "/Name usecmap" — the preceding name token
+                if i > 0 and toks[i - 1][0] == "name":
+                    cm.use_cmap = toks[i - 1][1]
+                i += 1
             else:
                 i += 1
         if not cm.codespaces:
@@ -424,6 +448,18 @@ def predefined_cmap(name: str):
         return "identity", [(2, 0x0000, 0xFFFF)]
     m = _PREDEF_RE.match(name)
     if m is None:
+        # registry-supplied resources (UNIPDF_SPARK_CMAP_DIR / fixtures):
+        # the -UCS2-/-UTF16- convention carries the unicode mode
+        from . import cmap_resources
+
+        if cmap_resources.registered(name):
+            if "-UTF16-" in name:
+                return "utf16", [
+                    (2, 0x0000, 0xD7FF),
+                    (2, 0xE000, 0xFFFF),
+                    (4, 0xD800DC00, 0xDBFFDFFF),
+                ]
+            return "ucs2", [(2, 0x0000, 0xFFFF)]
         return None
     if m.group(1) == "UTF16":
         return "utf16", [
@@ -482,6 +518,18 @@ def load_font(doc, font_dict) -> Font:
                 f.predef_mode, predef_codespaces = pre
                 if enc_name.endswith("-V"):
                     f.wmode = 1  # vertical predefined CMap (cmap.go:17)
+                if f.predef_mode != "identity":
+                    # registry CID table (LoadPredefinedCMap, cmap.go:66):
+                    # real Adobe charcode→CID routing for /W///W2 when the
+                    # resource is available (UNIPDF_SPARK_CMAP_DIR or a
+                    # registered entry); identity approximation otherwise
+                    from . import cmap_resources
+
+                    res = cmap_resources.cid_cmap(enc_name)
+                    if res is not None and res.cid_map:
+                        f.cid_map = res.cid_map
+                        if res.codespaces:
+                            predef_codespaces = res.codespaces
         desc_list = r(fd.get("DescendantFonts")) or []
         if desc_list:
             desc = r(desc_list[0])
