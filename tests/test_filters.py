@@ -437,3 +437,96 @@ def test_jpeg_420_roundtrip_psnr():
     assert out.shape == rgb.shape
     mse = float(np.mean((out.astype("f8") - rgb) ** 2))
     assert 10 * np.log10(255**2 / mse) > 26  # chroma subsampling cost
+
+
+def test_jbig2_refinement_region_roundtrip_fuzz():
+    """Generic refinement regions (T.88 §6.3): templates 0/1, with and
+    without TPGRON typical prediction, vs the independent writer-side
+    refinement encoder. The refinement REPLACES the generic-region base."""
+    import random
+
+    from unipdf_spark.fixtures.render import jbig2_refinement_encode
+    from unipdf_spark.pdf.jbig2 import decode_embedded
+
+    rng = random.Random(31)
+    for _ in range(6):
+        cols = rng.choice([20, 33, 48])
+        h = rng.randint(6, 18)
+        base = [[rng.random() < 0.4 for _ in range(cols)] for _ in range(h)]
+        target = [list(r) for r in base]
+        for _ in range(rng.randint(0, cols * h // 6)):
+            y, x = rng.randrange(h), rng.randrange(cols)
+            target[y][x] = not target[y][x]
+        for template in (0, 1):
+            for tpgron in (False, True):
+                stream, want = jbig2_refinement_encode(
+                    base, target, cols, template=template, tpgron=tpgron)
+                got, w, hh = decode_embedded(stream)
+                assert (w, hh) == (cols, h)
+                assert [list(r) for r in got] == want, (template, tpgron)
+
+
+def test_jbig2_huffman_symbol_dict_roundtrip_fuzz():
+    """SDHUFF=1 symbol dictionaries (standard Annex B tables B.4/B.2/B.1,
+    collective height-class bitmaps — uncompressed and MMR) + arithmetic
+    text region, vs the independent writer-side Huffman encoder."""
+    import random
+
+    from unipdf_spark.fixtures.render import jbig2_huffman_text_encode
+    from unipdf_spark.pdf.jbig2 import decode_embedded
+
+    rng = random.Random(47)
+    for _ in range(8):
+        n_sym = rng.randint(1, 5)
+        symbols = [
+            [[rng.random() < 0.5 for _ in range(rng.randint(2, 9))]
+             for _ in range(rng.randint(2, 9))]
+            for _ in range(n_sym)
+        ]
+        symbols = [
+            [[bool(row[i]) if i < len(row) else False
+              for i in range(len(sym[0]))] for row in sym]
+            for sym in symbols
+        ]
+        cols, nrows = rng.choice([32, 48]), rng.choice([16, 24])
+        placements = [
+            (rng.randrange(n_sym), rng.randint(0, cols - 10),
+             rng.randint(0, nrows - 10))
+            for _ in range(rng.randint(1, 8))
+        ]
+        for mmr in (False, True):
+            stream, want = jbig2_huffman_text_encode(
+                symbols, placements, cols, nrows, mmr=mmr)
+            got, w, h = decode_embedded(stream)
+            assert (w, h) == (cols, nrows)
+            assert [list(r) for r in got] == want, f"mmr={mmr}"
+
+
+def test_jbig2_annex_b_tables():
+    """Standard Huffman tables decode hand-assembled canonical codes."""
+    from unipdf_spark.pdf.jbig2 import (OOB, TABLE_B1, TABLE_B2, TABLE_B4,
+                                        _BitsMSB)
+
+    def bits_of(s):
+        by = bytearray()
+        acc, n = 0, 0
+        for ch in s:
+            acc = (acc << 1) | (ch == "1")
+            n += 1
+            if n == 8:
+                by.append(acc)
+                acc, n = 0, 0
+        if n:
+            by.append(acc << (8 - n))
+        return _BitsMSB(bytes(by))
+
+    # B.1: "0" + 4 value bits
+    assert TABLE_B1.decode(bits_of("0" + "0101")) == 5
+    assert TABLE_B1.decode(bits_of("10" + "00000001")) == 17
+    # B.2: "0" rangelen 0 → value 0; OOB = 111111
+    assert TABLE_B2.decode(bits_of("0")) == 0
+    assert TABLE_B2.decode(bits_of("111111")) is OOB
+    assert TABLE_B2.decode(bits_of("11110" + "000010")) == 13
+    # B.4 (= B.2 + 1, no OOB)
+    assert TABLE_B4.decode(bits_of("0")) == 1
+    assert TABLE_B4.decode(bits_of("11110" + "000001")) == 13

@@ -19,7 +19,8 @@ def test_media_table_extraction(spark):
         if r["codec"] == "CCITTFaxDecode":  # fax class: bilevel scans
             assert r["width"] in (64, 96) and r["height"] >= 8
         elif r["codec"] == "JBIG2Decode":  # jbig2 class: bilevel scans
-            assert r["width"] in (48, 64) and r["height"] >= 8
+            # generic/text regions are 48/64 wide; refinement legs 24/32
+            assert r["width"] in (24, 32, 48, 64) and r["height"] >= 8
         elif r["codec"] == "DCTDecode":  # jpeg class: grayscale photos
             assert r["width"] in (24, 32) and r["height"] in (16, 24)
         else:
@@ -130,13 +131,30 @@ def test_jbig2_bilevel_ink_ratio_matches_plan(spark):
             want = sum(sum(r) for r in bits) / (cols * len(bits))
             assert abs(feats[ref]["ink_ratio"] - want) < 1e-6, ref
             checked += 1
-        for key, (syms, places, cols, nrows) in plan.jbig2_text_images.items():
-            data, composed = jbig2_text_encode(syms, places, cols, nrows)
+        from unipdf_spark.fixtures.render import (jbig2_huffman_text_encode,
+                                                  jbig2_refinement_encode)
+
+        for key, (syms, places, cols, nrows, mode,
+                  corner) in plan.jbig2_text_images.items():
+            if mode == "arith":
+                data, composed = jbig2_text_encode(
+                    syms, places, cols, nrows, ref_corner=corner)
+            else:
+                data, composed = jbig2_huffman_text_encode(
+                    syms, places, cols, nrows, mmr=(mode == "huff_mmr"))
             ref = schema.media_ref_for(data)
             want = sum(sum(r) for r in composed) / (cols * nrows)
             assert abs(feats[ref]["ink_ratio"] - want) < 1e-6, ref
             text_checked += 1
-    assert checked >= 12 and text_checked >= 12
+        for key, (base, target, cols, template,
+                  tpgron) in plan.jbig2_refine_images.items():
+            data, composed = jbig2_refinement_encode(
+                base, target, cols, template=template, tpgron=tpgron)
+            ref = schema.media_ref_for(data)
+            want = sum(sum(r) for r in composed) / (cols * len(base))
+            assert abs(feats[ref]["ink_ratio"] - want) < 1e-6, ref
+            text_checked += 1
+    assert checked >= 12 and text_checked >= 24
 
 
 def test_media_feature_dedup_finds_identical_payloads(spark):

@@ -206,7 +206,8 @@ class DocPlan:
     blocks: list = field(default_factory=list)  # ParaPlan | ImagePlan, doc order
     fax_images: dict = field(default_factory=dict)  # key>=100 → (rows, cols)
     jbig2_images: dict = field(default_factory=dict)  # key → (rows, cols, mmr)
-    jbig2_text_images: dict = field(default_factory=dict)  # key → (symbols, placements, cols, nrows)
+    jbig2_text_images: dict = field(default_factory=dict)  # key → (symbols, placements, cols, nrows, mode, corner)
+    jbig2_refine_images: dict = field(default_factory=dict)  # key → (base, target, cols, template, tpgron)
     jpeg_images: dict = field(default_factory=dict)  # key → uint8 pixel rows (list of lists)
     jpeg_modes: dict = field(default_factory=dict)  # key → baseline|progressive|restartN
     jpeg_color_images: dict = field(default_factory=dict)  # key → rgb rows
@@ -854,8 +855,29 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
                                rng.randint(0, t_cols - 8),
                                rng.randint(0, t_rows - 8)))
         key = 210
-        plan.jbig2_text_images[key] = (symbols, placements, t_cols, t_rows)
+        # dictionary coding mode: arithmetic height classes, or SDHUFF=1
+        # Huffman classes with collective bitmaps (raw / MMR); REFCORNER
+        # varies on the arithmetic leg (T.88 §6.4.5)
+        mode = rng.choice(["arith", "huff", "huff_mmr"])
+        corner = rng.choice([0, 1, 2, 3]) if mode == "arith" else 1
+        plan.jbig2_text_images[key] = (symbols, placements, t_cols, t_rows,
+                                       mode, corner)
         h = 30.0
+        plan.blocks.append(ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 2, h=h))
+        v -= h + 10
+        # one REFINEMENT image: a generic-region base replaced by an
+        # immediate refinement region (T.88 §6.3)
+        r_cols, r_rows = rng.choice([24, 32]), rng.randint(8, 14)
+        base = [[rng.random() < 0.4 for _ in range(r_cols)]
+                for _ in range(r_rows)]
+        target = [list(r) for r in base]
+        for _ in range(rng.randint(2, r_cols * r_rows // 8)):
+            yy, xx = rng.randrange(r_rows), rng.randrange(r_cols)
+            target[yy][xx] = not target[yy][xx]
+        key = 220
+        plan.jbig2_refine_images[key] = (
+            base, target, r_cols, rng.choice([0, 1]), rng.random() < 0.5)
+        h = 24.0
         plan.blocks.append(ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 2, h=h))
         v -= h + 10
         p, v = _para(rng, MARGIN, v, width, (3, 6))
@@ -1308,13 +1330,38 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         img_refs[key] = schema.media_ref_for(data)
         xobj_res += f"/{name} {num} 0 R ".encode()
 
-    for key, (symbols, placements, t_cols, t_rows) in plan.jbig2_text_images.items():
-        from .render import jbig2_text_encode
+    for key, (symbols, placements, t_cols, t_rows, mode,
+              corner) in plan.jbig2_text_images.items():
+        from .render import jbig2_huffman_text_encode, jbig2_text_encode
 
-        data, _composed = jbig2_text_encode(symbols, placements, t_cols, t_rows)
+        if mode == "arith":
+            data, _composed = jbig2_text_encode(
+                symbols, placements, t_cols, t_rows, ref_corner=corner)
+        else:
+            data, _composed = jbig2_huffman_text_encode(
+                symbols, placements, t_cols, t_rows,
+                mmr=(mode == "huff_mmr"))
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width " + str(t_cols).encode()
             + b" /Height " + str(t_rows).encode()
+            + b" /ColorSpace /DeviceGray /BitsPerComponent 1 "
+            b"/Filter /JBIG2Decode /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream"
+        )
+        name = f"Im{key}"
+        img_names[key] = name
+        img_refs[key] = schema.media_ref_for(data)
+        xobj_res += f"/{name} {num} 0 R ".encode()
+
+    for key, (base, target, r_cols, template,
+              tpgron) in plan.jbig2_refine_images.items():
+        from .render import jbig2_refinement_encode
+
+        data, _composed = jbig2_refinement_encode(
+            base, target, r_cols, template=template, tpgron=tpgron)
+        num = w.add(
+            b"<< /Type /XObject /Subtype /Image /Width " + str(r_cols).encode()
+            + b" /Height " + str(len(base)).encode()
             + b" /ColorSpace /DeviceGray /BitsPerComponent 1 "
             b"/Filter /JBIG2Decode /Length " + str(len(data)).encode()
             + b" >>\nstream\n" + data + b"\nendstream"

@@ -1505,3 +1505,287 @@ def jpeg_progressive_encode(img) -> bytes:
         out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
         out += bwr.flush()
     return out + b"\xff\xd9"
+
+
+# --- JBIG2 refinement + Huffman symbol dict encoders --------------------------
+# Independent writer-side transcriptions (T.88 §6.3 / §6.5.9 / Annex B) used
+# as round-trip fuzz oracles for pdf/jbig2.py's decoder additions.
+
+
+class _JB2BitWriterMSB:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def align(self) -> None:
+        while self.n:
+            self.write(0, 1)
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+# Annex B standard tables: (lines, lower, upper, oob_len); line =
+# (preflen, rangelen, rangelow). Writer's own copy (round-trip oracle).
+_JB2_TBL = {
+    "B1": ([(1, 4, 0), (2, 8, 16), (3, 16, 272)], None, (3, 65808), 0),
+    "B2": ([(1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3), (5, 6, 11)],
+           None, (6, 75), 6),
+    "B4": ([(1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4), (5, 6, 12)],
+           None, (5, 76), 0),
+}
+
+
+def _jb2_huff_codes(name: str):
+    lines, lower, upper, oob = _JB2_TBL[name]
+    entries = [(pl, "n", rl, lo) for pl, rl, lo in lines]
+    if lower is not None:
+        entries.append((lower[0], "l", 32, lower[1]))
+    if upper is not None:
+        entries.append((upper[0], "u", 32, upper[1]))
+    if oob:
+        entries.append((oob, "o", 0, 0))
+    codes = []
+    code = 0
+    for length in range(1, 33):
+        for e in entries:
+            if e[0] == length:
+                codes.append((e, code, length))
+                code += 1
+        code <<= 1
+    return codes
+
+
+def _jb2_huff_put(bw: _JB2BitWriterMSB, name: str, v) -> None:
+    for (pl, kind, rl, lo), code, length in _jb2_huff_codes(name):
+        if kind == "o" and v is None:
+            bw.write(code, length)
+            return
+        if v is None:
+            continue
+        if kind == "n" and lo <= v < lo + (1 << rl):
+            bw.write(code, length)
+            bw.write(v - lo, rl)
+            return
+        if kind == "u" and v >= lo:
+            bw.write(code, length)
+            bw.write(v - lo, 32)
+            return
+        if kind == "l" and v <= lo:
+            bw.write(code, length)
+            bw.write(lo - v, 32)
+            return
+    raise ValueError(f"value {v} not encodable with table {name}")
+
+
+_JB2_REF_T0 = ([(0, -1), (1, -1), (-1, 0), (-1, -1)],
+               [(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1),
+                (0, 1), (1, 1), (-1, -1)])
+_JB2_REF_T1 = ([(-1, -1), (0, -1), (1, -1), (-1, 0)],
+               [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)])
+_JB2_REF_TPCTX = {0: 0x0020, 1: 0x0008}
+
+
+def _jb2_refine_body(target, ref, w: int, h: int, template: int = 0,
+                     tpgron: bool = False) -> bytes:
+    """MQ-encode `target` as a refinement of `ref` (nominal AT, dx=dy=0)."""
+    enc = _MQEncoder()
+    contexts: dict[int, list] = {}
+    coding, reference = _JB2_REF_T0 if template == 0 else _JB2_REF_T1
+
+    def cpx(x, y):
+        return 1 if 0 <= x < w and 0 <= y < h and target[y][x] else 0
+
+    def rpx(x, y):
+        return 1 if 0 <= x < w and 0 <= y < h and ref[y][x] else 0
+
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            # a row may be "typical" iff every uniform-reference pixel
+            # already equals its uniform value in the target
+            ok = True
+            for x in range(w):
+                s = sum(rpx(x + i, y + j)
+                        for j in (-1, 0, 1) for i in (-1, 0, 1))
+                if s == 0 and cpx(x, y) != 0:
+                    ok = False
+                    break
+                if s == 9 and cpx(x, y) != 1:
+                    ok = False
+                    break
+            want = 1 if ok else 0
+            cx = contexts.setdefault(_JB2_REF_TPCTX[template], [0, 0])
+            enc.encode(cx, want ^ ltp)
+            ltp = want
+        for x in range(w):
+            if tpgron and ltp:
+                s = sum(rpx(x + i, y + j)
+                        for j in (-1, 0, 1) for i in (-1, 0, 1))
+                if s == 0 or s == 9:
+                    continue  # typical pixel: not coded
+            ctx = 0
+            for dx, dy in coding:
+                ctx = (ctx << 1) | cpx(x + dx, y + dy)
+            for dx, dy in reference:
+                ctx = (ctx << 1) | rpx(x + dx, y + dy)
+            cx = contexts.setdefault(ctx, [0, 0])
+            enc.encode(cx, cpx(x, y))
+    return enc.flush()
+
+
+def jbig2_refinement_encode(base_rows, target_rows, cols: int,
+                            template: int = 0, tpgron: bool = False
+                            ) -> tuple[bytes, list]:
+    """Embedded JBIG2: page info + generic region (base) + immediate
+    refinement region (type 42) replacing it with `target_rows`."""
+    h = len(base_rows)
+    page_info = (cols.to_bytes(4, "big") + h.to_bytes(4, "big")
+                 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + bytes([0x01]) + (0).to_bytes(2, "big"))
+    region_info = (cols.to_bytes(4, "big") + h.to_bytes(4, "big")
+                   + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                   + bytes([0]))
+    gen_data = (region_info + bytes([0x00])
+                + bytes([3 & 0xFF, 0xFF, 0x100 - 3, 0xFF, 2, 0xFE,
+                         0x100 - 2, 0xFE])
+                + _jb2_generic_body(base_rows, cols))
+    rflags = (1 if template else 0) | (2 if tpgron else 0)
+    rdata = region_info + bytes([rflags])
+    if template == 0:
+        rdata += bytes([0xFF, 0xFF, 0xFF, 0xFF])  # GRAT nominal (-1,-1) x2
+    rdata += _jb2_refine_body(target_rows, base_rows, cols, h,
+                              template, tpgron)
+    stream = (_jb2_segment(1, 48, page_info)
+              + _jb2_segment(2, 38, gen_data)
+              + _jb2_segment(3, 42, rdata)
+              + _jb2_segment(4, 49, b""))
+    want = [[1 if v else 0 for v in r] for r in target_rows]
+    return stream, want
+
+
+def jbig2_huffman_text_encode(symbols, placements, cols: int, nrows: int,
+                              mmr: bool = False) -> tuple[bytes, list]:
+    """Embedded JBIG2 with a HUFFMAN symbol dictionary (SDHUFF=1, standard
+    tables B.4/B.2/B.1, collective height-class bitmaps — uncompressed or
+    MMR) + an arithmetic text region placing (sym_id, x, y) instances at
+    their top-left. Returns (stream, composed page rows)."""
+    order = sorted(range(len(symbols)),
+                   key=lambda i: (len(symbols[i]), len(symbols[i][0])))
+    bw = _JB2BitWriterMSB()
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        hgt = len(symbols[order[i]])
+        _jb2_huff_put(bw, "B4", hgt - hcheight)
+        hcheight = hgt
+        symwidth = 0
+        cls: list[int] = []
+        while i < len(order) and len(symbols[order[i]]) == hgt:
+            wd = len(symbols[order[i]][0])
+            _jb2_huff_put(bw, "B2", wd - symwidth)
+            symwidth = wd
+            cls.append(order[i])
+            i += 1
+        _jb2_huff_put(bw, "B2", None)  # OOB: end of height class
+        # collective bitmap: class symbols concatenated left-to-right
+        totwidth = sum(len(symbols[k][0]) for k in cls)
+        coll = [[False] * totwidth for _ in range(hgt)]
+        x0 = 0
+        for k in cls:
+            sym = symbols[k]
+            for yy in range(hgt):
+                for xx in range(len(sym[0])):
+                    coll[yy][x0 + xx] = bool(sym[yy][xx])
+            x0 += len(sym[0])
+        if mmr:
+            body = ccitt_g4_encode(coll, totwidth)
+            _jb2_huff_put(bw, "B1", len(body))
+            bw.align()
+            for byte in body:
+                bw.write(byte, 8)
+        else:
+            _jb2_huff_put(bw, "B1", 0)
+            bw.align()
+            stride = (totwidth + 7) // 8
+            for yy in range(hgt):
+                packed = bytearray(stride)
+                for xx in range(totwidth):
+                    if coll[yy][xx]:
+                        packed[xx >> 3] |= 0x80 >> (xx & 7)
+                for byte in packed:
+                    bw.write(byte, 8)
+    _jb2_huff_put(bw, "B1", 0)             # export: skip 0
+    _jb2_huff_put(bw, "B1", len(symbols))  # export all
+    sd_data = (0x0001).to_bytes(2, "big") \
+        + len(symbols).to_bytes(4, "big") + len(symbols).to_bytes(4, "big") \
+        + bw.flush()
+    remap = {orig: k for k, orig in enumerate(order)}
+
+    # arithmetic text region (same shape as jbig2_text_encode, TL corner)
+    n_syms = len(symbols)
+    symcodelen = max(1, (n_syms - 1).bit_length() if n_syms > 1 else 1)
+    enc2 = _MQEncoder()
+    iadt, iafs, iads = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
+    by_row: dict[int, list[tuple[int, int]]] = {}
+    for sym_id, x, y in placements:
+        by_row.setdefault(y, []).append((x, remap[sym_id]))
+    _jb2_enc_int(enc2, iadt, 0)
+    stript = 0
+    firsts = 0
+    n_inst = 0
+    total = len(placements)
+    for y in sorted(by_row):
+        _jb2_enc_int(enc2, iadt, y - stript)
+        stript = y
+        first = True
+        curs = 0
+        for x, sid in sorted(by_row[y]):
+            if first:
+                _jb2_enc_int(enc2, iafs, x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                _jb2_enc_int(enc2, iads, x - curs)
+                curs = x
+            _jb2_enc_iaid(enc2, iaid_cx, symcodelen, sid)
+            curs += len(symbols[order[sid]][0]) - 1
+            n_inst += 1
+        if n_inst < total:
+            _jb2_enc_int(enc2, iads, None)
+    region_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
+                   + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                   + bytes([0]))
+    tr_flags = 1 << 4  # TL corner, strips=1, untransposed, OR
+    tr_data = (region_info + tr_flags.to_bytes(2, "big")
+               + total.to_bytes(4, "big") + enc2.flush())
+    page_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
+                 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + bytes([0x01]) + (0).to_bytes(2, "big"))
+    stream = (_jb2_segment(1, 48, page_info)
+              + _jb2_segment(2, 0, sd_data)
+              + _jb2_segment_refs(3, 6, [2], tr_data)
+              + _jb2_segment(4, 49, b""))
+    page = [[0] * cols for _ in range(nrows)]
+    for sym_id, x, y in placements:
+        sym = symbols[sym_id]
+        for yy, srow in enumerate(sym):
+            if 0 <= y + yy < nrows:
+                prow = page[y + yy]
+                for xx, v in enumerate(srow):
+                    if v and 0 <= x + xx < cols:
+                        prow[x + xx] = 1
+    return stream, page

@@ -11,8 +11,15 @@ LoC; decoder entry internal/jbig2/decoder) from the public spec
   payloads decode through the engine's T.6 decoder (ccitt.py); MMR=0
   payloads decode with the MQ arithmetic coder (Annex E) over the template
   0–3 context models, with TPGDON typical-prediction rows;
-* symbol/text/halftone regions are out of scope (reported as unsupported)
-  — generic regions cover the common scanner output.
+* SYMBOL DICTIONARIES (type 0, §6.5): arithmetic height classes AND
+  SDHUFF=1 Huffman classes (standard Annex B tables B.1–B.5, collective
+  height-class bitmaps — uncompressed or MMR); TEXT REGIONS (types 4/6/7,
+  §6.4, arithmetic, all four REFCORNERs);
+* GENERIC REFINEMENT REGIONS (types 40/42/43, §6.3): templates 0/1 with
+  TPGRON, refining (replacing) the current page content;
+* halftone regions, refinement-aggregate symbol coding (SDREFAGG) and
+  custom Huffman table segments remain typed errors — the remaining tail
+  of real scanner output.
 
 Bitmap convention: 1 = black (JBIG2 foreground), rows packed MSB-first —
 callers converting to PDF imaging space handle /Decode semantics.
@@ -307,16 +314,257 @@ class Jbig2Error(Exception):
     pass
 
 
+class _BitsMSB:
+    """MSB-first bit reader over segment data (Huffman-coded fields)."""
+
+    __slots__ = ("data", "pos", "bitpos")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+        self.bitpos = 0
+
+    def bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise Jbig2Error("truncated huffman data")
+        b = (self.data[self.pos] >> (7 - self.bitpos)) & 1
+        self.bitpos += 1
+        if self.bitpos == 8:
+            self.bitpos = 0
+            self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        if self.bitpos:
+            self.bitpos = 0
+            self.pos += 1
+
+
+class HuffTable:
+    """Annex B Huffman table: canonical codes over (preflen, rangelen,
+    rangelow) lines plus optional lower/upper/OOB lines (B.3 assignment)."""
+
+    def __init__(self, lines, lower=None, upper=None, oob_len: int = 0):
+        entries = []  # (preflen, kind, rangelen, rangelow)
+        for pl, rl, lo in lines:
+            entries.append((pl, "n", rl, lo))
+        if lower is not None:
+            entries.append((lower[0], "l", 32, lower[1]))
+        if upper is not None:
+            entries.append((upper[0], "u", 32, upper[1]))
+        if oob_len:
+            entries.append((oob_len, "o", 0, 0))
+        self.lookup: dict[tuple[int, int], tuple[str, int, int]] = {}
+        code = 0
+        for length in range(1, 33):
+            for pl, kind, rl, lo in entries:  # table order within a length
+                if pl == length:
+                    self.lookup[(length, code)] = (kind, rl, lo)
+                    code += 1
+            code <<= 1
+
+    def decode(self, br: _BitsMSB):
+        code = 0
+        for length in range(1, 33):
+            code = (code << 1) | br.bit()
+            hit = self.lookup.get((length, code))
+            if hit is not None:
+                kind, rl, lo = hit
+                if kind == "o":
+                    return OOB
+                v = br.bits(rl)
+                if kind == "l":
+                    return lo - v
+                return lo + v
+        raise Jbig2Error("invalid huffman code")
+
+
+# standard tables (T.88 Annex B)
+TABLE_B1 = HuffTable([(1, 4, 0), (2, 8, 16), (3, 16, 272)],
+                     upper=(3, 65808))
+TABLE_B2 = HuffTable([(1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3),
+                      (5, 6, 11)], upper=(6, 75), oob_len=6)
+TABLE_B3 = HuffTable([(8, 8, -256), (1, 0, 0), (2, 0, 1), (3, 0, 2),
+                      (4, 3, 3), (5, 6, 11)], lower=(8, -257),
+                     upper=(7, 75), oob_len=6)
+TABLE_B4 = HuffTable([(1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4),
+                      (5, 6, 12)], upper=(5, 76))
+TABLE_B5 = HuffTable([(7, 8, -255), (1, 0, 1), (2, 0, 2), (3, 0, 3),
+                      (4, 3, 4), (5, 6, 12)], lower=(7, -256),
+                     upper=(6, 76))
+
+
+def _huffman_symbol_dict(seg: bytes, flags: int, off: int,
+                         num_ex: int, num_new: int):
+    """SDHUFF=1, SDREFAGG=0 symbol dictionary (§6.5.5 Huffman branch +
+    §6.5.9 collective height-class bitmaps: uncompressed when BMSIZE=0,
+    MMR/T.6 otherwise). Standard Annex B table selections only; custom
+    table segments (type 53) raise a typed error."""
+    dh_sel = (flags >> 2) & 3
+    dw_sel = (flags >> 4) & 3
+    bm_sel = (flags >> 6) & 1
+    ag_sel = (flags >> 7) & 1
+    if dh_sel > 1 or dw_sel > 1 or bm_sel or ag_sel:
+        raise Jbig2Error("custom huffman table segments unsupported")
+    t_dh = TABLE_B4 if dh_sel == 0 else TABLE_B5
+    t_dw = TABLE_B2 if dw_sel == 0 else TABLE_B3
+    t_bm = TABLE_B1
+    t_ex = TABLE_B1
+
+    br = _BitsMSB(seg, off)
+    new_syms: list[list[bytearray]] = []
+    hcheight = 0
+    while len(new_syms) < num_new:
+        dh = t_dh.decode(br)
+        if dh is OOB:
+            raise Jbig2Error("unexpected OOB in huffman height class")
+        hcheight += dh
+        symwidth = 0
+        totwidth = 0
+        widths: list[int] = []
+        while True:
+            dw = t_dw.decode(br)
+            if dw is OOB:
+                break
+            symwidth += dw
+            totwidth += symwidth
+            widths.append(symwidth)
+            if len(new_syms) + len(widths) > num_new:
+                raise Jbig2Error("too many symbols")
+        bmsize = t_bm.decode(br)
+        if bmsize is OOB:
+            raise Jbig2Error("unexpected OOB for BMSIZE")
+        br.align()
+        stride = (totwidth + 7) // 8
+        if bmsize == 0:  # uncompressed collective bitmap
+            size = stride * hcheight
+            packed = seg[br.pos : br.pos + size]
+            if len(packed) < size:
+                raise Jbig2Error("truncated collective bitmap")
+            br.pos += size
+        else:  # MMR-coded collective bitmap
+            from .ccitt import decode_ccitt
+
+            packed = decode_ccitt(
+                seg[br.pos : br.pos + bmsize],
+                {"K": -1, "Columns": totwidth, "Rows": hcheight,
+                 "BlackIs1": True},
+            )
+            br.pos += bmsize
+        # split the collective bitmap into the class's symbols
+        x0 = 0
+        for wd in widths:
+            sym = [
+                bytearray(
+                    (packed[y * stride + ((x0 + x) >> 3)]
+                     >> (7 - ((x0 + x) & 7))) & 1
+                    for x in range(wd)
+                )
+                for y in range(hcheight)
+            ]
+            new_syms.append(sym)
+            x0 += wd
+    # export flags: Table B.1 runs, alternating skip/export (§6.5.10)
+    exported: list[list[bytearray]] = []
+    i = 0
+    cur_export = 0
+    while i < len(new_syms) and len(exported) < num_ex:
+        run = t_ex.decode(br)
+        if run is OOB:
+            break
+        if cur_export:
+            exported.extend(new_syms[i : i + run])
+        i += run
+        cur_export ^= 1
+    return exported
+
+
+# refinement templates (§6.3.5.3): (coding-plane pixels, reference-plane
+# pixels); template 0 additionally takes A1 (coding) and A2 (reference).
+# Context bit order: coding list then reference list, earlier = higher bit
+# (the layout real decoders use for spec streams).
+_REF_TEMPLATES = {
+    0: ([(0, -1), (1, -1), (-1, 0)],
+        [(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1),
+         (1, 1)]),
+    1: ([(-1, -1), (0, -1), (1, -1), (-1, 0)],
+        [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)]),
+}
+_REF_TPGRON_CTX = {0: 0x0020, 1: 0x0008}
+REF_NOMINAL_AT = [(-1, -1), (-1, -1)]
+
+
+def decode_refinement(dec: MQDecoder, contexts: dict, width: int,
+                      height: int, template: int,
+                      at: list[tuple[int, int]] | None,
+                      ref: list, ref_w: int, ref_h: int,
+                      dx: int, dy: int, tpgron: bool = False):
+    """Generic refinement region decoding (§6.3.5): each pixel's context
+    mixes the already-decoded coding plane with a 3×3 window of the
+    reference bitmap shifted by (dx, dy). TPGRON rows decode only the
+    non-typical pixels (those whose reference window is not uniform)."""
+    at = at if at is not None else REF_NOMINAL_AT
+    coding, reference = _REF_TEMPLATES[template]
+    if template == 0:
+        coding = coding + [tuple(at[0])]
+        reference = reference + [tuple(at[1])]
+    bitmap = [bytearray(width) for _ in range(height)]
+
+    def cpx(x: int, y: int) -> int:
+        if 0 <= x < width and 0 <= y < height:
+            return bitmap[y][x]
+        return 0
+
+    def rpx(x: int, y: int) -> int:
+        if 0 <= x < ref_w and 0 <= y < ref_h:
+            return ref[y][x]
+        return 0
+
+    ltp = 0
+    for y in range(height):
+        if tpgron:
+            cx = contexts.setdefault(_REF_TPGRON_CTX[template], [0, 0])
+            ltp ^= dec.decode(cx)
+        row = bitmap[y]
+        for x in range(width):
+            if ltp:
+                s = sum(rpx(x - dx + i, y - dy + j)
+                        for j in (-1, 0, 1) for i in (-1, 0, 1))
+                if s == 0:
+                    row[x] = 0
+                    continue
+                if s == 9:
+                    row[x] = 1
+                    continue
+            ctx = 0
+            for ddx, ddy in coding:
+                ctx = (ctx << 1) | cpx(x + ddx, y + ddy)
+            for ddx, ddy in reference:
+                ctx = (ctx << 1) | rpx(x + ddx - dx, y + ddy - dy)
+            row[x] = dec.decode(contexts.setdefault(ctx, [0, 0]))
+    return bitmap
+
+
 def decode_symbol_dict(seg: bytes) -> list[list[bytearray]]:
-    """Symbol dictionary decoding (§6.5, arithmetic coding, no refinement/
-    aggregation, no Huffman — the jbig2enc-style shape). Returns exported
-    symbol bitmaps."""
+    """Symbol dictionary decoding (§6.5): arithmetic height classes, or
+    SDHUFF=1 Huffman classes with collective bitmaps (standard Annex B
+    tables). Refinement/aggregation (SDREFAGG) stays a typed error."""
     flags = int.from_bytes(seg[0:2], "big")
     huffman = flags & 1
     refagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
-    if huffman or refagg:
-        raise Jbig2Error("huffman/refinement symbol dictionaries unsupported")
+    if refagg:
+        raise Jbig2Error("refinement/aggregate symbol dictionaries unsupported")
+    if huffman:
+        num_ex = _u32(seg, 2)
+        num_new = _u32(seg, 6)
+        return _huffman_symbol_dict(seg, flags, 10, num_ex, num_new)
     off = 2
     n_at = 4 if template == 0 else 1
     at = []
@@ -561,6 +809,45 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
                 for x in range(rw):
                     if rx + x < len(prow):
                         prow[rx + x] |= row[x]
+        elif seg_type in (40, 42, 43):  # generic refinement region (§7.4.7)
+            rw, rh = _u32(seg, 0), _u32(seg, 4)
+            rx, ry = _u32(seg, 8), _u32(seg, 12)
+            rflags = seg[17]
+            template = rflags & 1
+            tpgron = bool(rflags & 2)
+            off = 18
+            at = None
+            if template == 0:
+                at = []
+                for _ in range(2):
+                    at.append((
+                        int.from_bytes(seg[off : off + 1], "big",
+                                       signed=True),
+                        int.from_bytes(seg[off + 1 : off + 2], "big",
+                                       signed=True),
+                    ))
+                    off += 2
+            if page is None:
+                page_w, page_h = max(page_w, rx + rw), max(page_h, ry + rh)
+                page = [bytearray(page_w) for _ in range(page_h)]
+            # reference = the page region being refined (no intermediate
+            # buffers in this subset); result REPLACES it (§6.3.2)
+            ref = []
+            for y in range(rh):
+                row = (page[ry + y][rx : rx + rw]
+                       if ry + y < len(page) else b"")
+                ref.append(bytearray(row) + bytearray(rw - len(row)))
+            rows = decode_refinement(
+                MQDecoder(seg[off:]), {}, rw, rh, template, at,
+                ref, rw, rh, 0, 0, tpgron)
+            for y in range(rh):
+                if ry + y >= len(page):
+                    break
+                prow = page[ry + y]
+                row = rows[y]
+                for x in range(rw):
+                    if rx + x < len(prow):
+                        prow[rx + x] = row[x]
         elif seg_type in (16, 20, 22, 23):
             raise Jbig2Error(f"unsupported region type {seg_type}")
         # 49/50/51/62: end-of-* and extension segments — nothing to do
