@@ -216,8 +216,18 @@ def _extract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).orderBy("source")
 
 
+def _media_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup media pairs via stub-feature cosine within sign-LSH blocks
+    (multimodal.py) — first driver exposure of the media dedup operator."""
+    from unipdf_spark.operators import multimodal as mm
+
+    media = mm.media_table_from_fixtures(spark, n_docs=24)
+    return mm.media_feature_dedup(media).orderBy("ref_a", "ref_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = dict(all_queries())
+    q["media_feature_dedup"] = _media_feature_dedup
     q["extract_checks"] = _extract_checks
     q["extract_fixture_roundtrip"] = _extract_fixture_corpus
     q["extract_spans_flat"] = _extract_spans_flat

@@ -18,8 +18,8 @@ def test_query_runs_and_returns_rows(spark, name):
     # the cap-reporting companions are empty unless a bucket saturates;
     # q7's nation-pair filter can be empty at the tiny sf0.001
     if name not in ("embedding_near_dup_pairs", "minhash_lsh_pairs",
-                    "lsh_dropped_clusters", "simhash_saturated_blocks",
-                    "simhash_swarm_clusters", "q7_volume_shipping"):
+                    "near_dup_clusters", "simhash_saturated_blocks",
+                    "q7_volume_shipping"):
         assert len(rows) > 0, name
     assert df.columns  # stable schema
 
@@ -469,3 +469,62 @@ def test_corpus_cleanup_drops_boilerplate_cluster(spark, tmp_path):
         for r in rows.values()
     )
     assert got == want
+
+
+def test_embedding_swarm_clusters_and_unified_companion(spark, tmp_path):
+    """A sign-identical vector swarm past BLOCK_CAP must (a) vanish from
+    embedding_near_dup_pairs (no m²/2 cosine-1.0 rows), (b) surface as one
+    cluster row, and (c) appear in the unified near_dup_clusters companion
+    together with the minhash/simhash families — all with DuckDB parity."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from unipdf_spark.operators import dedup
+    from unipdf_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(5)
+    n_swarm = sim.BLOCK_CAP + 20
+    base = rng.normal(size=64) * 3.0
+    vecs = [base.copy() for _ in range(n_swarm)]       # identical signs
+    vecs += list(rng.normal(size=(40, 64)) * 3.0)      # background cloud
+    vecs.append(vecs[n_swarm].copy())                  # planted pair outside
+    pdf = pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "embedding": [[float(np.float32(x)) for x in v] for v in vecs],
+        "label": ["x"] * len(vecs),
+    })
+    spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet")
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 6
+    texts = [boiler] * (dedup.MAX_BUCKET + 36) + ["something quite else"]
+    _write_docs(spark, tmp_path, texts)
+    sf = str(tmp_path)
+
+    pairs = {(r["vec_a"], r["vec_b"])
+             for r in sim.embedding_near_dup_pairs(spark, sf).collect()}
+    assert (n_swarm, len(vecs) - 1) in pairs       # planted pair survives
+    assert all(a >= n_swarm for a, _ in pairs)     # swarm emitted no pairs
+
+    swarms = sim.embedding_swarm_clusters(spark, sf).collect()
+    assert len(swarms) == 1 and swarms[0]["size"] == n_swarm
+    assert list(swarms[0]["sample_vec_ids"]) == list(range(8))
+
+    uni = sim.near_dup_clusters(spark, sf).collect()
+    fams = {r["family"] for r in uni}
+    assert fams == {"minhash_band", "simhash_swarm", "embedding_swarm"}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')")
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet/*.parquet')")
+    want = con.execute(sim.ORACLES["near_dup_clusters"]).fetchall()
+    got = [(r["family"], r["key"], r["size"], list(r["sample_ids"]))
+           for r in uni]
+    assert got == [(f, k, s, list(ids)) for f, k, s, ids in want]
+    # pairs oracle also agrees under the new swarm exclusion
+    want_pairs = {(a, b) for a, b, _ in con.execute(
+        sim.NEAR_DUP_SQL).fetchall()}
+    assert pairs == want_pairs

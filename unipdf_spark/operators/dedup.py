@@ -851,15 +851,17 @@ ORDER BY doc_a
 """
 
 
+# lsh_dropped_clusters and simhash_swarm_clusters stay importable (tests,
+# pipelines) but the driver board carries them through the UNIFIED
+# near_dup_clusters companion (similarity.py) covering all three near-dup
+# families in one oracle-checked row set.
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_normalized": dedup_normalized,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
-    "lsh_dropped_clusters": lsh_dropped_clusters,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_dup_pairs": simhash_near_dup_pairs,
-    "simhash_swarm_clusters": simhash_swarm_clusters,
     "simhash_saturated_blocks": simhash_saturated_blocks,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
 }
@@ -869,10 +871,8 @@ ORACLES = {
     "dedup_normalized": DEDUP_NORM_SQL,
     "minhash_signatures": MINHASH_SIG_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_SQL,
-    "lsh_dropped_clusters": LSH_DROPPED_SQL,
     "simhash_fingerprints": SIMHASH_SQL,
     "simhash_near_dup_pairs": SIMHASH_PAIRS_SQL,
-    "simhash_swarm_clusters": SIMHASH_SWARMS_SQL,
     "simhash_saturated_blocks": SIMHASH_SATURATED_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
 }

@@ -402,9 +402,10 @@ ORDER BY b.query_id
 """
 
 
-def _near_dup_blocked(e: DataFrame) -> DataFrame:
-    """Core of embedding_near_dup_pairs over a (vec_id, embedding) frame —
-    split out so the hot-block skew test can feed a synthetic corpus."""
+def _embedding_blocked(e: DataFrame) -> DataFrame:
+    """Shared hierarchical sign-LSH blocking over a (vec_id, embedding)
+    frame: (vec_id, embedding, s0, s1, s2, block) where block level 3
+    marks >cap sign-identical swarms (unsplittable by refinement)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
 
@@ -430,23 +431,74 @@ def _near_dup_blocked(e: DataFrame) -> DataFrame:
         (F.shiftright("sig", 12) % 256).alias("s1"),
         (F.shiftright("sig", 20) % 256).alias("s2"),
     )
-    # Hierarchical block sizing: count per (s0,s1) with ONE aggregation
-    # (map-side partial), roll up to per-s0 with a window over the already
-    # tiny counts table (≤ #distinct 20-bit sigs rows, never the data).
-    cnt = sigs.groupBy("s0", "s1").agg(F.count(F.lit(1)).alias("c20"))
-    cnt = cnt.withColumn("c12", F.sum("c20").over(Window.partitionBy("s0")))
-    j = sigs.join(cnt, ["s0", "s1"])  # equality shuffle join, AQE-planned
+    # Hierarchical block sizing: ONE aggregation at the finest (28-bit)
+    # granularity (map-side partial), rolled up to 20- and 12-bit counts
+    # with windows over the already tiny counts table (≤ #distinct 28-bit
+    # sigs rows, never the data). Level 3 marks sign-identical swarms that
+    # even 28 hyperplanes cannot split AND that exceed the cap: those are
+    # excluded from pair generation (an m-identical-vector swarm would
+    # emit m(m−1)/2 cosine-1.0 rows) and reported as cluster rows by
+    # embedding_swarm_clusters instead (r3 VERDICT #9).
+    cnt = sigs.groupBy("s0", "s1", "s2").agg(F.count(F.lit(1)).alias("c28"))
+    cnt = cnt.withColumn(
+        "c20", F.sum("c28").over(Window.partitionBy("s0", "s1")))
+    cnt = cnt.withColumn("c12", F.sum("c28").over(Window.partitionBy("s0")))
+    j = sigs.join(cnt, ["s0", "s1", "s2"])  # equality join, AQE-planned
     block = (
         F.when(F.col("c12") <= BLOCK_CAP,
                F.concat_ws(":", F.lit("0"), F.col("s0").cast("string")))
         .when(F.col("c20") <= BLOCK_CAP,
               F.concat_ws(":", F.lit("1"), F.col("s0").cast("string"),
                           F.col("s1").cast("string")))
-        .otherwise(F.concat_ws(":", F.lit("2"), F.col("s0").cast("string"),
+        .when(F.col("c28") <= BLOCK_CAP,
+              F.concat_ws(":", F.lit("2"), F.col("s0").cast("string"),
+                          F.col("s1").cast("string"),
+                          F.col("s2").cast("string")))
+        .otherwise(F.concat_ws(":", F.lit("3"), F.col("s0").cast("string"),
                                F.col("s1").cast("string"),
                                F.col("s2").cast("string")))
     )
-    blocked = j.select("vec_id", "embedding", block.alias("block"))
+    return j.select("vec_id", "embedding", "s0", "s1", "s2",
+                    block.alias("block"))
+
+
+def _embedding_swarms_from(e: DataFrame) -> DataFrame:
+    """Cluster rows for level-3 sign-identical swarms: (sig, size,
+    sample_vec_ids) — the lsh_dropped_clusters representation, O(#swarms)
+    output instead of O(m²/2) cosine-1.0 pairs."""
+    from .dedup import bounded_min_sample
+
+    swarm = _embedding_blocked(e).filter(
+        F.col("block").startswith("3:")
+    ).select(
+        "vec_id",
+        (F.col("s0") + F.shiftleft("s1", 12)
+         + F.shiftleft("s2", 20)).cast("long").alias("sig"),
+    )
+    sizes = swarm.groupBy("sig").agg(F.count(F.lit(1)).alias("size"))
+    members = swarm.join(sizes, "sig")
+    return (
+        bounded_min_sample(members, ["sig", "size"], col="vec_id")
+        .select("sig", "size",
+                F.col("sample_doc_ids").alias("sample_vec_ids"))
+        .orderBy("sig")
+    )
+
+
+def embedding_swarm_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps companion to embedding_near_dup_pairs: every sign-
+    identical swarm larger than BLOCK_CAP as one cluster row."""
+    return _embedding_swarms_from(_emb(spark, sf_dir))
+
+
+def _near_dup_blocked(e: DataFrame) -> DataFrame:
+    """Core of embedding_near_dup_pairs over a (vec_id, embedding) frame —
+    split out so the hot-block skew test can feed a synthetic corpus.
+    Level-3 swarm blocks are excluded from pair generation (see
+    _embedding_blocked / embedding_swarm_clusters)."""
+    blocked = _embedding_blocked(e).filter(
+        ~F.col("block").startswith("3:")
+    ).select("vec_id", "embedding", "block")
 
     def find_pairs(pdf):
         import numpy as np
@@ -528,7 +580,8 @@ d AS (SELECT vec_id, emb,
              {_sig_range_sql('emb', 20, 28)} AS s2
       FROM d0),
 k AS (SELECT *, COUNT(*) OVER (PARTITION BY s0) AS c12,
-               COUNT(*) OVER (PARTITION BY s0, s1) AS c20
+               COUNT(*) OVER (PARTITION BY s0, s1) AS c20,
+               COUNT(*) OVER (PARTITION BY s0, s1, s2) AS c28
       FROM d),
 b AS (SELECT vec_id, emb,
         CASE WHEN c12 <= {BLOCK_CAP} THEN '0:' || s0::VARCHAR
@@ -536,7 +589,10 @@ b AS (SELECT vec_id, emb,
                   THEN '1:' || s0::VARCHAR || ':' || s1::VARCHAR
              ELSE '2:' || s0::VARCHAR || ':' || s1::VARCHAR || ':'
                   || s2::VARCHAR END AS block
-      FROM k),
+      FROM k
+      -- level-3 sign-identical swarms are cluster rows, never pairs
+      WHERE NOT (c12 > {BLOCK_CAP} AND c20 > {BLOCK_CAP}
+                 AND c28 > {BLOCK_CAP})),
 p AS (
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
            ROUND(LIST_DOT_PRODUCT(a.emb, c.emb) /
@@ -546,6 +602,107 @@ p AS (
 )
 SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.95
 ORDER BY vec_a, vec_b
+"""
+
+# shared blocking CTE prefix for the swarm companion
+_EMBED_SWARM_CORE = f"""
+d0 AS (SELECT vec_id, LIST_TRANSFORM(embedding, x -> x::DOUBLE) AS emb
+       FROM embeddings),
+d AS (SELECT vec_id, emb,
+             {{s0}} AS s0,
+             {{s1}} AS s1,
+             {{s2}} AS s2
+      FROM d0),
+k AS (SELECT *, COUNT(*) OVER (PARTITION BY s0) AS c12,
+               COUNT(*) OVER (PARTITION BY s0, s1) AS c20,
+               COUNT(*) OVER (PARTITION BY s0, s1, s2) AS c28
+      FROM d),
+eswarm AS (SELECT vec_id, s0 + s1 * 4096 + s2 * 1048576 AS sig
+           FROM k WHERE c12 > {BLOCK_CAP} AND c20 > {BLOCK_CAP}
+                    AND c28 > {BLOCK_CAP}),
+esized AS (SELECT sig, COUNT(*) AS size FROM eswarm GROUP BY sig),
+eranked AS (
+    SELECT s.sig, z.size, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s.sig ORDER BY s.vec_id) AS rn
+    FROM eswarm s JOIN esized z USING (sig)
+)"""
+
+
+def _embed_swarm_cte() -> str:
+    return _EMBED_SWARM_CORE.format(
+        s0=_sig_range_sql("emb", 0, 12),
+        s1=_sig_range_sql("emb", 12, 20),
+        s2=_sig_range_sql("emb", 20, 28),
+    )
+
+
+EMBED_SWARMS_SQL = f"""
+WITH {_embed_swarm_cte()}
+SELECT sig, size, LIST(vec_id ORDER BY vec_id) AS sample_vec_ids
+FROM eranked WHERE rn <= 8
+GROUP BY sig, size
+ORDER BY sig
+"""
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE unified no-silent-caps companion (r3 VERDICT #9): every cluster
+    the three near-dup pair queries cap away, in one row set —
+    (family, key, size, sample_ids):
+
+    * minhash_band — LSH band buckets > MAX_BUCKET (minhash_lsh_pairs);
+    * simhash_swarm — identical-fingerprint level-2 swarms
+      (simhash_near_dup_pairs);
+    * embedding_swarm — sign-identical >cap vector swarms
+      (embedding_near_dup_pairs).
+
+    A cleanup pipeline acts on these rows directly (keep min id, drop the
+    rest) instead of needing any quadratic pair expansion."""
+    from . import dedup
+
+    mh = dedup.lsh_dropped_clusters(spark, sf_dir).select(
+        F.lit("minhash_band").alias("family"),
+        F.concat_ws(":", F.col("band").cast("string"),
+                    F.col("band_hash").cast("string")).alias("key"),
+        F.col("size").cast("long").alias("size"),
+        F.col("sample_doc_ids").alias("sample_ids"),
+    )
+    sh = dedup.simhash_swarm_clusters(spark, sf_dir).select(
+        F.lit("simhash_swarm").alias("family"),
+        F.col("simhash").cast("string").alias("key"),
+        F.col("size").cast("long").alias("size"),
+        F.col("sample_doc_ids").alias("sample_ids"),
+    )
+    em = embedding_swarm_clusters(spark, sf_dir).select(
+        F.lit("embedding_swarm").alias("family"),
+        F.col("sig").cast("string").alias("key"),
+        F.col("size").cast("long").alias("size"),
+        F.col("sample_vec_ids").alias("sample_ids"),
+    )
+    return mh.unionByName(sh).unionByName(em).orderBy("family", "key")
+
+
+def _near_dup_clusters_sql() -> str:
+    from . import dedup
+
+    def strip_order(sql: str) -> str:
+        i = sql.rstrip().rfind("ORDER BY")
+        return sql.rstrip()[:i] if i > 0 else sql
+
+    return f"""
+SELECT 'minhash_band' AS family,
+       band::VARCHAR || ':' || band_hash::VARCHAR AS key,
+       size::BIGINT AS size, sample_doc_ids AS sample_ids
+FROM ({strip_order(dedup.LSH_DROPPED_SQL)})
+UNION ALL
+SELECT 'simhash_swarm' AS family, simhash::VARCHAR AS key,
+       size::BIGINT AS size, sample_doc_ids AS sample_ids
+FROM ({strip_order(dedup.SIMHASH_SWARMS_SQL)})
+UNION ALL
+SELECT 'embedding_swarm' AS family, sig::VARCHAR AS key,
+       size::BIGINT AS size, sample_vec_ids AS sample_ids
+FROM ({strip_order(EMBED_SWARMS_SQL)})
+ORDER BY family, key
 """
 
 
@@ -578,6 +735,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_recall": ann_ivf_recall,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "near_dup_clusters": near_dup_clusters,
     "label_centroids": label_centroids,
 }
 
@@ -588,5 +746,6 @@ ORACLES = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_ivf_recall": ANN_IVF_RECALL_SQL,
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
+    "near_dup_clusters": _near_dup_clusters_sql(),
     "label_centroids": CENTROID_SQL,
 }
