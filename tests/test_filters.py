@@ -530,3 +530,30 @@ def test_jbig2_annex_b_tables():
     # B.4 (= B.2 + 1, no OOB)
     assert TABLE_B4.decode(bits_of("0")) == 1
     assert TABLE_B4.decode(bits_of("11110" + "000001")) == 13
+
+
+def test_jbig2_halftone_region_roundtrip_fuzz():
+    """Pattern dictionary (§6.7 collective bitmap, special A1=(-HDPW,0)) +
+    halftone region (§6.6 Gray-coded grayscale bitplanes) vs the
+    independent writer-side encoder."""
+    import random
+
+    from unipdf_spark.fixtures.render import jbig2_halftone_encode
+    from unipdf_spark.pdf.jbig2 import decode_embedded
+
+    rng = random.Random(61)
+    for _ in range(6):
+        s = rng.choice([3, 4, 6])
+        npat = rng.randint(2, 7)
+        patterns = [
+            [[rng.random() < (i / max(npat - 1, 1)) for _ in range(s)]
+             for _ in range(s)]
+            for i in range(npat)
+        ]
+        hgw, hgh = rng.randint(3, 8), rng.randint(3, 8)
+        gray = [[rng.randrange(npat) for _ in range(hgw)]
+                for _ in range(hgh)]
+        stream, want = jbig2_halftone_encode(gray, patterns)
+        got, w, h = decode_embedded(stream)
+        assert (w, h) == (hgw * s, hgh * s)
+        assert [list(r) for r in got] == want

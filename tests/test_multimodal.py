@@ -19,8 +19,8 @@ def test_media_table_extraction(spark):
         if r["codec"] == "CCITTFaxDecode":  # fax class: bilevel scans
             assert r["width"] in (64, 96) and r["height"] >= 8
         elif r["codec"] == "JBIG2Decode":  # jbig2 class: bilevel scans
-            # generic/text regions are 48/64 wide; refinement legs 24/32
-            assert r["width"] in (24, 32, 48, 64) and r["height"] >= 8
+            # generic/text 48/64, refinement 24/32, halftone grid 12..32
+            assert 12 <= r["width"] <= 64 and r["height"] >= 8
         elif r["codec"] == "DCTDecode":  # jpeg class: grayscale photos
             assert r["width"] in (24, 32) and r["height"] in (16, 24)
         else:
@@ -154,7 +154,16 @@ def test_jbig2_bilevel_ink_ratio_matches_plan(spark):
             want = sum(sum(r) for r in composed) / (cols * len(base))
             assert abs(feats[ref]["ink_ratio"] - want) < 1e-6, ref
             text_checked += 1
-    assert checked >= 12 and text_checked >= 24
+        from unipdf_spark.fixtures.render import jbig2_halftone_encode
+
+        for key, (grayg, pats) in plan.jbig2_halftone_images.items():
+            data, composed = jbig2_halftone_encode(grayg, pats)
+            ref = schema.media_ref_for(data)
+            want = sum(sum(r) for r in composed) / (
+                len(composed[0]) * len(composed))
+            assert abs(feats[ref]["ink_ratio"] - want) < 1e-6, ref
+            text_checked += 1
+    assert checked >= 12 and text_checked >= 36
 
 
 def test_media_feature_dedup_finds_identical_payloads(spark):

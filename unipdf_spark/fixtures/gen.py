@@ -208,6 +208,7 @@ class DocPlan:
     jbig2_images: dict = field(default_factory=dict)  # key → (rows, cols, mmr)
     jbig2_text_images: dict = field(default_factory=dict)  # key → (symbols, placements, cols, nrows, mode, corner)
     jbig2_refine_images: dict = field(default_factory=dict)  # key → (base, target, cols, template, tpgron)
+    jbig2_halftone_images: dict = field(default_factory=dict)  # key → (gray, patterns)
     jpeg_images: dict = field(default_factory=dict)  # key → uint8 pixel rows (list of lists)
     jpeg_modes: dict = field(default_factory=dict)  # key → baseline|progressive|restartN
     jpeg_color_images: dict = field(default_factory=dict)  # key → rgb rows
@@ -880,6 +881,23 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         h = 24.0
         plan.blocks.append(ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 2, h=h))
         v -= h + 10
+        # one HALFTONE image: pattern dictionary + Gray-coded grayscale
+        # grid (T.88 §6.6/§6.7)
+        s_px = rng.choice([3, 4])
+        npat = rng.randint(2, 5)
+        patterns = [
+            [[rng.random() < (i / max(npat - 1, 1)) for _ in range(s_px)]
+             for _ in range(s_px)]
+            for i in range(npat)
+        ]
+        hgw, hgh = rng.randint(4, 8), rng.randint(3, 6)
+        grayg = [[rng.randrange(npat) for _ in range(hgw)]
+                 for _ in range(hgh)]
+        key = 230
+        plan.jbig2_halftone_images[key] = (grayg, patterns)
+        h = 20.0
+        plan.blocks.append(ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 2, h=h))
+        v -= h + 10
         p, v = _para(rng, MARGIN, v, width, (3, 6))
         plan.blocks.append(p)
         return plan
@@ -1362,6 +1380,23 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width " + str(r_cols).encode()
             + b" /Height " + str(len(base)).encode()
+            + b" /ColorSpace /DeviceGray /BitsPerComponent 1 "
+            b"/Filter /JBIG2Decode /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream"
+        )
+        name = f"Im{key}"
+        img_names[key] = name
+        img_refs[key] = schema.media_ref_for(data)
+        xobj_res += f"/{name} {num} 0 R ".encode()
+
+    for key, (grayg, patterns) in plan.jbig2_halftone_images.items():
+        from .render import jbig2_halftone_encode
+
+        data, composed = jbig2_halftone_encode(grayg, patterns)
+        hw, hh = len(composed[0]), len(composed)
+        num = w.add(
+            b"<< /Type /XObject /Subtype /Image /Width " + str(hw).encode()
+            + b" /Height " + str(hh).encode()
             + b" /ColorSpace /DeviceGray /BitsPerComponent 1 "
             b"/Filter /JBIG2Decode /Length " + str(len(data)).encode()
             + b" >>\nstream\n" + data + b"\nendstream"

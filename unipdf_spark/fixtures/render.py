@@ -1789,3 +1789,54 @@ def jbig2_huffman_text_encode(symbols, placements, cols: int, nrows: int,
                     if v and 0 <= x + xx < cols:
                         prow[x + xx] = 1
     return stream, page
+
+
+def jbig2_halftone_encode(gray, patterns) -> tuple[bytes, list]:
+    """Embedded JBIG2 with a PATTERN DICTIONARY (collective generic bitmap,
+    §6.7) + HALFTONE REGION (§6.6: Gray-coded grayscale bitplanes, MSB
+    first, one MQ encoder + shared contexts). `gray` is an HGH×HGW grid of
+    pattern indices; `patterns` are square S×S bitmaps laid on a regular
+    grid (HRX = S<<8, HRY = 0). Returns (stream, composed page rows)."""
+    s = len(patterns[0])
+    assert all(len(p) == s and len(p[0]) == s for p in patterns)
+    hgh, hgw = len(gray), len(gray[0])
+    graymax = len(patterns) - 1
+    coll_w = (graymax + 1) * s
+    coll = [[bool(patterns[i][y][x]) for i in range(graymax + 1)
+             for x in range(s)] for y in range(s)]
+    pd_body = _jb2_generic_body(coll, coll_w,
+                                at=[(-s, 0), (-3, -1), (2, -2), (-2, -2)])
+    pd_data = (bytes([0, s, s]) + graymax.to_bytes(4, "big") + pd_body)
+
+    bpp = max(1, graymax.bit_length())
+    enc = _MQEncoder()
+    ctx: dict[int, list] = {}
+    for j in range(bpp - 1, -1, -1):  # MSB plane first; Gray code
+        plane = [[bool(((gray[y][x] >> j) & 1) ^ ((gray[y][x] >> (j + 1)) & 1))
+                  for x in range(hgw)] for y in range(hgh)]
+        _jb2_generic_into(enc, ctx, plane, hgw)
+    rw, rh = hgw * s, hgh * s
+    region_info = (rw.to_bytes(4, "big") + rh.to_bytes(4, "big")
+                   + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                   + bytes([0]))
+    ht_data = (region_info + bytes([0])
+               + hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
+               + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+               + (s << 8).to_bytes(2, "big") + (0).to_bytes(2, "big")
+               + enc.flush())
+    page_info = (rw.to_bytes(4, "big") + rh.to_bytes(4, "big")
+                 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + bytes([0x01]) + (0).to_bytes(2, "big"))
+    stream = (_jb2_segment(1, 48, page_info)
+              + _jb2_segment(2, 16, pd_data)
+              + _jb2_segment_refs(3, 22, [2], ht_data)
+              + _jb2_segment(4, 49, b""))
+    page = [[0] * rw for _ in range(rh)]
+    for mg in range(hgh):
+        for ng in range(hgw):
+            pat = patterns[gray[mg][ng]]
+            for yy in range(s):
+                for xx in range(s):
+                    if pat[yy][xx]:
+                        page[mg * s + yy][ng * s + xx] = 1
+    return stream, page

@@ -17,9 +17,12 @@ LoC; decoder entry internal/jbig2/decoder) from the public spec
   §6.4, arithmetic, all four REFCORNERs);
 * GENERIC REFINEMENT REGIONS (types 40/42/43, §6.3): templates 0/1 with
   TPGRON, refining (replacing) the current page content;
-* halftone regions, refinement-aggregate symbol coding (SDREFAGG) and
-  custom Huffman table segments remain typed errors — the remaining tail
-  of real scanner output.
+* PATTERN DICTIONARIES (type 16, §6.7: collective generic bitmap, special
+  A1 = (−HDPW, 0)) + HALFTONE REGIONS (types 20/22/23, §6.6: Gray-coded
+  grayscale bitplanes, MSB first, shared MQ contexts, grid stamping);
+* refinement-aggregate symbol coding (SDREFAGG), custom Huffman table
+  segments, Huffman/transposed text regions and MMR/skip halftone
+  grayscale remain typed errors — the remaining tail.
 
 Bitmap convention: 1 = black (JBIG2 foreground), rows packed MSB-first —
 callers converting to PDF imaging space handle /Decode semantics.
@@ -613,6 +616,98 @@ def decode_symbol_dict(seg: bytes) -> list[list[bytearray]]:
     return exported
 
 
+def decode_pattern_dict(seg: bytes) -> list[list[bytearray]]:
+    """Pattern dictionary decoding (§6.7): one collective generic bitmap of
+    (GRAYMAX+1) patterns side by side, special AT per §6.7.5
+    (A1 = (−HDPW, 0)); split into HDPW-wide patterns. MMR leg via T.6."""
+    flags = seg[0]
+    hdmmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw, hdph = seg[1], seg[2]
+    graymax = _u32(seg, 3)
+    width = (graymax + 1) * hdpw
+    if hdmmr:
+        from .ccitt import decode_ccitt
+
+        packed = decode_ccitt(
+            seg[7:], {"K": -1, "Columns": width, "Rows": hdph,
+                      "BlackIs1": True})
+        stride = (width + 7) // 8
+        coll = [
+            bytearray((packed[y * stride + (x >> 3)] >> (7 - (x & 7))) & 1
+                      for x in range(width))
+            for y in range(hdph)
+        ]
+    else:
+        at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)][: 4 if template == 0
+                                                       else 1]
+        coll = decode_generic(seg[7:], width, hdph, template, at)
+    return [
+        [row[i * hdpw : (i + 1) * hdpw] for row in coll]
+        for i in range(graymax + 1)
+    ]
+
+
+def decode_halftone_region(seg: bytes, patterns: list):
+    """Halftone region decoding (§6.6, arithmetic): Gray-coded grayscale
+    bitplanes (Annex C, MSB first, one MQ decoder + shared contexts) index
+    the pattern dictionary; patterns stamp onto the region grid at
+    ((HGX + mg·HRY + ng·HRX) >> 8, (HGY + mg·HRX − ng·HRY) >> 8) with OR
+    composition. MMR grayscale and ENABLESKIP raise typed errors."""
+    rw, rh = _u32(seg, 0), _u32(seg, 4)
+    rx, ry = _u32(seg, 8), _u32(seg, 12)
+    flags = seg[17]
+    hmmr = flags & 1
+    template = (flags >> 1) & 3
+    enableskip = (flags >> 3) & 1
+    def_pixel = (flags >> 7) & 1
+    if hmmr or enableskip:
+        raise Jbig2Error("MMR/skip halftone regions unsupported")
+    hgw, hgh = _u32(seg, 18), _u32(seg, 22)
+    hgx = int.from_bytes(seg[26:30], "big", signed=True)
+    hgy = int.from_bytes(seg[30:34], "big", signed=True)
+    hrx = int.from_bytes(seg[34:36], "big")
+    hry = int.from_bytes(seg[36:38], "big")
+    npats = len(patterns)
+    if npats == 0:
+        raise Jbig2Error("halftone region without pattern dictionary")
+    bpp = max(1, (npats - 1).bit_length())
+    dec = MQDecoder(seg[38:])
+    contexts: dict[int, list] = {}
+    at = NOMINAL_AT[template]
+    gray = [[0] * hgw for _ in range(hgh)]
+    prev = [[0] * hgw for _ in range(hgh)]
+    for j in range(bpp - 1, -1, -1):  # MSB plane first (Annex C.5)
+        plane = decode_generic_with(dec, contexts, hgw, hgh, template, at)
+        for y in range(hgh):
+            gr = gray[y]
+            pr = prev[y]
+            pl = plane[y]
+            for x in range(hgw):
+                bit = pl[x] ^ pr[x]  # Gray decode vs more-significant bit
+                gr[x] = (gr[x] << 1) | bit
+                pr[x] = bit
+    bitmap = [bytearray([def_pixel] * rw) for _ in range(rh)]
+    pat_h = len(patterns[0])
+    pat_w = len(patterns[0][0]) if pat_h else 0
+    for mg in range(hgh):
+        for ng in range(hgw):
+            gi = gray[mg][ng]
+            pat = patterns[gi if gi < npats else npats - 1]
+            x0 = (hgx + mg * hry + ng * hrx) >> 8
+            y0 = (hgy + mg * hrx - ng * hry) >> 8
+            for yy in range(pat_h):
+                py = y0 + yy
+                if 0 <= py < rh:
+                    row = bitmap[py]
+                    prow = pat[yy]
+                    for xx in range(pat_w):
+                        px = x0 + xx
+                        if 0 <= px < rw and prow[xx]:
+                            row[px] = 1
+    return bitmap, rw, rh, rx, ry
+
+
 def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
     """Text region decoding (§6.4, arithmetic, SBHUFF=0, SBREFINE=0).
     Returns (region rows, rw, rh, rx, ry)."""
@@ -706,6 +801,7 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
     page_w, page_h = width_hint, height_hint
     page: list[bytearray] | None = None
     sym_dicts: dict[int, list] = {}  # segment number → exported symbols
+    pat_dicts: dict[int, list] = {}  # segment number → pattern bitmaps
 
     while pos + 11 <= n:
         # --- segment header (§7.2) ---
@@ -848,8 +944,24 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
                 for x in range(rw):
                     if rx + x < len(prow):
                         prow[rx + x] = row[x]
-        elif seg_type in (16, 20, 22, 23):
-            raise Jbig2Error(f"unsupported region type {seg_type}")
+        elif seg_type == 16:  # pattern dictionary
+            pat_dicts[seg_number] = decode_pattern_dict(seg)
+        elif seg_type in (20, 22, 23):  # halftone region
+            patterns: list = []
+            for r in referred:
+                patterns.extend(pat_dicts.get(r, []))
+            rows, rw, rh, rx, ry = decode_halftone_region(seg, patterns)
+            if page is None:
+                page_w, page_h = max(page_w, rx + rw), max(page_h, ry + rh)
+                page = [bytearray(page_w) for _ in range(page_h)]
+            for y in range(rh):
+                if ry + y >= len(page):
+                    break
+                prow = page[ry + y]
+                row = rows[y]
+                for x in range(rw):
+                    if rx + x < len(prow):
+                        prow[rx + x] |= row[x]
         # 49/50/51/62: end-of-* and extension segments — nothing to do
 
     if page is None:
