@@ -328,15 +328,17 @@ def test_jbig2_symbol_text_region_roundtrip_fuzz():
              rng.randint(0, nrows - 10))
             for _ in range(rng.randint(1, 9))
         ]
-        # all four REFCORNER encodings must reproduce the same page
+        # all four REFCORNERs × transposed must reproduce the same page
         # (T.88 §6.4.5: corner moves only the T edge; S always spans
-        # CURS..CURS+W-1 when untransposed)
+        # CURS..CURS+len-1 along its axis)
         for corner in (0, 1, 2, 3):
-            stream, want = jbig2_text_encode(
-                symbols, placements, cols, nrows, ref_corner=corner)
-            got, w, h = decode_embedded(stream)
-            assert (w, h) == (cols, nrows)
-            assert [list(r) for r in got] == want, f"corner={corner}"
+            for transposed in (False, True):
+                stream, want = jbig2_text_encode(
+                    symbols, placements, cols, nrows, ref_corner=corner,
+                    transposed=transposed)
+                got, w, h = decode_embedded(stream)
+                assert (w, h) == (cols, nrows)
+                assert [list(r) for r in got] == want, (corner, transposed)
 
 
 def test_jpeg_baseline_roundtrip_psnr():

@@ -136,9 +136,10 @@ def test_jbig2_bilevel_ink_ratio_matches_plan(spark):
 
         for key, (syms, places, cols, nrows, mode,
                   corner) in plan.jbig2_text_images.items():
-            if mode == "arith":
+            if mode.startswith("arith"):
                 data, composed = jbig2_text_encode(
-                    syms, places, cols, nrows, ref_corner=corner)
+                    syms, places, cols, nrows, ref_corner=corner,
+                    transposed=(mode == "arith_t"))
             else:
                 data, composed = jbig2_huffman_text_encode(
                     syms, places, cols, nrows, mmr=(mode == "huff_mmr"))

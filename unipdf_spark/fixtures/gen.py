@@ -858,9 +858,9 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         key = 210
         # dictionary coding mode: arithmetic height classes, or SDHUFF=1
         # Huffman classes with collective bitmaps (raw / MMR); REFCORNER
-        # varies on the arithmetic leg (T.88 §6.4.5)
-        mode = rng.choice(["arith", "huff", "huff_mmr"])
-        corner = rng.choice([0, 1, 2, 3]) if mode == "arith" else 1
+        # and TRANSPOSED vary on the arithmetic leg (T.88 §6.4.5)
+        mode = rng.choice(["arith", "arith_t", "huff", "huff_mmr"])
+        corner = rng.choice([0, 1, 2, 3]) if mode.startswith("arith") else 1
         plan.jbig2_text_images[key] = (symbols, placements, t_cols, t_rows,
                                        mode, corner)
         h = 30.0
@@ -1352,9 +1352,10 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
               corner) in plan.jbig2_text_images.items():
         from .render import jbig2_huffman_text_encode, jbig2_text_encode
 
-        if mode == "arith":
+        if mode.startswith("arith"):
             data, _composed = jbig2_text_encode(
-                symbols, placements, t_cols, t_rows, ref_corner=corner)
+                symbols, placements, t_cols, t_rows, ref_corner=corner,
+                transposed=(mode == "arith_t"))
         else:
             data, _composed = jbig2_huffman_text_encode(
                 symbols, placements, t_cols, t_rows,

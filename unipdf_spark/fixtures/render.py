@@ -872,13 +872,15 @@ def _jb2_segment_refs(number: int, seg_type: int, refs: list[int],
 def jbig2_text_encode(symbols: list[list[list[bool]]],
                       placements: list[tuple[int, int, int]],
                       cols: int, nrows: int,
-                      ref_corner: int = 1) -> tuple[bytes, list[list[int]]]:
+                      ref_corner: int = 1,
+                      transposed: bool = False) -> tuple[bytes, list[list[int]]]:
     """Embedded JBIG2 with a SYMBOL DICTIONARY + TEXT REGION (the jbig2enc
     shape): page info, symbol dict (arithmetic, template 0, all exported),
-    one-strip text region (untransposed) placing (sym_id, x, y) instances,
-    where (x, y) is always the TOP-LEFT pixel of the symbol; ref_corner
-    (0=BL 1=TL 2=BR 3=TR) selects how the T coordinate is encoded per
-    T.88 §6.4.5. Returns (stream, composed page rows 0/1)."""
+    one-strip text region placing (sym_id, x, y) instances, where (x, y)
+    is always the TOP-LEFT pixel of the symbol; ref_corner (0=BL 1=TL
+    2=BR 3=TR) and transposed select the T/S coordinate encoding per
+    T.88 §6.4.5 (transposed: T along x, S along y, strips are columns).
+    Returns (stream, composed page rows 0/1)."""
     # --- symbol dictionary segment -------------------------------------
     order = sorted(range(len(symbols)), key=lambda i: len(symbols[i]))
     enc = _MQEncoder()
@@ -917,30 +919,39 @@ def jbig2_text_encode(symbols: list[list[list[bool]]],
     iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
     by_row: dict[int, list[tuple[int, int]]] = {}
     for sym_id, x, y in placements:
-        # encoded T: top edge for TL/TR, bottom row for BL/BR (§6.4.5)
-        t_enc = y if ref_corner in (1, 3) else y + len(symbols[sym_id]) - 1
-        by_row.setdefault(t_enc, []).append((x, remap[sym_id]))
+        if transposed:
+            # encoded T (along x): left edge for TL/BL, right col for TR/BR
+            t_enc = x if ref_corner in (0, 1) else (
+                x + len(symbols[sym_id][0]) - 1)
+            s_coord = y
+        else:
+            # encoded T (along y): top edge for TL/TR, bottom row for BL/BR
+            t_enc = y if ref_corner in (1, 3) else (
+                y + len(symbols[sym_id]) - 1)
+            s_coord = x
+        by_row.setdefault(t_enc, []).append((s_coord, remap[sym_id]))
     _jb2_enc_int(enc2, iadt, 0)  # STRIPT init = 0
     stript = 0
     firsts = 0
     n_inst = 0
     total = len(placements)
-    for y in sorted(by_row):
-        _jb2_enc_int(enc2, iadt, y - stript)
-        stript = y
+    for t in sorted(by_row):
+        _jb2_enc_int(enc2, iadt, t - stript)
+        stript = t
         first = True
         curs = 0
-        for x, sid in sorted(by_row[y]):
+        for s, sid in sorted(by_row[t]):
             if first:
-                _jb2_enc_int(enc2, iafs, x - firsts)
-                firsts = x
-                curs = x
+                _jb2_enc_int(enc2, iafs, s - firsts)
+                firsts = s
+                curs = s
                 first = False
             else:
-                _jb2_enc_int(enc2, iads, x - curs)
-                curs = x
+                _jb2_enc_int(enc2, iads, s - curs)
+                curs = s
             _jb2_enc_iaid(enc2, iaid_cx, symcodelen, sid)
-            curs += len(symbols[order[sid]][0]) - 1
+            sym = symbols[order[sid]]
+            curs += (len(sym) if transposed else len(sym[0])) - 1
             n_inst += 1
         if n_inst < total:
             _jb2_enc_int(enc2, iads, None)  # end of strip
@@ -948,7 +959,8 @@ def jbig2_text_encode(symbols: list[list[list[bool]]],
     region_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
                    + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
                    + bytes([0]))
-    tr_flags = (ref_corner & 3) << 4  # REFCORNER bits 4-5; strips=1, OR
+    # REFCORNER bits 4-5, TRANSPOSED bit 6; strips=1, OR
+    tr_flags = ((ref_corner & 3) << 4) | ((1 if transposed else 0) << 6)
     tr_data = (region_info + tr_flags.to_bytes(2, "big")
                + total.to_bytes(4, "big") + tr_body)
 

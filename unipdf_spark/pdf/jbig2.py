@@ -728,8 +728,8 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
     ds_offset = (flags << 17) & 0xFFFFFFFF
     ds_offset = (ds_offset >> 27) - 32 if (ds_offset >> 27) > 15 else (
         ds_offset >> 27)
-    if huffman or refine or transposed:
-        raise Jbig2Error("huffman/refined/transposed text regions unsupported")
+    if huffman or refine:
+        raise Jbig2Error("huffman/refined text regions unsupported")
     off = 19
     num_instances = _u32(seg, off)
     off += 4
@@ -770,11 +770,16 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
             sym = symbols[sym_id] if sym_id < n_syms else []
             sh = len(sym)
             sw = len(sym[0]) if sh else 0
-            # placement (untransposed, T.88 §6.4.5): S always spans
-            # CURS..CURS+WI-1; the corner only moves the T edge (TL/TR keep
-            # T at the top, BL/BR anchor the bottom row at T).
-            y0 = t if ref_corner in (1, 3) else t - sh + 1  # TL/TR vs BL/BR
-            x0 = curs
+            # placement (T.88 §6.4.5): S always spans CURS..CURS+len-1
+            # along its axis (x untransposed, y transposed); the corner
+            # only moves the T edge (top/bottom row untransposed,
+            # left/right column transposed).
+            if transposed:
+                x0 = t if ref_corner in (0, 1) else t - sw + 1  # TL/BL
+                y0 = curs
+            else:
+                y0 = t if ref_corner in (1, 3) else t - sh + 1  # TL/TR
+                x0 = curs
             for yy in range(sh):
                 py = y0 + yy
                 if 0 <= py < rh:
@@ -784,7 +789,7 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
                         px = x0 + xx
                         if 0 <= px < rw and srow[xx]:
                             row[px] = 1  # OR composition
-            curs += sw - 1
+            curs += (sh if transposed else sw) - 1
             n_inst += 1
             if n_inst >= num_instances:
                 break
