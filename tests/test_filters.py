@@ -559,3 +559,48 @@ def test_jbig2_halftone_region_roundtrip_fuzz():
         got, w, h = decode_embedded(stream)
         assert (w, h) == (hgw * s, hgh * s)
         assert [list(r) for r in got] == want
+
+
+def test_jbig2_refagg_symbol_dict_roundtrip_fuzz():
+    """SDREFAGG=1 symbol dictionaries (§6.5.8.2, REFAGGNINST=1): new
+    symbols refinement-coded against a base dictionary imported through
+    the referred-to list, one shared MQ coder; text region over the
+    combined exports — vs the independent writer-side encoder."""
+    import random
+
+    from unipdf_spark.fixtures.render import jbig2_refagg_text_encode
+    from unipdf_spark.pdf.jbig2 import decode_embedded
+
+    rng = random.Random(83)
+    for _ in range(6):
+        nb = rng.randint(1, 4)
+        base = [
+            [[rng.random() < 0.5 for _ in range(rng.randint(3, 8))]
+             for _ in range(rng.randint(3, 8))]
+            for _ in range(nb)
+        ]
+        base = [
+            [[bool(row[i]) if i < len(row) else False
+              for i in range(len(sym[0]))] for row in sym]
+            for sym in base
+        ]
+        variants = []
+        for _ in range(rng.randint(1, 4)):
+            bid = rng.randrange(nb)
+            bmp = [list(r) for r in base[bid]]
+            for _ in range(rng.randint(0, 6)):
+                yy, xx = rng.randrange(len(bmp)), rng.randrange(len(bmp[0]))
+                bmp[yy][xx] = not bmp[yy][xx]
+            variants.append((bid, bmp))
+        cols, nrows = 40, 24
+        total = nb + len(variants)
+        placements = [
+            (rng.randrange(total), rng.randint(0, cols - 10),
+             rng.randint(0, nrows - 10))
+            for _ in range(rng.randint(1, 8))
+        ]
+        stream, want = jbig2_refagg_text_encode(
+            base, variants, placements, cols, nrows)
+        got, w, h = decode_embedded(stream)
+        assert (w, h) == (cols, nrows)
+        assert [list(r) for r in got] == want

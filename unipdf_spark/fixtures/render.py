@@ -1611,16 +1611,26 @@ _JB2_REF_TPCTX = {0: 0x0020, 1: 0x0008}
 
 def _jb2_refine_body(target, ref, w: int, h: int, template: int = 0,
                      tpgron: bool = False) -> bytes:
-    """MQ-encode `target` as a refinement of `ref` (nominal AT, dx=dy=0)."""
+    """MQ-encode `target` as a refinement of `ref` (nominal AT, dx=dy=0,
+    same dimensions) into a fresh encoder."""
     enc = _MQEncoder()
-    contexts: dict[int, list] = {}
+    _jb2_refine_into(enc, {}, target, ref, w, h, w, h, 0, 0, template,
+                     tpgron)
+    return enc.flush()
+
+
+def _jb2_refine_into(enc: "_MQEncoder", contexts: dict, target, ref,
+                     w: int, h: int, rw: int, rh: int, dx: int, dy: int,
+                     template: int = 0, tpgron: bool = False) -> None:
+    """Refinement encoding sharing an MQ encoder + GR context store (the
+    SDREFAGG symbol-dictionary semantics: one coder for all symbols)."""
     coding, reference = _JB2_REF_T0 if template == 0 else _JB2_REF_T1
 
     def cpx(x, y):
         return 1 if 0 <= x < w and 0 <= y < h and target[y][x] else 0
 
     def rpx(x, y):
-        return 1 if 0 <= x < w and 0 <= y < h and ref[y][x] else 0
+        return 1 if 0 <= x < rw and 0 <= y < rh and ref[y][x] else 0
 
     ltp = 0
     for y in range(h):
@@ -1629,7 +1639,7 @@ def _jb2_refine_body(target, ref, w: int, h: int, template: int = 0,
             # already equals its uniform value in the target
             ok = True
             for x in range(w):
-                s = sum(rpx(x + i, y + j)
+                s = sum(rpx(x - dx + i, y - dy + j)
                         for j in (-1, 0, 1) for i in (-1, 0, 1))
                 if s == 0 and cpx(x, y) != 0:
                     ok = False
@@ -1643,18 +1653,17 @@ def _jb2_refine_body(target, ref, w: int, h: int, template: int = 0,
             ltp = want
         for x in range(w):
             if tpgron and ltp:
-                s = sum(rpx(x + i, y + j)
+                s = sum(rpx(x - dx + i, y - dy + j)
                         for j in (-1, 0, 1) for i in (-1, 0, 1))
                 if s == 0 or s == 9:
                     continue  # typical pixel: not coded
             ctx = 0
-            for dx, dy in coding:
-                ctx = (ctx << 1) | cpx(x + dx, y + dy)
-            for dx, dy in reference:
-                ctx = (ctx << 1) | rpx(x + dx, y + dy)
+            for ddx, ddy in coding:
+                ctx = (ctx << 1) | cpx(x + ddx, y + ddy)
+            for ddx, ddy in reference:
+                ctx = (ctx << 1) | rpx(x + ddx - dx, y + ddy - dy)
             cx = contexts.setdefault(ctx, [0, 0])
             enc.encode(cx, cpx(x, y))
-    return enc.flush()
 
 
 def jbig2_refinement_encode(base_rows, target_rows, cols: int,
@@ -1851,4 +1860,149 @@ def jbig2_halftone_encode(gray, patterns) -> tuple[bytes, list]:
                 for xx in range(s):
                     if pat[yy][xx]:
                         page[mg * s + yy][ng * s + xx] = 1
+    return stream, page
+
+
+def jbig2_refagg_text_encode(base_symbols, variants, placements,
+                             cols: int, nrows: int) -> tuple[bytes, list]:
+    """Embedded JBIG2 exercising SDREFAGG=1: a base arithmetic symbol
+    dictionary, then a REFINEMENT-coded dictionary (each new symbol =
+    IAAI(1) + IAID(base) + IARDX/IARDY(0) + GRR refinement of that base,
+    one shared MQ coder, §6.5.8.2) importing the base via the referred-to
+    list, then an arithmetic text region over the combined exports.
+    `variants` = [(base_id, bitmap_same_dims)]; placements index base
+    symbols first, then variants (both by caller order), always top-left.
+    Returns (stream, composed page rows)."""
+    # --- base dictionary (arithmetic, as jbig2_text_encode) ---------------
+    base_order = sorted(range(len(base_symbols)),
+                        key=lambda i: (len(base_symbols[i]),
+                                       len(base_symbols[i][0])))
+    enc = _MQEncoder()
+    gb_ctx: dict = {}
+    iadh, iadw, iaex = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    hcheight = 0
+    i = 0
+    while i < len(base_order):
+        hgt = len(base_symbols[base_order[i]])
+        _jb2_enc_int(enc, iadh, hgt - hcheight)
+        hcheight = hgt
+        symwidth = 0
+        while i < len(base_order) and len(base_symbols[base_order[i]]) == hgt:
+            wd = len(base_symbols[base_order[i]][0])
+            _jb2_enc_int(enc, iadw, wd - symwidth)
+            symwidth = wd
+            _jb2_generic_into(enc, gb_ctx, base_symbols[base_order[i]], wd)
+            i += 1
+        _jb2_enc_int(enc, iadw, None)
+    _jb2_enc_int(enc, iaex, 0)
+    _jb2_enc_int(enc, iaex, len(base_symbols))
+    at = bytes([3 & 0xFF, 0xFF, 0x100 - 3, 0xFF, 2, 0xFE, 0x100 - 2, 0xFE])
+    sd1 = ((0).to_bytes(2, "big") + at
+           + len(base_symbols).to_bytes(4, "big")
+           + len(base_symbols).to_bytes(4, "big") + enc.flush())
+    base_remap = {orig: k for k, orig in enumerate(base_order)}
+
+    # --- refinement dictionary (SDREFAGG=1, refers to the base) ----------
+    var_order = sorted(range(len(variants)),
+                       key=lambda j: (len(variants[j][1]),
+                                      len(variants[j][1][0])))
+    n_in = len(base_symbols)
+    n_new = len(variants)
+    n_total = n_in + n_new
+    symcodelen = max(1, (n_total - 1).bit_length() if n_total > 1 else 1)
+    enc2 = _MQEncoder()
+    gr_ctx: dict = {}
+    iadh2, iadw2, iaex2 = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    iaai, iardx, iardy = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
+    hcheight = 0
+    i = 0
+    while i < len(var_order):
+        hgt = len(variants[var_order[i]][1])
+        _jb2_enc_int(enc2, iadh2, hgt - hcheight)
+        hcheight = hgt
+        symwidth = 0
+        while i < len(var_order) and len(variants[var_order[i]][1]) == hgt:
+            base_id, bmp = variants[var_order[i]]
+            wd = len(bmp[0])
+            _jb2_enc_int(enc2, iadw2, wd - symwidth)
+            symwidth = wd
+            _jb2_enc_int(enc2, iaai, 1)  # REFAGGNINST = 1
+            rid = base_remap[base_id]  # index into SDINSYMS
+            _jb2_enc_iaid(enc2, iaid_cx, symcodelen, rid)
+            _jb2_enc_int(enc2, iardx, 0)
+            _jb2_enc_int(enc2, iardy, 0)
+            ref = base_symbols[base_id]
+            _jb2_refine_into(enc2, gr_ctx, bmp, ref, wd, hgt,
+                             len(ref[0]), len(ref), 0, 0, template=0)
+            i += 1
+        _jb2_enc_int(enc2, iadw2, None)
+    _jb2_enc_int(enc2, iaex2, 0)
+    _jb2_enc_int(enc2, iaex2, n_total)  # export inputs + new
+    rat = bytes([0xFF, 0xFF, 0xFF, 0xFF])  # GRAT nominal (-1,-1) x2
+    sd2 = ((0x0002).to_bytes(2, "big") + at + rat
+           + n_total.to_bytes(4, "big") + n_new.to_bytes(4, "big")
+           + enc2.flush())
+
+    # --- text region over the combined exports ---------------------------
+    # export order: base (base_order) then variants (var_order)
+    combined = [base_symbols[k] for k in base_order] + [
+        variants[k][1] for k in var_order]
+    remap = dict(base_remap)
+    for k, orig in enumerate(var_order):
+        remap[n_in + orig] = n_in + k
+    symcodelen_t = max(1, (n_total - 1).bit_length() if n_total > 1 else 1)
+    enc3 = _MQEncoder()
+    iadt, iafs, iads = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    iaid_t = [[0, 0] for _ in range(1 << (symcodelen_t + 1))]
+    by_row: dict[int, list[tuple[int, int]]] = {}
+    for sym_id, x, y in placements:
+        by_row.setdefault(y, []).append((x, remap[sym_id]))
+    _jb2_enc_int(enc3, iadt, 0)
+    stript = 0
+    firsts = 0
+    n_inst = 0
+    total = len(placements)
+    for y in sorted(by_row):
+        _jb2_enc_int(enc3, iadt, y - stript)
+        stript = y
+        first = True
+        curs = 0
+        for x, sid in sorted(by_row[y]):
+            if first:
+                _jb2_enc_int(enc3, iafs, x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                _jb2_enc_int(enc3, iads, x - curs)
+                curs = x
+            _jb2_enc_iaid(enc3, iaid_t, symcodelen_t, sid)
+            curs += len(combined[sid][0]) - 1
+            n_inst += 1
+        if n_inst < total:
+            _jb2_enc_int(enc3, iads, None)
+    region_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
+                   + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                   + bytes([0]))
+    tr_data = (region_info + (1 << 4).to_bytes(2, "big")
+               + total.to_bytes(4, "big") + enc3.flush())
+    page_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
+                 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + bytes([0x01]) + (0).to_bytes(2, "big"))
+    stream = (_jb2_segment(1, 48, page_info)
+              + _jb2_segment(2, 0, sd1)
+              + _jb2_segment_refs(3, 0, [2], sd2)
+              + _jb2_segment_refs(4, 6, [3], tr_data)
+              + _jb2_segment(5, 49, b""))
+    all_syms = list(base_symbols) + [v[1] for v in variants]
+    page = [[0] * cols for _ in range(nrows)]
+    for sym_id, x, y in placements:
+        sym = all_syms[sym_id]
+        for yy, srow in enumerate(sym):
+            if 0 <= y + yy < nrows:
+                prow = page[y + yy]
+                for xx, v in enumerate(srow):
+                    if v and 0 <= x + xx < cols:
+                        prow[x + xx] = 1
     return stream, page

@@ -11,18 +11,20 @@ LoC; decoder entry internal/jbig2/decoder) from the public spec
   payloads decode through the engine's T.6 decoder (ccitt.py); MMR=0
   payloads decode with the MQ arithmetic coder (Annex E) over the template
   0–3 context models, with TPGDON typical-prediction rows;
-* SYMBOL DICTIONARIES (type 0, §6.5): arithmetic height classes AND
-  SDHUFF=1 Huffman classes (standard Annex B tables B.1–B.5, collective
+* SYMBOL DICTIONARIES (type 0, §6.5): arithmetic height classes,
+  SDREFAGG=1 refinement-coded symbols against imported/earlier symbols
+  (§6.5.8.2, REFAGGNINST=1, referred-dict imports honored), AND SDHUFF=1
+  Huffman classes (standard Annex B tables B.1–B.5, collective
   height-class bitmaps — uncompressed or MMR); TEXT REGIONS (types 4/6/7,
-  §6.4, arithmetic, all four REFCORNERs);
+  §6.4, arithmetic, all four REFCORNERs, transposed and untransposed);
 * GENERIC REFINEMENT REGIONS (types 40/42/43, §6.3): templates 0/1 with
   TPGRON, refining (replacing) the current page content;
 * PATTERN DICTIONARIES (type 16, §6.7: collective generic bitmap, special
   A1 = (−HDPW, 0)) + HALFTONE REGIONS (types 20/22/23, §6.6: Gray-coded
   grayscale bitplanes, MSB first, shared MQ contexts, grid stamping);
-* refinement-aggregate symbol coding (SDREFAGG), custom Huffman table
-  segments, Huffman/transposed text regions and MMR/skip halftone
-  grayscale remain typed errors — the remaining tail.
+* aggregate (REFAGGNINST>1) symbol coding, custom Huffman table segments,
+  Huffman/refined text regions and MMR/skip halftone grayscale remain
+  typed errors — the remaining tail.
 
 Bitmap convention: 1 = black (JBIG2 foreground), rows packed MSB-first —
 callers converting to PDF imaging space handle /Decode semantics.
@@ -554,17 +556,24 @@ def decode_refinement(dec: MQDecoder, contexts: dict, width: int,
     return bitmap
 
 
-def decode_symbol_dict(seg: bytes) -> list[list[bytearray]]:
-    """Symbol dictionary decoding (§6.5): arithmetic height classes, or
-    SDHUFF=1 Huffman classes with collective bitmaps (standard Annex B
-    tables). Refinement/aggregation (SDREFAGG) stays a typed error."""
+def decode_symbol_dict(seg: bytes,
+                       input_syms: list | None = None
+                       ) -> list[list[bytearray]]:
+    """Symbol dictionary decoding (§6.5): arithmetic height classes —
+    generically coded or SDREFAGG=1 refinement-coded against imported/
+    earlier symbols (§6.5.8.2, REFAGGNINST=1) — or SDHUFF=1 Huffman
+    classes with collective bitmaps (standard Annex B tables).
+    ``input_syms`` are the referred-to dictionaries' exports (SDINSYMS).
+    Aggregate (REFAGGNINST>1) coding stays a typed error."""
+    input_syms = input_syms or []
     flags = int.from_bytes(seg[0:2], "big")
     huffman = flags & 1
     refagg = (flags >> 1) & 1
     template = (flags >> 10) & 3
-    if refagg:
-        raise Jbig2Error("refinement/aggregate symbol dictionaries unsupported")
+    rtemplate = (flags >> 12) & 1
     if huffman:
+        if refagg:
+            raise Jbig2Error("huffman+refagg symbol dictionaries unsupported")
         num_ex = _u32(seg, 2)
         num_new = _u32(seg, 6)
         return _huffman_symbol_dict(seg, flags, 10, num_ex, num_new)
@@ -575,13 +584,26 @@ def decode_symbol_dict(seg: bytes) -> list[list[bytearray]]:
         at.append((int.from_bytes(seg[off : off + 1], "big", signed=True),
                    int.from_bytes(seg[off + 1 : off + 2], "big", signed=True)))
         off += 2
+    rat = None
+    if refagg and rtemplate == 0:
+        rat = []
+        for _ in range(2):
+            rat.append((
+                int.from_bytes(seg[off : off + 1], "big", signed=True),
+                int.from_bytes(seg[off + 1 : off + 2], "big", signed=True)))
+            off += 2
     num_ex = _u32(seg, off)
     num_new = _u32(seg, off + 4)
     off += 8
 
     dec = MQDecoder(seg[off:])
     gb_ctx: dict[int, list] = {}
+    gr_ctx: dict[int, list] = {}
     iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+    iaai, iardx, iardy = IntCtx(), IntCtx(), IntCtx()
+    n_total = len(input_syms) + num_new
+    symcodelen = max(1, (n_total - 1).bit_length() if n_total > 1 else 1)
+    iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
     new_syms: list[list[bytearray]] = []
     hcheight = 0
     while len(new_syms) < num_new:
@@ -597,20 +619,37 @@ def decode_symbol_dict(seg: bytes) -> list[list[bytearray]]:
             symwidth += dw
             if len(new_syms) >= num_new:
                 raise Jbig2Error("too many symbols")
-            new_syms.append(
-                decode_generic_with(dec, gb_ctx, symwidth, hcheight,
-                                    template, at))
-    # export flags: alternating (skip, export) run lengths over the symbol
-    # list (no input symbols in this subset)
+            if refagg:
+                n_inst = decode_int(dec, iaai)
+                if n_inst != 1:
+                    raise Jbig2Error(
+                        "aggregate (REFAGGNINST>1) symbol coding unsupported")
+                rid = decode_iaid(dec, iaid_cx, symcodelen)
+                rdx = decode_int(dec, iardx)
+                rdy = decode_int(dec, iardy)
+                pool = input_syms + new_syms
+                ref = pool[rid] if rid < len(pool) else []
+                ref_h = len(ref)
+                ref_w = len(ref[0]) if ref_h else 0
+                new_syms.append(decode_refinement(
+                    dec, gr_ctx, symwidth, hcheight, rtemplate, rat,
+                    ref, ref_w, ref_h, rdx, rdy, False))
+            else:
+                new_syms.append(
+                    decode_generic_with(dec, gb_ctx, symwidth, hcheight,
+                                        template, at))
+    # export flags: alternating (skip, export) run lengths over
+    # SDINSYMS + SDNEWSYMS (§6.5.10)
+    all_syms = input_syms + new_syms
     exported: list[list[bytearray]] = []
     i = 0
     cur_export = 0
-    while i < len(new_syms) and len(exported) < num_ex:
+    while i < len(all_syms) and len(exported) < num_ex:
         run = decode_int(dec, iaex)
         if run is OOB:
             break
         if cur_export:
-            exported.extend(new_syms[i : i + run])
+            exported.extend(all_syms[i : i + run])
         i += run
         cur_export ^= 1
     return exported
@@ -893,7 +932,10 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
                     if rx + x < len(prow):
                         prow[rx + x] |= row[x]  # OR composition (default)
         elif seg_type == 0:  # symbol dictionary
-            sym_dicts[seg_number] = decode_symbol_dict(seg)
+            in_syms: list = []
+            for r in referred:
+                in_syms.extend(sym_dicts.get(r, []))
+            sym_dicts[seg_number] = decode_symbol_dict(seg, in_syms)
         elif seg_type in (4, 6, 7):  # text region (intermediate/immediate)
             symbols: list = []
             for r in referred:
