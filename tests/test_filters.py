@@ -604,3 +604,40 @@ def test_jbig2_refagg_symbol_dict_roundtrip_fuzz():
         got, w, h = decode_embedded(stream)
         assert (w, h) == (cols, nrows)
         assert [list(r) for r in got] == want
+
+
+def test_jbig2_custom_huffman_table_segment():
+    """Type-53 custom Huffman table definitions (§7.4.13/B.2 structure):
+    the SDHUFFDW=3 selection consumes the referred table segment; the
+    round trip covers parse, canonical assignment over custom lines,
+    lower/upper ranges and OOB."""
+    import random
+
+    from unipdf_spark.fixtures.render import jbig2_huffman_text_encode
+    from unipdf_spark.pdf.jbig2 import decode_embedded
+
+    rng = random.Random(97)
+    for _ in range(5):
+        n_sym = rng.randint(1, 5)
+        symbols = [
+            [[rng.random() < 0.5 for _ in range(rng.randint(2, 9))]
+             for _ in range(rng.randint(2, 9))]
+            for _ in range(n_sym)
+        ]
+        symbols = [
+            [[bool(row[i]) if i < len(row) else False
+              for i in range(len(sym[0]))] for row in sym]
+            for sym in symbols
+        ]
+        cols, nrows = 40, 20
+        placements = [
+            (rng.randrange(n_sym), rng.randint(0, cols - 10),
+             rng.randint(0, nrows - 10))
+            for _ in range(rng.randint(1, 8))
+        ]
+        for mmr in (False, True):
+            stream, want = jbig2_huffman_text_encode(
+                symbols, placements, cols, nrows, mmr=mmr, custom_dw=True)
+            got, w, h = decode_embedded(stream)
+            assert (w, h) == (cols, nrows)
+            assert [list(r) for r in got] == want

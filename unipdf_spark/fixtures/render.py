@@ -1559,8 +1559,11 @@ _JB2_TBL = {
 }
 
 
-def _jb2_huff_codes(name: str):
-    lines, lower, upper, oob = _JB2_TBL[name]
+def _jb2_huff_codes(name_or_spec):
+    if isinstance(name_or_spec, str):
+        lines, lower, upper, oob = _JB2_TBL[name_or_spec]
+    else:
+        lines, lower, upper, oob = name_or_spec
     entries = [(pl, "n", rl, lo) for pl, rl, lo in lines]
     if lower is not None:
         entries.append((lower[0], "l", 32, lower[1]))
@@ -1579,7 +1582,7 @@ def _jb2_huff_codes(name: str):
     return codes
 
 
-def _jb2_huff_put(bw: _JB2BitWriterMSB, name: str, v) -> None:
+def _jb2_huff_put(bw: _JB2BitWriterMSB, name, v) -> None:
     for (pl, kind, rl, lo), code, length in _jb2_huff_codes(name):
         if kind == "o" and v is None:
             bw.write(code, length)
@@ -1697,11 +1700,13 @@ def jbig2_refinement_encode(base_rows, target_rows, cols: int,
 
 
 def jbig2_huffman_text_encode(symbols, placements, cols: int, nrows: int,
-                              mmr: bool = False) -> tuple[bytes, list]:
+                              mmr: bool = False,
+                              custom_dw: bool = False) -> tuple[bytes, list]:
     """Embedded JBIG2 with a HUFFMAN symbol dictionary (SDHUFF=1, standard
     tables B.4/B.2/B.1, collective height-class bitmaps — uncompressed or
     MMR) + an arithmetic text region placing (sym_id, x, y) instances at
     their top-left. Returns (stream, composed page rows)."""
+    dw_tbl = _JB2_CUSTOM_DW if custom_dw else "B2"
     order = sorted(range(len(symbols)),
                    key=lambda i: (len(symbols[i]), len(symbols[i][0])))
     bw = _JB2BitWriterMSB()
@@ -1715,11 +1720,11 @@ def jbig2_huffman_text_encode(symbols, placements, cols: int, nrows: int,
         cls: list[int] = []
         while i < len(order) and len(symbols[order[i]]) == hgt:
             wd = len(symbols[order[i]][0])
-            _jb2_huff_put(bw, "B2", wd - symwidth)
+            _jb2_huff_put(bw, dw_tbl, wd - symwidth)
             symwidth = wd
             cls.append(order[i])
             i += 1
-        _jb2_huff_put(bw, "B2", None)  # OOB: end of height class
+        _jb2_huff_put(bw, dw_tbl, None)  # OOB: end of height class
         # collective bitmap: class symbols concatenated left-to-right
         totwidth = sum(len(symbols[k][0]) for k in cls)
         coll = [[False] * totwidth for _ in range(hgt)]
@@ -1749,7 +1754,8 @@ def jbig2_huffman_text_encode(symbols, placements, cols: int, nrows: int,
                     bw.write(byte, 8)
     _jb2_huff_put(bw, "B1", 0)             # export: skip 0
     _jb2_huff_put(bw, "B1", len(symbols))  # export all
-    sd_data = (0x0001).to_bytes(2, "big") \
+    sd_flags = 0x0001 | (0x0030 if custom_dw else 0)  # SDHUFFDW sel 3
+    sd_data = sd_flags.to_bytes(2, "big") \
         + len(symbols).to_bytes(4, "big") + len(symbols).to_bytes(4, "big") \
         + bw.flush()
     remap = {orig: k for k, orig in enumerate(order)}
@@ -1796,10 +1802,17 @@ def jbig2_huffman_text_encode(symbols, placements, cols: int, nrows: int,
     page_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
                  + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
                  + bytes([0x01]) + (0).to_bytes(2, "big"))
-    stream = (_jb2_segment(1, 48, page_info)
-              + _jb2_segment(2, 0, sd_data)
-              + _jb2_segment_refs(3, 6, [2], tr_data)
-              + _jb2_segment(4, 49, b""))
+    if custom_dw:
+        stream = (_jb2_segment(1, 48, page_info)
+                  + _jb2_segment(2, 53, _jb2_custom_dw_segment())
+                  + _jb2_segment_refs(3, 0, [2], sd_data)
+                  + _jb2_segment_refs(4, 6, [3], tr_data)
+                  + _jb2_segment(5, 49, b""))
+    else:
+        stream = (_jb2_segment(1, 48, page_info)
+                  + _jb2_segment(2, 0, sd_data)
+                  + _jb2_segment_refs(3, 6, [2], tr_data)
+                  + _jb2_segment(4, 49, b""))
     page = [[0] * cols for _ in range(nrows)]
     for sym_id, x, y in placements:
         sym = symbols[sym_id]
@@ -2006,3 +2019,30 @@ def jbig2_refagg_text_encode(base_symbols, variants, placements,
                     if v and 0 <= x + xx < cols:
                         prow[x + xx] = 1
     return stream, page
+
+
+# a custom DW table spec (structure exercises type-53 table segments):
+# lines cover [0, 84) with varied range widths, 32-bit upper, OOB
+_JB2_CUSTOM_DW = (
+    [(2, 2, 0), (3, 4, 4), (2, 6, 20)],  # (preflen, rangelen, rangelow)
+    (4, -1),    # lower range (< 0)
+    (3, 84),    # upper range
+    3,          # OOB preflen
+)
+
+
+def _jb2_custom_dw_segment() -> bytes:
+    """Type-53 table definition encoding _JB2_CUSTOM_DW (§7.4.13/B.2):
+    flags (HTOOB=1, HTPS=4, HTRS=3), HTLOW=0, HTHIGH=84, then the
+    (PREFLEN, RANGELEN) line stream + lower/upper/OOB prefix lengths."""
+    htps, htrs = 4, 3
+    flags = 1 | ((htps - 1) << 1) | ((htrs - 1) << 4)
+    bw = _JB2BitWriterMSB()
+    for pl, rl, _lo in _JB2_CUSTOM_DW[0]:
+        bw.write(pl, htps)
+        bw.write(rl, htrs)
+    bw.write(_JB2_CUSTOM_DW[1][0], htps)  # lower preflen
+    bw.write(_JB2_CUSTOM_DW[2][0], htps)  # upper preflen
+    bw.write(_JB2_CUSTOM_DW[3], htps)     # OOB preflen
+    return (bytes([flags]) + (0).to_bytes(4, "big", signed=True)
+            + (84).to_bytes(4, "big", signed=True) + bw.flush())

@@ -22,9 +22,11 @@ LoC; decoder entry internal/jbig2/decoder) from the public spec
 * PATTERN DICTIONARIES (type 16, §6.7: collective generic bitmap, special
   A1 = (−HDPW, 0)) + HALFTONE REGIONS (types 20/22/23, §6.6: Gray-coded
   grayscale bitplanes, MSB first, shared MQ contexts, grid stamping);
-* aggregate (REFAGGNINST>1) symbol coding, custom Huffman table segments,
-  Huffman/refined text regions and MMR/skip halftone grayscale remain
-  typed errors — the remaining tail.
+* CUSTOM HUFFMAN TABLE segments (type 53, §7.4.13) consumed by SDHUFF
+  selections in order of use;
+* aggregate (REFAGGNINST>1) symbol coding, Huffman/refined text regions
+  and MMR/skip halftone grayscale remain typed errors — the remaining
+  tail.
 
 Bitmap convention: 1 = black (JBIG2 foreground), rows packed MSB-first —
 callers converting to PDF imaging space handle /Decode semantics.
@@ -390,6 +392,37 @@ class HuffTable:
         raise Jbig2Error("invalid huffman code")
 
 
+def parse_table_segment(seg: bytes) -> "HuffTable":
+    """Custom Huffman table segment (type 53, §7.4.13 / B.2 table
+    definition): flags (HTOOB, HTPS, HTRS), HTLOW/HTHIGH, then a bit
+    stream of (PREFLEN, RANGELEN) line pairs covering [HTLOW, HTHIGH),
+    a lower-range line (< HTLOW), an upper-range line (≥ HTHIGH) and an
+    optional OOB prefix."""
+    flags = seg[0]
+    htoob = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    htlow = int.from_bytes(seg[1:5], "big", signed=True)
+    hthigh = int.from_bytes(seg[5:9], "big", signed=True)
+    br = _BitsMSB(seg, 9)
+    lines = []
+    cur = htlow
+    while cur < hthigh:
+        preflen = br.bits(htps)
+        rangelen = br.bits(htrs)
+        lines.append((preflen, rangelen, cur))
+        cur += 1 << rangelen
+    low_pl = br.bits(htps)
+    up_pl = br.bits(htps)
+    oob_pl = br.bits(htps) if htoob else 0
+    return HuffTable(
+        [ln for ln in lines if ln[0] > 0],
+        lower=(low_pl, htlow - 1) if low_pl else None,
+        upper=(up_pl, hthigh) if up_pl else None,
+        oob_len=oob_pl,
+    )
+
+
 # standard tables (T.88 Annex B)
 TABLE_B1 = HuffTable([(1, 4, 0), (2, 8, 16), (3, 16, 272)],
                      upper=(3, 65808))
@@ -406,20 +439,30 @@ TABLE_B5 = HuffTable([(7, 8, -255), (1, 0, 1), (2, 0, 2), (3, 0, 3),
 
 
 def _huffman_symbol_dict(seg: bytes, flags: int, off: int,
-                         num_ex: int, num_new: int):
+                         num_ex: int, num_new: int,
+                         custom_tables: list | None = None):
     """SDHUFF=1, SDREFAGG=0 symbol dictionary (§6.5.5 Huffman branch +
     §6.5.9 collective height-class bitmaps: uncompressed when BMSIZE=0,
-    MMR/T.6 otherwise). Standard Annex B table selections only; custom
-    table segments (type 53) raise a typed error."""
+    MMR/T.6 otherwise). Standard Annex B selections, or custom table
+    segments consumed in order of use (DH, DW, BMSIZE — §7.4.3.1.6)."""
+    custom = list(custom_tables or [])
+
+    def pick(sel: int, *std):
+        if sel < len(std):
+            return std[sel]
+        if not custom:
+            raise Jbig2Error("custom huffman table segment missing")
+        return custom.pop(0)
+
     dh_sel = (flags >> 2) & 3
     dw_sel = (flags >> 4) & 3
     bm_sel = (flags >> 6) & 1
     ag_sel = (flags >> 7) & 1
-    if dh_sel > 1 or dw_sel > 1 or bm_sel or ag_sel:
-        raise Jbig2Error("custom huffman table segments unsupported")
-    t_dh = TABLE_B4 if dh_sel == 0 else TABLE_B5
-    t_dw = TABLE_B2 if dw_sel == 0 else TABLE_B3
-    t_bm = TABLE_B1
+    if ag_sel:
+        raise Jbig2Error("custom AGG huffman table unsupported")
+    t_dh = pick(dh_sel, TABLE_B4, TABLE_B5)
+    t_dw = pick(dw_sel, TABLE_B2, TABLE_B3)
+    t_bm = pick(bm_sel, TABLE_B1)
     t_ex = TABLE_B1
 
     br = _BitsMSB(seg, off)
@@ -557,7 +600,8 @@ def decode_refinement(dec: MQDecoder, contexts: dict, width: int,
 
 
 def decode_symbol_dict(seg: bytes,
-                       input_syms: list | None = None
+                       input_syms: list | None = None,
+                       custom_tables: list | None = None
                        ) -> list[list[bytearray]]:
     """Symbol dictionary decoding (§6.5): arithmetic height classes —
     generically coded or SDREFAGG=1 refinement-coded against imported/
@@ -576,7 +620,8 @@ def decode_symbol_dict(seg: bytes,
             raise Jbig2Error("huffman+refagg symbol dictionaries unsupported")
         num_ex = _u32(seg, 2)
         num_new = _u32(seg, 6)
-        return _huffman_symbol_dict(seg, flags, 10, num_ex, num_new)
+        return _huffman_symbol_dict(seg, flags, 10, num_ex, num_new,
+                                    custom_tables)
     off = 2
     n_at = 4 if template == 0 else 1
     at = []
@@ -846,6 +891,7 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
     page: list[bytearray] | None = None
     sym_dicts: dict[int, list] = {}  # segment number → exported symbols
     pat_dicts: dict[int, list] = {}  # segment number → pattern bitmaps
+    huff_tables: dict[int, HuffTable] = {}  # segment number → custom table
 
     while pos + 11 <= n:
         # --- segment header (§7.2) ---
@@ -933,9 +979,13 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
                         prow[rx + x] |= row[x]  # OR composition (default)
         elif seg_type == 0:  # symbol dictionary
             in_syms: list = []
+            in_tables: list = []
             for r in referred:
                 in_syms.extend(sym_dicts.get(r, []))
-            sym_dicts[seg_number] = decode_symbol_dict(seg, in_syms)
+                if r in huff_tables:
+                    in_tables.append(huff_tables[r])
+            sym_dicts[seg_number] = decode_symbol_dict(seg, in_syms,
+                                                       in_tables)
         elif seg_type in (4, 6, 7):  # text region (intermediate/immediate)
             symbols: list = []
             for r in referred:
@@ -991,6 +1041,8 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
                 for x in range(rw):
                     if rx + x < len(prow):
                         prow[rx + x] = row[x]
+        elif seg_type == 53:  # custom Huffman table definition
+            huff_tables[seg_number] = parse_table_segment(seg)
         elif seg_type == 16:  # pattern dictionary
             pat_dicts[seg_number] = decode_pattern_dict(seg)
         elif seg_type in (20, 22, 23):  # halftone region
