@@ -641,3 +641,58 @@ def test_jbig2_custom_huffman_table_segment():
             got, w, h = decode_embedded(stream)
             assert (w, h) == (cols, nrows)
             assert [list(r) for r in got] == want
+
+
+def test_jbig2_refined_text_region_roundtrip_fuzz():
+    """SBREFINE=1 text regions (§6.4.11): per-instance RI flag + RDW/RDH/
+    RDX/RDY + GRR refinement of the dictionary symbol (dims may grow or
+    shrink), across all four REFCORNERs and transposed — vs the
+    independent writer-side encoder."""
+    import random
+
+    from unipdf_spark.fixtures.render import jbig2_text_encode
+    from unipdf_spark.pdf.jbig2 import decode_embedded
+
+    rng = random.Random(103)
+    for _ in range(4):
+        n_sym = rng.randint(1, 4)
+        symbols = [
+            [[rng.random() < 0.5 for _ in range(rng.randint(3, 8))]
+             for _ in range(rng.randint(3, 8))]
+            for _ in range(n_sym)
+        ]
+        symbols = [
+            [[bool(row[i]) if i < len(row) else False
+              for i in range(len(sym[0]))] for row in sym]
+            for sym in symbols
+        ]
+        cols, nrows = 40, 24
+        placements = [
+            (rng.randrange(n_sym), rng.randint(0, cols - 12),
+             rng.randint(0, nrows - 12))
+            for _ in range(rng.randint(2, 8))
+        ]
+        refinements = {}
+        for p_idx, (sid, _x, _y) in enumerate(placements):
+            if rng.random() < 0.5:
+                base = symbols[sid]
+                dw = rng.choice([0, 0, 1, -1])
+                dh = rng.choice([0, 0, 1, -1])
+                wi = max(1, len(base[0]) + dw)
+                hi = max(1, len(base) + dh)
+                bmp = [[(base[yy][xx] if yy < len(base) and xx < len(base[0])
+                         else False) for xx in range(wi)]
+                       for yy in range(hi)]
+                for _ in range(rng.randint(0, 5)):
+                    yy, xx = rng.randrange(hi), rng.randrange(wi)
+                    bmp[yy][xx] = not bmp[yy][xx]
+                refinements[p_idx] = bmp
+        refinements.setdefault(0, [list(r) for r in symbols[placements[0][0]]])
+        for corner in (0, 2):
+            for transposed in (False, True):
+                stream, want = jbig2_text_encode(
+                    symbols, placements, cols, nrows, ref_corner=corner,
+                    transposed=transposed, instance_refine=refinements)
+                got, w, h = decode_embedded(stream)
+                assert (w, h) == (cols, nrows)
+                assert [list(r) for r in got] == want, (corner, transposed)

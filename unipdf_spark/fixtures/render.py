@@ -873,14 +873,19 @@ def jbig2_text_encode(symbols: list[list[list[bool]]],
                       placements: list[tuple[int, int, int]],
                       cols: int, nrows: int,
                       ref_corner: int = 1,
-                      transposed: bool = False) -> tuple[bytes, list[list[int]]]:
+                      transposed: bool = False,
+                      instance_refine: dict | None = None
+                      ) -> tuple[bytes, list[list[int]]]:
     """Embedded JBIG2 with a SYMBOL DICTIONARY + TEXT REGION (the jbig2enc
     shape): page info, symbol dict (arithmetic, template 0, all exported),
     one-strip text region placing (sym_id, x, y) instances, where (x, y)
     is always the TOP-LEFT pixel of the symbol; ref_corner (0=BL 1=TL
     2=BR 3=TR) and transposed select the T/S coordinate encoding per
     T.88 §6.4.5 (transposed: T along x, S along y, strips are columns).
+    ``instance_refine`` maps placement INDEX → a bitmap placed as an
+    SBREFINE=1 refinement of that instance's dictionary symbol (§6.4.11).
     Returns (stream, composed page rows 0/1)."""
+    instance_refine = instance_refine or {}
     # --- symbol dictionary segment -------------------------------------
     order = sorted(range(len(symbols)), key=lambda i: len(symbols[i]))
     enc = _MQEncoder()
@@ -917,19 +922,26 @@ def jbig2_text_encode(symbols: list[list[list[bool]]],
     enc2 = _MQEncoder()
     iadt, iafs, iads = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
     iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
-    by_row: dict[int, list[tuple[int, int]]] = {}
-    for sym_id, x, y in placements:
+    refine = bool(instance_refine)
+    iari, iardw, iardh = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    iardx, iardy = _jb2_int_ctx(), _jb2_int_ctx()
+    gr_ctx: dict = {}
+
+    def eff_bitmap(p_idx: int, sym_id: int):
+        return instance_refine.get(p_idx, symbols[sym_id])
+
+    by_row: dict[int, list[tuple[int, int, int]]] = {}
+    for p_idx, (sym_id, x, y) in enumerate(placements):
+        bmp0 = eff_bitmap(p_idx, sym_id)
         if transposed:
             # encoded T (along x): left edge for TL/BL, right col for TR/BR
-            t_enc = x if ref_corner in (0, 1) else (
-                x + len(symbols[sym_id][0]) - 1)
+            t_enc = x if ref_corner in (0, 1) else (x + len(bmp0[0]) - 1)
             s_coord = y
         else:
             # encoded T (along y): top edge for TL/TR, bottom row for BL/BR
-            t_enc = y if ref_corner in (1, 3) else (
-                y + len(symbols[sym_id]) - 1)
+            t_enc = y if ref_corner in (1, 3) else (y + len(bmp0) - 1)
             s_coord = x
-        by_row.setdefault(t_enc, []).append((s_coord, remap[sym_id]))
+        by_row.setdefault(t_enc, []).append((s_coord, remap[sym_id], p_idx))
     _jb2_enc_int(enc2, iadt, 0)  # STRIPT init = 0
     stript = 0
     firsts = 0
@@ -940,7 +952,7 @@ def jbig2_text_encode(symbols: list[list[list[bool]]],
         stript = t
         first = True
         curs = 0
-        for s, sid in sorted(by_row[t]):
+        for s, sid, p_idx in sorted(by_row[t]):
             if first:
                 _jb2_enc_int(enc2, iafs, s - firsts)
                 firsts = s
@@ -951,6 +963,20 @@ def jbig2_text_encode(symbols: list[list[list[bool]]],
                 curs = s
             _jb2_enc_iaid(enc2, iaid_cx, symcodelen, sid)
             sym = symbols[order[sid]]
+            bmp = instance_refine.get(p_idx)
+            if refine:
+                _jb2_enc_int(enc2, iari, 1 if bmp is not None else 0)
+            if bmp is not None:
+                sw0, sh0 = len(sym[0]), len(sym)
+                wi, hi = len(bmp[0]), len(bmp)
+                _jb2_enc_int(enc2, iardw, wi - sw0)
+                _jb2_enc_int(enc2, iardh, hi - sh0)
+                _jb2_enc_int(enc2, iardx, 0)
+                _jb2_enc_int(enc2, iardy, 0)
+                _jb2_refine_into(enc2, gr_ctx, bmp, sym, wi, hi, sw0, sh0,
+                                 (wi - sw0) >> 1, (hi - sh0) >> 1,
+                                 template=0)
+                sym = bmp
             curs += (len(sym) if transposed else len(sym[0])) - 1
             n_inst += 1
         if n_inst < total:
@@ -959,9 +985,11 @@ def jbig2_text_encode(symbols: list[list[list[bool]]],
     region_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
                    + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
                    + bytes([0]))
-    # REFCORNER bits 4-5, TRANSPOSED bit 6; strips=1, OR
-    tr_flags = ((ref_corner & 3) << 4) | ((1 if transposed else 0) << 6)
-    tr_data = (region_info + tr_flags.to_bytes(2, "big")
+    # SBREFINE bit 1, REFCORNER bits 4-5, TRANSPOSED bit 6; strips=1, OR
+    tr_flags = (((1 if refine else 0) << 1) | ((ref_corner & 3) << 4)
+                | ((1 if transposed else 0) << 6))
+    rat = bytes([0xFF, 0xFF, 0xFF, 0xFF]) if refine else b""
+    tr_data = (region_info + tr_flags.to_bytes(2, "big") + rat
                + total.to_bytes(4, "big") + tr_body)
 
     page_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
@@ -974,8 +1002,8 @@ def jbig2_text_encode(symbols: list[list[list[bool]]],
 
     # composed reference bitmap (TL placement, OR)
     page = [[0] * cols for _ in range(nrows)]
-    for sym_id, x, y in placements:
-        sym = symbols[sym_id]
+    for p_idx, (sym_id, x, y) in enumerate(placements):
+        sym = eff_bitmap(p_idx, sym_id)
         for yy, srow in enumerate(sym):
             if 0 <= y + yy < nrows:
                 prow = page[y + yy]

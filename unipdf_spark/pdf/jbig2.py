@@ -16,7 +16,8 @@ LoC; decoder entry internal/jbig2/decoder) from the public spec
   (§6.5.8.2, REFAGGNINST=1, referred-dict imports honored), AND SDHUFF=1
   Huffman classes (standard Annex B tables B.1–B.5, collective
   height-class bitmaps — uncompressed or MMR); TEXT REGIONS (types 4/6/7,
-  §6.4, arithmetic, all four REFCORNERs, transposed and untransposed);
+  §6.4, arithmetic, all four REFCORNERs, transposed and untransposed,
+  SBREFINE=1 refinement-coded instances per §6.4.11);
 * GENERIC REFINEMENT REGIONS (types 40/42/43, §6.3): templates 0/1 with
   TPGRON, refining (replacing) the current page content;
 * PATTERN DICTIONARIES (type 16, §6.7: collective generic bitmap, special
@@ -24,9 +25,8 @@ LoC; decoder entry internal/jbig2/decoder) from the public spec
   grayscale bitplanes, MSB first, shared MQ contexts, grid stamping);
 * CUSTOM HUFFMAN TABLE segments (type 53, §7.4.13) consumed by SDHUFF
   selections in order of use;
-* aggregate (REFAGGNINST>1) symbol coding, Huffman/refined text regions
-  and MMR/skip halftone grayscale remain typed errors — the remaining
-  tail.
+* aggregate (REFAGGNINST>1) symbol coding, Huffman text regions and
+  MMR/skip halftone grayscale remain typed errors — the remaining tail.
 
 Bitmap convention: 1 = black (JBIG2 foreground), rows packed MSB-first —
 callers converting to PDF imaging space handle /Decode semantics.
@@ -793,7 +793,9 @@ def decode_halftone_region(seg: bytes, patterns: list):
 
 
 def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
-    """Text region decoding (§6.4, arithmetic, SBHUFF=0, SBREFINE=0).
+    """Text region decoding (§6.4, arithmetic): SBREFINE=1 instances are
+    refinement-coded deltas of their dictionary symbol (RI flag + RDW/RDH/
+    RDX/RDY + GRR decode, §6.4.11). SBHUFF stays a typed error.
     Returns (region rows, rw, rh, rx, ry)."""
     rw, rh = _u32(seg, 0), _u32(seg, 4)
     rx, ry = _u32(seg, 8), _u32(seg, 12)
@@ -812,9 +814,18 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
     ds_offset = (flags << 17) & 0xFFFFFFFF
     ds_offset = (ds_offset >> 27) - 32 if (ds_offset >> 27) > 15 else (
         ds_offset >> 27)
-    if huffman or refine:
-        raise Jbig2Error("huffman/refined text regions unsupported")
+    if huffman:
+        raise Jbig2Error("huffman text regions unsupported")
+    rtemplate = (flags >> 15) & 1
     off = 19
+    rat = None
+    if refine and rtemplate == 0:
+        rat = []
+        for _ in range(2):
+            rat.append((
+                int.from_bytes(seg[off : off + 1], "big", signed=True),
+                int.from_bytes(seg[off + 1 : off + 2], "big", signed=True)))
+            off += 2
     num_instances = _u32(seg, off)
     off += 4
 
@@ -822,6 +833,9 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
     symcodelen = max(1, (n_syms - 1).bit_length() if n_syms > 1 else 1)
     dec = MQDecoder(seg[off:])
     iadt, iafs, iads, iait = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    iari, iardw, iardh = IntCtx(), IntCtx(), IntCtx()
+    iardx, iardy = IntCtx(), IntCtx()
+    gr_ctx: dict[int, list] = {}
     iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
 
     bitmap = [bytearray([def_pixel] * rw) for _ in range(rh)]
@@ -854,6 +868,18 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
             sym = symbols[sym_id] if sym_id < n_syms else []
             sh = len(sym)
             sw = len(sym[0]) if sh else 0
+            if refine and decode_int(dec, iari):
+                # refinement-coded instance (§6.4.11): the placed bitmap
+                # is a GRR refinement of the dictionary symbol
+                rdw = decode_int(dec, iardw)
+                rdh = decode_int(dec, iardh)
+                rdx = decode_int(dec, iardx)
+                rdy = decode_int(dec, iardy)
+                wi, hi = sw + rdw, sh + rdh
+                sym = decode_refinement(
+                    dec, gr_ctx, wi, hi, rtemplate, rat, sym, sw, sh,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy, False)
+                sh, sw = hi, wi
             # placement (T.88 §6.4.5): S always spans CURS..CURS+len-1
             # along its axis (x untransposed, y transposed); the corner
             # only moves the T edge (top/bottom row untransposed,
