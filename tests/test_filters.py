@@ -696,3 +696,62 @@ def test_jbig2_refined_text_region_roundtrip_fuzz():
                 got, w, h = decode_embedded(stream)
                 assert (w, h) == (cols, nrows)
                 assert [list(r) for r in got] == want, (corner, transposed)
+
+
+def test_jbig2_aggregate_symbol_coding_roundtrip_fuzz():
+    """REFAGGNINST>1 aggregate symbol coding (§6.5.8.2.1): a dictionary
+    symbol decoded as a nested TL/strip-1/refined text region over the
+    import+new pool, sharing the dictionary's integer/IAID/GR contexts —
+    vs the independent writer-side encoder."""
+    import random
+
+    from unipdf_spark.fixtures.render import jbig2_refagg_text_encode
+    from unipdf_spark.pdf.jbig2 import decode_embedded
+
+    rng = random.Random(113)
+    for _ in range(6):
+        nb = rng.randint(2, 4)
+        base = [
+            [[rng.random() < 0.5 for _ in range(rng.randint(3, 6))]
+             for _ in range(rng.randint(3, 6))]
+            for _ in range(nb)
+        ]
+        base = [
+            [[bool(row[i]) if i < len(row) else False
+              for i in range(len(sym[0]))] for row in sym]
+            for sym in base
+        ]
+        variants = []
+        for _ in range(rng.randint(0, 2)):
+            bid = rng.randrange(nb)
+            bmp = [list(r) for r in base[bid]]
+            for _ in range(rng.randint(0, 4)):
+                yy, xx = rng.randrange(len(bmp)), rng.randrange(len(bmp[0]))
+                bmp[yy][xx] = not bmp[yy][xx]
+            variants.append((bid, bmp))
+        aggregates = []
+        for _ in range(rng.randint(1, 2)):
+            cw, ch = rng.randint(10, 16), rng.randint(8, 12)
+            insts = []
+            for _ in range(rng.randint(2, 4)):
+                bid = rng.randrange(nb)
+                bmp = [list(r) for r in base[bid]]
+                for _ in range(rng.randint(0, 3)):
+                    yy, xx = (rng.randrange(len(bmp)),
+                              rng.randrange(len(bmp[0])))
+                    bmp[yy][xx] = not bmp[yy][xx]
+                insts.append((bid, rng.randint(0, cw - len(bmp[0])),
+                              rng.randint(0, ch - len(bmp)), bmp))
+            aggregates.append((cw, ch, insts))
+        cols, nrows = 48, 28
+        total = nb + len(variants) + len(aggregates)
+        placements = [
+            (rng.randrange(total), rng.randint(0, cols - 18),
+             rng.randint(0, nrows - 14))
+            for _ in range(rng.randint(2, 7))
+        ]
+        stream, want = jbig2_refagg_text_encode(
+            base, variants, placements, cols, nrows, aggregates=aggregates)
+        got, w, h = decode_embedded(stream)
+        assert (w, h) == (cols, nrows)
+        assert [list(r) for r in got] == want

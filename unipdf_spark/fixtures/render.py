@@ -1905,15 +1905,21 @@ def jbig2_halftone_encode(gray, patterns) -> tuple[bytes, list]:
 
 
 def jbig2_refagg_text_encode(base_symbols, variants, placements,
-                             cols: int, nrows: int) -> tuple[bytes, list]:
+                             cols: int, nrows: int,
+                             aggregates=None) -> tuple[bytes, list]:
     """Embedded JBIG2 exercising SDREFAGG=1: a base arithmetic symbol
     dictionary, then a REFINEMENT-coded dictionary (each new symbol =
     IAAI(1) + IAID(base) + IARDX/IARDY(0) + GRR refinement of that base,
     one shared MQ coder, §6.5.8.2) importing the base via the referred-to
     list, then an arithmetic text region over the combined exports.
-    `variants` = [(base_id, bitmap_same_dims)]; placements index base
-    symbols first, then variants (both by caller order), always top-left.
+    `variants` = [(base_id, bitmap_same_dims)];
+    `aggregates` = [(canvas_w, canvas_h, [(base_id, x, y, refined_bmp)])]
+    — REFAGGNINST>1 symbols coded as nested TL/strip-1 text regions of
+    refined base-symbol instances (§6.5.8.2.1), sharing the dictionary's
+    contexts. Placements index base symbols, then variants, then
+    aggregates (caller order), always top-left.
     Returns (stream, composed page rows)."""
+    aggregates = aggregates or []
     # --- base dictionary (arithmetic, as jbig2_text_encode) ---------------
     base_order = sorted(range(len(base_symbols)),
                         key=lambda i: (len(base_symbols[i]),
@@ -1944,38 +1950,102 @@ def jbig2_refagg_text_encode(base_symbols, variants, placements,
     base_remap = {orig: k for k, orig in enumerate(base_order)}
 
     # --- refinement dictionary (SDREFAGG=1, refers to the base) ----------
-    var_order = sorted(range(len(variants)),
-                       key=lambda j: (len(variants[j][1]),
-                                      len(variants[j][1][0])))
+    # new entries: refine-1 variants and (optionally) REFAGGNINST>1
+    # aggregates, class-sorted together by (height, width)
+    def agg_canvas(a):
+        cw, ch, insts = a
+        canvas = [[False] * cw for _ in range(ch)]
+        for _bid, ax, ay, bmp in insts:
+            for yy, rrow in enumerate(bmp):
+                if 0 <= ay + yy < ch:
+                    for xx, v in enumerate(rrow):
+                        if v and 0 <= ax + xx < cw:
+                            canvas[ay + yy][ax + xx] = True
+        return canvas
+
+    entries = [("var", j, len(variants[j][1]), len(variants[j][1][0]))
+               for j in range(len(variants))]
+    entries += [("agg", k, aggregates[k][1], aggregates[k][0])
+                for k in range(len(aggregates))]
+    entry_order = sorted(range(len(entries)),
+                         key=lambda e: (entries[e][2], entries[e][3]))
     n_in = len(base_symbols)
-    n_new = len(variants)
+    n_new = len(entries)
     n_total = n_in + n_new
     symcodelen = max(1, (n_total - 1).bit_length() if n_total > 1 else 1)
     enc2 = _MQEncoder()
     gr_ctx: dict = {}
     iadh2, iadw2, iaex2 = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
     iaai, iardx, iardy = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    iadt2, iafs2, iads2 = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    iari2, iardw2, iardh2 = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
     iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
     hcheight = 0
     i = 0
-    while i < len(var_order):
-        hgt = len(variants[var_order[i]][1])
+    while i < len(entry_order):
+        e = entries[entry_order[i]]
+        hgt = e[2]
         _jb2_enc_int(enc2, iadh2, hgt - hcheight)
         hcheight = hgt
         symwidth = 0
-        while i < len(var_order) and len(variants[var_order[i]][1]) == hgt:
-            base_id, bmp = variants[var_order[i]]
-            wd = len(bmp[0])
+        while i < len(entry_order) and entries[entry_order[i]][2] == hgt:
+            kind, j, _h, wd = entries[entry_order[i]]
             _jb2_enc_int(enc2, iadw2, wd - symwidth)
             symwidth = wd
-            _jb2_enc_int(enc2, iaai, 1)  # REFAGGNINST = 1
-            rid = base_remap[base_id]  # index into SDINSYMS
-            _jb2_enc_iaid(enc2, iaid_cx, symcodelen, rid)
-            _jb2_enc_int(enc2, iardx, 0)
-            _jb2_enc_int(enc2, iardy, 0)
-            ref = base_symbols[base_id]
-            _jb2_refine_into(enc2, gr_ctx, bmp, ref, wd, hgt,
-                             len(ref[0]), len(ref), 0, 0, template=0)
+            if kind == "var":
+                base_id, bmp = variants[j]
+                _jb2_enc_int(enc2, iaai, 1)  # REFAGGNINST = 1
+                rid = base_remap[base_id]  # index into SDINSYMS
+                _jb2_enc_iaid(enc2, iaid_cx, symcodelen, rid)
+                _jb2_enc_int(enc2, iardx, 0)
+                _jb2_enc_int(enc2, iardy, 0)
+                ref = base_symbols[base_id]
+                _jb2_refine_into(enc2, gr_ctx, bmp, ref, wd, hgt,
+                                 len(ref[0]), len(ref), 0, 0, template=0)
+            else:
+                # aggregate: nested TL/strip-1/refined text region over
+                # the pool, shared contexts (§6.5.8.2.1)
+                cw, ch, insts = aggregates[j]
+                _jb2_enc_int(enc2, iaai, len(insts))
+                _jb2_enc_int(enc2, iadt2, 0)  # STRIPT init
+                stript = 0
+                firsts = 0
+                n_i = 0
+                by_t: dict = {}
+                for bid, ax, ay, bmp in insts:
+                    by_t.setdefault(ay, []).append((ax, bid, bmp))
+                for t in sorted(by_t):
+                    _jb2_enc_int(enc2, iadt2, t - stript)
+                    stript = t
+                    first = True
+                    curs = 0
+                    for ax, bid, bmp in sorted(by_t[t],
+                                               key=lambda z: z[0]):
+                        if first:
+                            _jb2_enc_int(enc2, iafs2, ax - firsts)
+                            firsts = ax
+                            curs = ax
+                            first = False
+                        else:
+                            _jb2_enc_int(enc2, iads2, ax - curs)
+                            curs = ax
+                        rid = base_remap[bid]
+                        _jb2_enc_iaid(enc2, iaid_cx, symcodelen, rid)
+                        _jb2_enc_int(enc2, iari2, 1)
+                        ref = base_symbols[bid]
+                        sw0, sh0 = len(ref[0]), len(ref)
+                        wi, hi = len(bmp[0]), len(bmp)
+                        _jb2_enc_int(enc2, iardw2, wi - sw0)
+                        _jb2_enc_int(enc2, iardh2, hi - sh0)
+                        _jb2_enc_int(enc2, iardx, 0)
+                        _jb2_enc_int(enc2, iardy, 0)
+                        _jb2_refine_into(enc2, gr_ctx, bmp, ref, wi, hi,
+                                         sw0, sh0, (wi - sw0) >> 1,
+                                         (hi - sh0) >> 1, template=0)
+                        curs += wi - 1
+                        n_i += 1
+                    if n_i < len(insts):
+                        _jb2_enc_int(enc2, iads2, None)
             i += 1
         _jb2_enc_int(enc2, iadw2, None)
     _jb2_enc_int(enc2, iaex2, 0)
@@ -1986,11 +2056,15 @@ def jbig2_refagg_text_encode(base_symbols, variants, placements,
            + enc2.flush())
 
     # --- text region over the combined exports ---------------------------
-    # export order: base (base_order) then variants (var_order)
+    # export order: base (base_order) then new entries (entry_order)
+    def entry_bitmap(e):
+        kind, j, _h, _w = e
+        return variants[j][1] if kind == "var" else agg_canvas(aggregates[j])
+
     combined = [base_symbols[k] for k in base_order] + [
-        variants[k][1] for k in var_order]
+        entry_bitmap(entries[k]) for k in entry_order]
     remap = dict(base_remap)
-    for k, orig in enumerate(var_order):
+    for k, orig in enumerate(entry_order):
         remap[n_in + orig] = n_in + k
     symcodelen_t = max(1, (n_total - 1).bit_length() if n_total > 1 else 1)
     enc3 = _MQEncoder()
@@ -2036,7 +2110,7 @@ def jbig2_refagg_text_encode(base_symbols, variants, placements,
               + _jb2_segment_refs(3, 0, [2], sd2)
               + _jb2_segment_refs(4, 6, [3], tr_data)
               + _jb2_segment(5, 49, b""))
-    all_syms = list(base_symbols) + [v[1] for v in variants]
+    all_syms = list(base_symbols) + [entry_bitmap(e) for e in entries]
     page = [[0] * cols for _ in range(nrows)]
     for sym_id, x, y in placements:
         sym = all_syms[sym_id]

@@ -13,7 +13,8 @@ LoC; decoder entry internal/jbig2/decoder) from the public spec
   0–3 context models, with TPGDON typical-prediction rows;
 * SYMBOL DICTIONARIES (type 0, §6.5): arithmetic height classes,
   SDREFAGG=1 refinement-coded symbols against imported/earlier symbols
-  (§6.5.8.2, REFAGGNINST=1, referred-dict imports honored), AND SDHUFF=1
+  (§6.5.8.2 — both the REFAGGNINST=1 shortcut and >1 aggregate nested
+  text regions, referred-dict imports honored), AND SDHUFF=1
   Huffman classes (standard Annex B tables B.1–B.5, collective
   height-class bitmaps — uncompressed or MMR); TEXT REGIONS (types 4/6/7,
   §6.4, arithmetic, all four REFCORNERs, transposed and untransposed,
@@ -25,8 +26,8 @@ LoC; decoder entry internal/jbig2/decoder) from the public spec
   grayscale bitplanes, MSB first, shared MQ contexts, grid stamping);
 * CUSTOM HUFFMAN TABLE segments (type 53, §7.4.13) consumed by SDHUFF
   selections in order of use;
-* aggregate (REFAGGNINST>1) symbol coding, Huffman text regions and
-  MMR/skip halftone grayscale remain typed errors — the remaining tail.
+* Huffman text regions and MMR/skip halftone grayscale remain typed
+  errors — the remaining tail.
 
 Bitmap convention: 1 = black (JBIG2 foreground), rows packed MSB-first —
 callers converting to PDF imaging space handle /Decode semantics.
@@ -608,7 +609,8 @@ def decode_symbol_dict(seg: bytes,
     earlier symbols (§6.5.8.2, REFAGGNINST=1) — or SDHUFF=1 Huffman
     classes with collective bitmaps (standard Annex B tables).
     ``input_syms`` are the referred-to dictionaries' exports (SDINSYMS).
-    Aggregate (REFAGGNINST>1) coding stays a typed error."""
+    REFAGGNINST>1 symbols decode as nested text regions sharing the
+    dictionary's contexts."""
     input_syms = input_syms or []
     flags = int.from_bytes(seg[0:2], "big")
     huffman = flags & 1
@@ -643,12 +645,10 @@ def decode_symbol_dict(seg: bytes,
 
     dec = MQDecoder(seg[off:])
     gb_ctx: dict[int, list] = {}
-    gr_ctx: dict[int, list] = {}
-    iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
-    iaai, iardx, iardy = IntCtx(), IntCtx(), IntCtx()
+    iadh, iadw, iaex, iaai = IntCtx(), IntCtx(), IntCtx(), IntCtx()
     n_total = len(input_syms) + num_new
     symcodelen = max(1, (n_total - 1).bit_length() if n_total > 1 else 1)
-    iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
+    tc = TextCtx(symcodelen)  # shared with aggregate text regions
     new_syms: list[list[bytearray]] = []
     hcheight = 0
     while len(new_syms) < num_new:
@@ -666,19 +666,30 @@ def decode_symbol_dict(seg: bytes,
                 raise Jbig2Error("too many symbols")
             if refagg:
                 n_inst = decode_int(dec, iaai)
-                if n_inst != 1:
-                    raise Jbig2Error(
-                        "aggregate (REFAGGNINST>1) symbol coding unsupported")
-                rid = decode_iaid(dec, iaid_cx, symcodelen)
-                rdx = decode_int(dec, iardx)
-                rdy = decode_int(dec, iardy)
                 pool = input_syms + new_syms
-                ref = pool[rid] if rid < len(pool) else []
-                ref_h = len(ref)
-                ref_w = len(ref[0]) if ref_h else 0
-                new_syms.append(decode_refinement(
-                    dec, gr_ctx, symwidth, hcheight, rtemplate, rat,
-                    ref, ref_w, ref_h, rdx, rdy, False))
+                if n_inst == 1:
+                    # single-refinement shortcut (§6.5.8.2.2)
+                    rid = decode_iaid(dec, tc.iaid_cx, symcodelen)
+                    rdx = decode_int(dec, tc.iardx)
+                    rdy = decode_int(dec, tc.iardy)
+                    ref = pool[rid] if rid < len(pool) else []
+                    ref_h = len(ref)
+                    ref_w = len(ref[0]) if ref_h else 0
+                    new_syms.append(decode_refinement(
+                        dec, tc.gr_ctx, symwidth, hcheight, rtemplate, rat,
+                        ref, ref_w, ref_h, rdx, rdy, False))
+                else:
+                    # aggregate: the symbol is a nested text region over
+                    # the pool (§6.5.8.2.1: SBSTRIPS=1, TL corner,
+                    # untransposed, SBDEFPIXEL=0, SBDSOFFSET=0,
+                    # SBREFINE=1), sharing this dictionary's contexts
+                    new_syms.append([
+                        bytearray(r) for r in decode_text_payload(
+                            dec, tc, pool, symwidth, hcheight, n_inst,
+                            strips=1, ref_corner=1, transposed=0,
+                            ds_offset=0, def_pixel=0, refine=True,
+                            rtemplate=rtemplate, rat=rat)
+                    ])
             else:
                 new_syms.append(
                     decode_generic_with(dec, gb_ctx, symwidth, hcheight,
@@ -832,18 +843,46 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
     n_syms = len(symbols)
     symcodelen = max(1, (n_syms - 1).bit_length() if n_syms > 1 else 1)
     dec = MQDecoder(seg[off:])
-    iadt, iafs, iads, iait = IntCtx(), IntCtx(), IntCtx(), IntCtx()
-    iari, iardw, iardh = IntCtx(), IntCtx(), IntCtx()
-    iardx, iardy = IntCtx(), IntCtx()
-    gr_ctx: dict[int, list] = {}
-    iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
+    tc = TextCtx(symcodelen)
+    bitmap = decode_text_payload(
+        dec, tc, symbols, rw, rh, num_instances, strips, ref_corner,
+        transposed, ds_offset, def_pixel, bool(refine), rtemplate, rat)
+    return bitmap, rw, rh, rx, ry
 
+
+class TextCtx:
+    """Context bundle for text-region instance decoding — owned per
+    region, or shared with a symbol dictionary for REFAGGNINST>1
+    aggregate coding (§6.5.8.2.1)."""
+
+    __slots__ = ("iadt", "iafs", "iads", "iait", "iari", "iardw", "iardh",
+                 "iardx", "iardy", "iaid_cx", "gr_ctx", "symcodelen")
+
+    def __init__(self, symcodelen: int) -> None:
+        self.symcodelen = symcodelen
+        for name in ("iadt", "iafs", "iads", "iait", "iari", "iardw",
+                     "iardh", "iardx", "iardy"):
+            setattr(self, name, IntCtx())
+        self.iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
+        self.gr_ctx: dict[int, list] = {}
+
+
+def decode_text_payload(dec: MQDecoder, tc: TextCtx, symbols: list,
+                        rw: int, rh: int, num_instances: int,
+                        strips: int = 1, ref_corner: int = 1,
+                        transposed: int = 0, ds_offset: int = 0,
+                        def_pixel: int = 0, refine: bool = False,
+                        rtemplate: int = 0, rat=None):
+    """Strip/instance decoding core of §6.4 over an EXISTING decoder and
+    context bundle; returns the composed (rh × rw) bitmap."""
+    n_syms = len(symbols)
+    symcodelen = tc.symcodelen
     bitmap = [bytearray([def_pixel] * rw) for _ in range(rh)]
-    stript = -(decode_int(dec, iadt) or 0) * strips
+    stript = -(decode_int(dec, tc.iadt) or 0) * strips
     firsts = 0
     n_inst = 0
     while n_inst < num_instances:
-        dt = decode_int(dec, iadt)
+        dt = decode_int(dec, tc.iadt)
         if dt is OOB:
             raise Jbig2Error("unexpected OOB for DT")
         stript += dt * strips
@@ -851,33 +890,33 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
         curs = 0
         while True:
             if first:
-                dfs = decode_int(dec, iafs)
+                dfs = decode_int(dec, tc.iafs)
                 if dfs is OOB:
                     raise Jbig2Error("unexpected OOB for DFS")
                 firsts += dfs
                 curs = firsts
                 first = False
             else:
-                ids = decode_int(dec, iads)
+                ids = decode_int(dec, tc.iads)
                 if ids is OOB:
                     break  # end of strip
                 curs += ids + ds_offset
-            curt = 0 if strips == 1 else decode_int(dec, iait)
+            curt = 0 if strips == 1 else decode_int(dec, tc.iait)
             t = stript + curt
-            sym_id = decode_iaid(dec, iaid_cx, symcodelen)
+            sym_id = decode_iaid(dec, tc.iaid_cx, symcodelen)
             sym = symbols[sym_id] if sym_id < n_syms else []
             sh = len(sym)
             sw = len(sym[0]) if sh else 0
-            if refine and decode_int(dec, iari):
+            if refine and decode_int(dec, tc.iari):
                 # refinement-coded instance (§6.4.11): the placed bitmap
                 # is a GRR refinement of the dictionary symbol
-                rdw = decode_int(dec, iardw)
-                rdh = decode_int(dec, iardh)
-                rdx = decode_int(dec, iardx)
-                rdy = decode_int(dec, iardy)
+                rdw = decode_int(dec, tc.iardw)
+                rdh = decode_int(dec, tc.iardh)
+                rdx = decode_int(dec, tc.iardx)
+                rdy = decode_int(dec, tc.iardy)
                 wi, hi = sw + rdw, sh + rdh
                 sym = decode_refinement(
-                    dec, gr_ctx, wi, hi, rtemplate, rat, sym, sw, sh,
+                    dec, tc.gr_ctx, wi, hi, rtemplate, rat, sym, sw, sh,
                     (rdw >> 1) + rdx, (rdh >> 1) + rdy, False)
                 sh, sw = hi, wi
             # placement (T.88 §6.4.5): S always spans CURS..CURS+len-1
@@ -903,7 +942,7 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
             n_inst += 1
             if n_inst >= num_instances:
                 break
-    return bitmap, rw, rh, rx, ry
+    return bitmap
 
 
 def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
