@@ -755,3 +755,40 @@ def test_jbig2_aggregate_symbol_coding_roundtrip_fuzz():
         got, w, h = decode_embedded(stream)
         assert (w, h) == (cols, nrows)
         assert [list(r) for r in got] == want
+
+
+def test_jbig2_corrupt_streams_fail_fast():
+    """Relaxed-mode contract for web corpora: random corruption of valid
+    JBIG2 streams must raise a typed error or return quickly — never spin
+    on an implausible instance/symbol count or allocate a giant bitmap."""
+    import random
+    import time
+
+    from unipdf_spark.fixtures.render import (jbig2_encode,
+                                              jbig2_halftone_encode,
+                                              jbig2_text_encode)
+    from unipdf_spark.pdf.jbig2 import Jbig2Error, decode_embedded
+
+    rng = random.Random(131)
+    rows = [[rng.random() < 0.4 for _ in range(32)] for _ in range(12)]
+    syms = [[[rng.random() < 0.5 for _ in range(5)] for _ in range(5)]]
+    pats = [[[i > 0] * 4 for _ in range(4)] for i in range(2)]
+    streams = [
+        jbig2_encode(rows, 32),
+        jbig2_text_encode(syms, [(0, 3, 3), (0, 12, 8)], 32, 16)[0],
+        jbig2_halftone_encode([[0, 1], [1, 0]], pats)[0],
+    ]
+    t0 = time.monotonic()
+    n_err = 0
+    for base in streams:
+        for trial in range(120):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 10)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                decode_embedded(bytes(b))
+            except Exception as e:  # noqa: BLE001 — typed or value errors ok
+                n_err += 1
+                assert not isinstance(e, (MemoryError, RecursionError))
+    assert time.monotonic() - t0 < 60, "corruption fuzz too slow"
+    assert n_err > 0  # corruption was actually exercised

@@ -314,6 +314,20 @@ def decode_iaid(dec: MQDecoder, cx: list, symcodelen: int) -> int:
     return prev - (1 << symcodelen)
 
 
+# sanity caps for corrupt web-corpus streams: a garbage header must fail
+# fast with a typed error, never spin a worker on a 2^32 instance count or
+# allocate a multi-GB bitmap (relaxed-mode contract, SURVEY §3.1)
+MAX_PIXELS = 1 << 26       # 64M pixels per region/page bitmap
+MAX_INSTANCES = 1 << 20    # text-region instances
+MAX_SYMBOLS = 1 << 17      # dictionary symbols
+MAX_DIM = 1 << 15          # single dimension
+
+
+def _check_dims(w: int, h: int, what: str) -> None:
+    if not (0 <= w <= MAX_DIM and 0 <= h <= MAX_DIM) or w * h > MAX_PIXELS:
+        raise Jbig2Error(f"implausible {what} dimensions {w}x{h}")
+
+
 def _u32(b: bytes, off: int) -> int:
     return int.from_bytes(b[off : off + 4], "big")
 
@@ -466,10 +480,16 @@ def _huffman_symbol_dict(seg: bytes, flags: int, off: int,
     t_bm = pick(bm_sel, TABLE_B1)
     t_ex = TABLE_B1
 
+    if num_new > MAX_SYMBOLS or num_ex > MAX_SYMBOLS:
+        raise Jbig2Error("implausible symbol dictionary size")
     br = _BitsMSB(seg, off)
     new_syms: list[list[bytearray]] = []
     hcheight = 0
+    n_classes = 0
     while len(new_syms) < num_new:
+        n_classes += 1
+        if n_classes > num_new + 1024:
+            raise Jbig2Error("symbol dictionary class decoding diverged")
         dh = t_dh.decode(br)
         if dh is OOB:
             raise Jbig2Error("unexpected OOB in huffman height class")
@@ -483,6 +503,9 @@ def _huffman_symbol_dict(seg: bytes, flags: int, off: int,
                 break
             symwidth += dw
             totwidth += symwidth
+            _check_dims(symwidth, hcheight, "symbol")
+            if totwidth > MAX_DIM * 4:
+                raise Jbig2Error("implausible collective bitmap width")
             widths.append(symwidth)
             if len(new_syms) + len(widths) > num_new:
                 raise Jbig2Error("too many symbols")
@@ -642,6 +665,8 @@ def decode_symbol_dict(seg: bytes,
     num_ex = _u32(seg, off)
     num_new = _u32(seg, off + 4)
     off += 8
+    if num_new > MAX_SYMBOLS or num_ex > MAX_SYMBOLS:
+        raise Jbig2Error("implausible symbol dictionary size")
 
     dec = MQDecoder(seg[off:])
     gb_ctx: dict[int, list] = {}
@@ -651,7 +676,11 @@ def decode_symbol_dict(seg: bytes,
     tc = TextCtx(symcodelen)  # shared with aggregate text regions
     new_syms: list[list[bytearray]] = []
     hcheight = 0
+    n_classes = 0
     while len(new_syms) < num_new:
+        n_classes += 1
+        if n_classes > num_new + 1024:
+            raise Jbig2Error("symbol dictionary class decoding diverged")
         dh = decode_int(dec, iadh)
         if dh is OOB:
             raise Jbig2Error("unexpected OOB in height class")
@@ -662,6 +691,7 @@ def decode_symbol_dict(seg: bytes,
             if dw is OOB:
                 break  # end of height class
             symwidth += dw
+            _check_dims(symwidth, hcheight, "symbol")
             if len(new_syms) >= num_new:
                 raise Jbig2Error("too many symbols")
             if refagg:
@@ -720,6 +750,8 @@ def decode_pattern_dict(seg: bytes) -> list[list[bytearray]]:
     template = (flags >> 1) & 3
     hdpw, hdph = seg[1], seg[2]
     graymax = _u32(seg, 3)
+    if graymax > 4096 or hdpw == 0 or hdph == 0:
+        raise Jbig2Error("implausible pattern dictionary")
     width = (graymax + 1) * hdpw
     if hdmmr:
         from .ccitt import decode_ccitt
@@ -763,6 +795,8 @@ def decode_halftone_region(seg: bytes, patterns: list):
     hgy = int.from_bytes(seg[30:34], "big", signed=True)
     hrx = int.from_bytes(seg[34:36], "big")
     hry = int.from_bytes(seg[36:38], "big")
+    _check_dims(rw, rh, "halftone region")
+    _check_dims(hgw, hgh, "halftone grid")
     npats = len(patterns)
     if npats == 0:
         raise Jbig2Error("halftone region without pattern dictionary")
@@ -877,11 +911,19 @@ def decode_text_payload(dec: MQDecoder, tc: TextCtx, symbols: list,
     context bundle; returns the composed (rh × rw) bitmap."""
     n_syms = len(symbols)
     symcodelen = tc.symcodelen
+    _check_dims(rw, rh, "text region")
+    if num_instances > MAX_INSTANCES:
+        raise Jbig2Error("implausible text-region instance count")
     bitmap = [bytearray([def_pixel] * rw) for _ in range(rh)]
     stript = -(decode_int(dec, tc.iadt) or 0) * strips
     firsts = 0
     n_inst = 0
+    n_strips = 0
     while n_inst < num_instances:
+        n_strips += 1
+        if n_strips > num_instances + 4096:
+            # corrupt stream: strips keep ending without instances
+            raise Jbig2Error("text region strip decoding diverged")
         dt = decode_int(dec, tc.iadt)
         if dt is OOB:
             raise Jbig2Error("unexpected OOB for DT")
@@ -915,6 +957,7 @@ def decode_text_payload(dec: MQDecoder, tc: TextCtx, symbols: list,
                 rdx = decode_int(dec, tc.iardx)
                 rdy = decode_int(dec, tc.iardy)
                 wi, hi = sw + rdw, sh + rdh
+                _check_dims(wi, hi, "refined instance")
                 sym = decode_refinement(
                     dec, tc.gr_ctx, wi, hi, rtemplate, rat, sym, sw, sh,
                     (rdw >> 1) + rdx, (rdh >> 1) + rdy, False)
@@ -970,6 +1013,8 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
         count = rt >> 5
         if count == 7:
             count = _u32(data, pos) & 0x1FFFFFFF
+            if count > 4096:
+                raise Jbig2Error("implausible referred-to segment count")
             pos += 4 + (count + 8) // 8  # long form + retain bits
         else:
             pos += 1
@@ -993,6 +1038,7 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
             page_w, page_h = _u32(seg, 0), _u32(seg, 4)
             if page_h == 0xFFFFFFFF:
                 page_h = height_hint
+            _check_dims(page_w, page_h, "page")
             default = (seg[16] >> 2) & 1 if len(seg) > 16 else 0
             page = [bytearray([default] * page_w) for _ in range(page_h)]
         elif seg_type in (36, 38, 39):  # generic region
@@ -1000,6 +1046,7 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
                 continue
             rw, rh = _u32(seg, 0), _u32(seg, 4)
             rx, ry = _u32(seg, 8), _u32(seg, 12)
+            _check_dims(rw, rh, "generic region")
             gflags = seg[17]
             mmr = gflags & 1
             template = (gflags >> 1) & 3
@@ -1070,6 +1117,7 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
         elif seg_type in (40, 42, 43):  # generic refinement region (§7.4.7)
             rw, rh = _u32(seg, 0), _u32(seg, 4)
             rx, ry = _u32(seg, 8), _u32(seg, 12)
+            _check_dims(rw, rh, "refinement region")
             rflags = seg[17]
             template = rflags & 1
             tpgron = bool(rflags & 2)
