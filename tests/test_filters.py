@@ -792,3 +792,39 @@ def test_jbig2_corrupt_streams_fail_fast():
                 assert not isinstance(e, (MemoryError, RecursionError))
     assert time.monotonic() - t0 < 60, "corruption fuzz too slow"
     assert n_err > 0  # corruption was actually exercised
+
+
+def test_jpeg_corrupt_streams_fail_fast():
+    """Corruption fuzz over baseline/restart/progressive JPEGs: typed
+    errors or fast completion, never giant allocations or hangs."""
+    import random
+    import time
+
+    import numpy as np
+
+    from unipdf_spark.fixtures.render import (jpeg_gray_encode,
+                                              jpeg_progressive_encode)
+    from unipdf_spark.pdf.jpeg import decode_baseline_gray
+
+    rng = random.Random(137)
+    x, y = np.meshgrid(np.arange(24), np.arange(16))
+    img = (128 + 90 * np.sin(x / 5.0) * np.cos(y / 4.0)).astype("u1")
+    streams = [
+        jpeg_gray_encode(img),
+        jpeg_gray_encode(img, restart_interval=2),
+        jpeg_progressive_encode(img),
+    ]
+    t0 = time.monotonic()
+    n_err = 0
+    for base in streams:
+        for _ in range(120):
+            b = bytearray(base)
+            for _ in range(rng.randint(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                decode_baseline_gray(bytes(b))
+            except Exception as e:  # noqa: BLE001
+                n_err += 1
+                assert not isinstance(e, (MemoryError, RecursionError))
+    assert time.monotonic() - t0 < 60, "corruption fuzz too slow"
+    assert n_err > 0

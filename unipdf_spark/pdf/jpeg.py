@@ -38,6 +38,11 @@ class JpegError(Exception):
     pass
 
 
+# corrupt web-corpus guard: a garbage SOF must not allocate multi-GB
+# coefficient stores or spin the scan loop (relaxed-mode contract)
+MAX_PIXELS = 1 << 26  # 64M
+
+
 class _Huff:
     """Canonical Huffman table from (BITS, HUFFVAL) as a (code, len) map."""
 
@@ -351,6 +356,8 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 raise JpegError("1 or 3 components supported")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
+            if w == 0 or h == 0 or w * h > MAX_PIXELS:
+                raise JpegError(f"implausible frame dimensions {w}x{h}")
             comps = []
             for ci in range(nc):
                 off = 6 + 3 * ci
