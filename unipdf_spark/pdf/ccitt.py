@@ -181,6 +181,10 @@ def decode_ccitt(data: bytes, parms: dict | None = None) -> bytes:
     """CCITTFaxDecode → packed 1-bpp rows (PDF image data convention)."""
     parms = parms or {}
     columns = int(parms.get("Columns", 1728))
+    if not (0 < columns <= (1 << 16)):
+        # corrupt /Columns from a poisoned dict: fail fast, never allocate
+        # a multi-MB stride per row (relaxed web-corpus contract)
+        raise CCITTError(f"implausible Columns {columns}")
     k = int(parms.get("K", 0))
     rows_limit = int(parms.get("Rows", 0))
     black_is_1 = bool(parms.get("BlackIs1", False))
