@@ -231,8 +231,9 @@ def minhash_signatures_pandas(d: DataFrame) -> DataFrame:
                 out[f"h{k}"] = sigs[:, k]
             yield out
 
+    id_type = d.schema["doc_id"].dataType.simpleString()
     return d.select("doc_id", "text").mapInPandas(
-        batches, schema=f"doc_id long, {_SIG_FIELDS}"
+        batches, schema=f"doc_id {id_type}, {_SIG_FIELDS}"
     )
 
 

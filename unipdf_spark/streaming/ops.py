@@ -199,9 +199,12 @@ def streaming_minhash_candidates(docs: DataFrame) -> DataFrame:
     the full history of its buckets without reprocessing the stream —
     the streaming analog of minhash_lsh_pairs' candidate stage. Verification
     (true Jaccard) stays a batch join over the candidate output."""
-    from ..operators.dedup import attach_minhash_signature, band_table
+    from ..operators.dedup import minhash_signatures_pandas, band_table
 
-    bands = band_table(attach_minhash_signature(docs))
+    # mapInPandas is streaming-capable: the numpy signature path (bit-
+    # identical to the column-expression form, see dedup.py) serves
+    # micro-batches too — the interpreted-HOF fold was the per-batch cost
+    bands = band_table(minhash_signatures_pandas(docs))
     return bands.groupBy("band", "band_hash").applyInPandasWithState(
         _lsh_cand_fn,
         outputStructType=LSH_CAND_OUT,
