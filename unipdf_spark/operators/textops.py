@@ -298,9 +298,9 @@ def corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boilerplate gate: member of an LSH band bucket too dense for pairwise
     # dedup (> MAX_BUCKET — the clusters lsh_dropped_clusters reports); one
     # representative (the bucket's min doc_id) survives, the rest drop
-    from .dedup import MAX_BUCKET, attach_minhash_signature, band_table
+    from .dedup import MAX_BUCKET, band_table, minhash_signatures_pandas
 
-    bands = band_table(attach_minhash_signature(d))
+    bands = band_table(minhash_signatures_pandas(d))
     hot = (
         bands.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
