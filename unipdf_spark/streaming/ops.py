@@ -193,8 +193,8 @@ def _lsh_cand_fn(
 
 def streaming_minhash_candidates(docs: DataFrame) -> DataFrame:
     """Streaming near-dup candidate detection: MinHash signatures + LSH
-    banding (the SAME portable-hash expressions as the batch operator —
-    operators/dedup.py attach_minhash_signature/band_table) with per-bucket
+    banding (the SAME portable-hash values as the batch operator —
+    operators/dedup.py minhash_signatures_pandas/band_table) with per-bucket
     state across micro-batches. Each incoming document is checked against
     the full history of its buckets without reprocessing the stream —
     the streaming analog of minhash_lsh_pairs' candidate stage. Verification
