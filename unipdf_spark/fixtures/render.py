@@ -1632,12 +1632,18 @@ def _jb2_huff_put(bw: _JB2BitWriterMSB, name, v) -> None:
     raise ValueError(f"value {v} not encodable with table {name}")
 
 
-_JB2_REF_T0 = ([(0, -1), (1, -1), (-1, 0), (-1, -1)],
-               [(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1),
-                (0, 1), (1, 1), (-1, -1)])
-_JB2_REF_T1 = ([(-1, -1), (0, -1), (1, -1), (-1, 0)],
-               [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)])
-_JB2_REF_TPCTX = {0: 0x0020, 1: 0x0008}
+# GR context pixels in MSB→LSB bit order, ("c"|"r", dx, dy) — the T.88
+# figure 14/15 layout (refAbove | refSame | refBelow | codingAbove |
+# codingLeft for template 0; nominal AT). SLTP pseudo-context =
+# ref-same-centre bit only (§6.3.5.6: 0x0100 / 0x0080).
+_JB2_REF_T0 = [("r", -1, -1), ("r", 0, -1), ("r", 1, -1),
+               ("r", -1, 0), ("r", 0, 0), ("r", 1, 0),
+               ("r", -1, 1), ("r", 0, 1), ("r", 1, 1),
+               ("c", -1, -1), ("c", 0, -1), ("c", 1, -1), ("c", -1, 0)]
+_JB2_REF_T1 = [("r", 0, -1), ("r", -1, 0), ("r", 0, 0), ("r", 1, 0),
+               ("r", 0, 1), ("r", 1, 1),
+               ("c", -1, -1), ("c", 0, -1), ("c", 1, -1), ("c", -1, 0)]
+_JB2_REF_TPCTX = {0: 0x0100, 1: 0x0080}
 
 
 def _jb2_refine_body(target, ref, w: int, h: int, template: int = 0,
@@ -1655,7 +1661,7 @@ def _jb2_refine_into(enc: "_MQEncoder", contexts: dict, target, ref,
                      template: int = 0, tpgron: bool = False) -> None:
     """Refinement encoding sharing an MQ encoder + GR context store (the
     SDREFAGG symbol-dictionary semantics: one coder for all symbols)."""
-    coding, reference = _JB2_REF_T0 if template == 0 else _JB2_REF_T1
+    pixels = _JB2_REF_T0 if template == 0 else _JB2_REF_T1
 
     def cpx(x, y):
         return 1 if 0 <= x < w and 0 <= y < h and target[y][x] else 0
@@ -1689,10 +1695,11 @@ def _jb2_refine_into(enc: "_MQEncoder", contexts: dict, target, ref,
                 if s == 0 or s == 9:
                     continue  # typical pixel: not coded
             ctx = 0
-            for ddx, ddy in coding:
-                ctx = (ctx << 1) | cpx(x + ddx, y + ddy)
-            for ddx, ddy in reference:
-                ctx = (ctx << 1) | rpx(x + ddx - dx, y + ddy - dy)
+            for plane, ddx, ddy in pixels:
+                if plane == "c":
+                    ctx = (ctx << 1) | cpx(x + ddx, y + ddy)
+                else:
+                    ctx = (ctx << 1) | rpx(x + ddx - dx, y + ddy - dy)
             cx = contexts.setdefault(ctx, [0, 0])
             enc.encode(cx, cpx(x, y))
 
@@ -1977,8 +1984,12 @@ def jbig2_refagg_text_encode(base_symbols, variants, placements,
     gr_ctx: dict = {}
     iadh2, iadw2, iaex2 = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
     iaai, iardx, iardy = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    # nested aggregate text regions get their OWN integer stats (only the
+    # GR store + IAID tree are shared with the dictionary — §6.5.8.2.1 as
+    # implemented by the reference's decodeThroughTextRegion/setContexts)
     iadt2, iafs2, iads2 = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
     iari2, iardw2, iardh2 = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    iardx2, iardy2 = _jb2_int_ctx(), _jb2_int_ctx()
     iaid_cx = [[0, 0] for _ in range(1 << (symcodelen + 1))]
     hcheight = 0
     i = 0
@@ -2037,8 +2048,8 @@ def jbig2_refagg_text_encode(base_symbols, variants, placements,
                         wi, hi = len(bmp[0]), len(bmp)
                         _jb2_enc_int(enc2, iardw2, wi - sw0)
                         _jb2_enc_int(enc2, iardh2, hi - sh0)
-                        _jb2_enc_int(enc2, iardx, 0)
-                        _jb2_enc_int(enc2, iardy, 0)
+                        _jb2_enc_int(enc2, iardx2, 0)
+                        _jb2_enc_int(enc2, iardy2, 0)
                         _jb2_refine_into(enc2, gr_ctx, bmp, ref, wi, hi,
                                          sw0, sh0, (wi - sw0) >> 1,
                                          (hi - sh0) >> 1, template=0)

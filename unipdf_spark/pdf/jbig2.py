@@ -557,18 +557,30 @@ def _huffman_symbol_dict(seg: bytes, flags: int, off: int,
     return exported
 
 
-# refinement templates (§6.3.5.3): (coding-plane pixels, reference-plane
-# pixels); template 0 additionally takes A1 (coding) and A2 (reference).
-# Context bit order: coding list then reference list, earlier = higher bit
-# (the layout real decoders use for spec streams).
+# refinement templates (§6.3.5.3): context pixels in MSB→LSB bit order,
+# each entry = (plane, dx, dy) with plane "c" = coding (current) bitmap,
+# "r" = reference bitmap (shifted by GRREFERENCEDX/DY). Verified against
+# the reference implementation's context formation
+# (internal/jbig2/document/segments/segments.go: template0.form =
+# (refAbove3<<10)|(refSame3<<7)|(refBelow3<<4)|(codingAbove3<<1)|codingLeft
+# with A1 overriding bit 3 and A2 bit 12 in overrideAtTemplate0;
+# template1.form = (refAboveCenter<<9)|(refSame3<<6)|(refBelow2<<4)|
+# (codingAbove3<<1)|codingLeft), which matches T.88 figures 14–15.
+# Template 0's entries [0] and [9] are the AT-substitutable positions
+# (A2 in the reference plane, A1 in the coding plane; nominal (−1,−1)).
 _REF_TEMPLATES = {
-    0: ([(0, -1), (1, -1), (-1, 0)],
-        [(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0), (-1, 1), (0, 1),
-         (1, 1)]),
-    1: ([(-1, -1), (0, -1), (1, -1), (-1, 0)],
-        [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)]),
+    0: [("r", -1, -1), ("r", 0, -1), ("r", 1, -1),
+        ("r", -1, 0), ("r", 0, 0), ("r", 1, 0),
+        ("r", -1, 1), ("r", 0, 1), ("r", 1, 1),
+        ("c", -1, -1), ("c", 0, -1), ("c", 1, -1), ("c", -1, 0)],
+    1: [("r", 0, -1), ("r", -1, 0), ("r", 0, 0), ("r", 1, 0),
+        ("r", 0, 1), ("r", 1, 1),
+        ("c", -1, -1), ("c", 0, -1), ("c", 1, -1), ("c", -1, 0)],
 }
-_REF_TPGRON_CTX = {0: 0x0020, 1: 0x0008}
+# SLTP pseudo-context = "reference same-row centre pixel set, all else
+# clear" (T.88 §6.3.5.6: 0x0100 for GRTEMPLATE 0, 0x0080 for 1; the
+# reference's template0.setIndex(0x100)/template1.setIndex(0x080)).
+_REF_TPGRON_CTX = {0: 0x0100, 1: 0x0080}
 REF_NOMINAL_AT = [(-1, -1), (-1, -1)]
 
 
@@ -582,10 +594,10 @@ def decode_refinement(dec: MQDecoder, contexts: dict, width: int,
     reference bitmap shifted by (dx, dy). TPGRON rows decode only the
     non-typical pixels (those whose reference window is not uniform)."""
     at = at if at is not None else REF_NOMINAL_AT
-    coding, reference = _REF_TEMPLATES[template]
+    pixels = list(_REF_TEMPLATES[template])
     if template == 0:
-        coding = coding + [tuple(at[0])]
-        reference = reference + [tuple(at[1])]
+        pixels[0] = ("r", at[1][0], at[1][1])   # A2: reference plane
+        pixels[9] = ("c", at[0][0], at[0][1])   # A1: coding plane
     bitmap = [bytearray(width) for _ in range(height)]
 
     def cpx(x: int, y: int) -> int:
@@ -615,10 +627,11 @@ def decode_refinement(dec: MQDecoder, contexts: dict, width: int,
                     row[x] = 1
                     continue
             ctx = 0
-            for ddx, ddy in coding:
-                ctx = (ctx << 1) | cpx(x + ddx, y + ddy)
-            for ddx, ddy in reference:
-                ctx = (ctx << 1) | rpx(x + ddx - dx, y + ddy - dy)
+            for plane, ddx, ddy in pixels:
+                if plane == "c":
+                    ctx = (ctx << 1) | cpx(x + ddx, y + ddy)
+                else:
+                    ctx = (ctx << 1) | rpx(x + ddx - dx, y + ddy - dy)
             row[x] = dec.decode(contexts.setdefault(ctx, [0, 0]))
     return bitmap
 
@@ -673,7 +686,8 @@ def decode_symbol_dict(seg: bytes,
     iadh, iadw, iaex, iaai = IntCtx(), IntCtx(), IntCtx(), IntCtx()
     n_total = len(input_syms) + num_new
     symcodelen = max(1, (n_total - 1).bit_length() if n_total > 1 else 1)
-    tc = TextCtx(symcodelen)  # shared with aggregate text regions
+    tc = TextCtx(symcodelen)  # GR store + IAID shared with aggregates
+    agg_tc: TextCtx | None = None  # nested-region stats (lazily created)
     new_syms: list[list[bytearray]] = []
     hcheight = 0
     n_classes = 0
@@ -712,10 +726,19 @@ def decode_symbol_dict(seg: bytes,
                     # aggregate: the symbol is a nested text region over
                     # the pool (§6.5.8.2.1: SBSTRIPS=1, TL corner,
                     # untransposed, SBDEFPIXEL=0, SBDSOFFSET=0,
-                    # SBREFINE=1), sharing this dictionary's contexts
+                    # SBREFINE=1). Context sharing verified against the
+                    # reference (segments.go decodeThroughTextRegion /
+                    # setContexts): the nested region shares the
+                    # dictionary's GR refinement store and IAID tree but
+                    # gets its OWN integer-arithmetic stats, created on
+                    # first aggregate and reused across aggregates.
+                    if agg_tc is None:
+                        agg_tc = TextCtx(symcodelen)
+                        agg_tc.iaid_cx = tc.iaid_cx
+                        agg_tc.gr_ctx = tc.gr_ctx
                     new_syms.append([
                         bytearray(r) for r in decode_text_payload(
-                            dec, tc, pool, symwidth, hcheight, n_inst,
+                            dec, agg_tc, pool, symwidth, hcheight, n_inst,
                             strips=1, ref_corner=1, transposed=0,
                             ds_offset=0, def_pixel=0, refine=True,
                             rtemplate=rtemplate, rat=rat)
