@@ -828,3 +828,44 @@ def test_jpeg_corrupt_streams_fail_fast():
                 assert not isinstance(e, (MemoryError, RecursionError))
     assert time.monotonic() - t0 < 60, "corruption fuzz too slow"
     assert n_err > 0
+
+def test_jbig2_huffman_text_region_roundtrip_fuzz():
+    """SBHUFF=1 text region vs the independent writer-side encoder:
+    Annex B.6/B.8/B.11/B.15 tables, §7.4.3.1.7 symbol ID runcodes,
+    multi-strip CURT raw bits, refined instances as byte-aligned BMSIZE
+    arithmetic chunks."""
+    import random
+
+    from unipdf_spark.fixtures.render import jbig2_huffman_textregion_encode
+    from unipdf_spark.pdf.jbig2 import decode_embedded
+
+    rng = random.Random(29)
+    for trial in range(12):
+        n_sym = rng.randint(1, 6)
+        symbols = []
+        for _ in range(n_sym):
+            h, w = rng.randint(2, 8), rng.randint(2, 8)
+            symbols.append([[rng.random() < 0.5 for _ in range(w)]
+                            for _ in range(h)])
+        cols, nrows = rng.choice([32, 48]), rng.choice([16, 32])
+        placements = [
+            (rng.randrange(n_sym), rng.randint(0, cols - 9),
+             rng.randint(0, nrows - 9))
+            for _ in range(rng.randint(1, 9))
+        ]
+        strips = rng.choice([1, 1, 4])
+        refine = {}
+        if trial % 2:
+            # refine one instance: grow by up to 2px in each dimension
+            p_idx = rng.randrange(len(placements))
+            base = symbols[placements[p_idx][0]]
+            hi = len(base) + rng.randint(0, 2)
+            wi = len(base[0]) + rng.randint(0, 2)
+            refine[p_idx] = [[rng.random() < 0.5 for _ in range(wi)]
+                             for _ in range(hi)]
+        stream, want = jbig2_huffman_textregion_encode(
+            symbols, placements, cols, nrows, strips=strips,
+            instance_refine=refine)
+        got, w, h = decode_embedded(stream)
+        assert (w, h) == (cols, nrows)
+        assert [list(r) for r in got] == want, (trial, strips)

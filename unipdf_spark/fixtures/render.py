@@ -1013,6 +1013,153 @@ def jbig2_text_encode(symbols: list[list[list[bool]]],
     return stream, page
 
 
+def jbig2_huffman_textregion_encode(symbols: list[list[list[bool]]],
+                              placements: list[tuple[int, int, int]],
+                              cols: int, nrows: int,
+                              strips: int = 1,
+                              instance_refine: dict | None = None
+                              ) -> tuple[bytes, list[list[int]]]:
+    """Embedded JBIG2 with an arithmetic SYMBOL DICTIONARY + SBHUFF=1
+    Huffman TEXT REGION (T.88 §6.4 Huffman branch, §7.4.3.1.7 symbol ID
+    runcodes). Standard table selections FS=B.6, DS=B.8, DT=B.11,
+    RDW/RDH/RDX/RDY=B.15, RSIZE=B.1; TL corner, untransposed, OR.
+    ``instance_refine`` maps placement index → refined bitmap (RI=1:
+    byte-aligned BMSIZE arithmetic GRR chunks sharing one GR context
+    store). Returns (stream, composed page rows 0/1)."""
+    instance_refine = instance_refine or {}
+    # --- symbol dictionary segment (arithmetic, as jbig2_text_encode) ---
+    order = sorted(range(len(symbols)), key=lambda i: len(symbols[i]))
+    enc = _MQEncoder()
+    gb_ctx: dict = {}
+    iadh, iadw, iaex = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = len(symbols[order[i]])
+        _jb2_enc_int(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(order) and len(symbols[order[i]]) == h:
+            w = len(symbols[order[i]][0])
+            _jb2_enc_int(enc, iadw, w - symwidth)
+            symwidth = w
+            _jb2_generic_into(enc, gb_ctx, symbols[order[i]], w)
+            i += 1
+        _jb2_enc_int(enc, iadw, None)
+    _jb2_enc_int(enc, iaex, 0)
+    _jb2_enc_int(enc, iaex, len(symbols))
+    at = bytes([3 & 0xFF, 0xFF, 0x100 - 3, 0xFF, 2, 0xFE, 0x100 - 2, 0xFE])
+    sd_data = (0).to_bytes(2, "big") + at \
+        + len(symbols).to_bytes(4, "big") + len(symbols).to_bytes(4, "big") \
+        + enc.flush()
+    remap = {orig: k for k, orig in enumerate(order)}
+
+    # --- Huffman text region segment ------------------------------------
+    n_syms = len(symbols)
+    refine = bool(instance_refine)
+    log_strips = max(0, (strips - 1).bit_length())
+    assert strips == 1 << log_strips
+    bw = _JB2BitWriterMSB()
+    # §7.4.3.1.7: uniform symbol ID code length L → runcode table with a
+    # single 1-bit code for runcode L, emitted once per symbol
+    sym_len = max(1, (n_syms - 1).bit_length() if n_syms > 1 else 1)
+    for rc in range(35):
+        bw.write(1 if rc == sym_len else 0, 4)
+    for _ in range(n_syms):
+        bw.write(0, 1)  # the single runcode's canonical code is '0'
+    bw.align()
+
+    def put(tbl, v):
+        _jb2_huff_put(bw, tbl, v)
+
+    # group placements into strips of `strips` rows
+    by_strip: dict[int, list[tuple[int, int, int, int]]] = {}
+    for p_idx, (sym_id, x, y) in enumerate(placements):
+        base = (y // strips) * strips
+        by_strip.setdefault(base, []).append((x, y - base, remap[sym_id],
+                                              p_idx))
+    put("B11", 1)  # STRIPT init: stript = -strips
+    stript = -strips
+    firsts = 0
+    n_inst = 0
+    total = len(placements)
+    gr_ctx: dict = {}
+    for base in sorted(by_strip):
+        put("B11", (base - stript) // strips)
+        stript = base
+        first = True
+        curs = 0
+        for x, curt, sid, p_idx in sorted(by_strip[base]):
+            if first:
+                put("B6", x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                put("B8", x - curs)
+                curs = x
+            if strips != 1:
+                bw.write(curt, log_strips)
+            bw.write(sid, sym_len)  # canonical uniform-length ID code
+            sym = symbols[order[sid]]
+            bmp = instance_refine.get(p_idx)
+            if refine:
+                bw.write(1 if bmp is not None else 0, 1)  # RI raw bit
+            if bmp is not None:
+                sw0, sh0 = len(sym[0]), len(sym)
+                wi, hi = len(bmp[0]), len(bmp)
+                put("B15", wi - sw0)
+                put("B15", hi - sh0)
+                put("B15", 0)  # RDX
+                put("B15", 0)  # RDY
+                genc = _MQEncoder()
+                _jb2_refine_into(genc, gr_ctx, bmp, sym, wi, hi, sw0, sh0,
+                                 (wi - sw0) >> 1, (hi - sh0) >> 1,
+                                 template=0)
+                chunk = genc.flush()
+                put("B1", len(chunk))  # BMSIZE
+                bw.align()
+                bw.out.extend(chunk)
+                sym = bmp
+            curs += len(sym[0]) - 1
+            n_inst += 1
+        if n_inst < total:
+            put("B8", None)  # OOB: end of strip
+    tr_body = bw.flush()
+
+    region_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
+                   + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                   + bytes([0]))
+    # SBHUFF=1, SBREFINE bit 1, LOGSBSTRIPS bits 2-3, TL corner (1<<4)
+    tr_flags = (1 | ((1 if refine else 0) << 1) | (log_strips << 2)
+                | (1 << 4))
+    # huffman flags: FS=B6(0), DS=B8(0), DT=B11(0), RD*=B15(1), RSIZE=B1(0)
+    hflags = (1 << 6) | (1 << 8) | (1 << 10) | (1 << 12)
+    rat = bytes([0xFF, 0xFF, 0xFF, 0xFF]) if refine else b""
+    tr_data = (region_info + tr_flags.to_bytes(2, "big")
+               + hflags.to_bytes(2, "big") + rat
+               + total.to_bytes(4, "big") + tr_body)
+
+    page_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
+                 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + bytes([0x01]) + (0).to_bytes(2, "big"))
+    stream = (_jb2_segment(1, 48, page_info)
+              + _jb2_segment(2, 0, sd_data)
+              + _jb2_segment_refs(3, 6, [2], tr_data)
+              + _jb2_segment(4, 49, b""))
+
+    page = [[0] * cols for _ in range(nrows)]
+    for p_idx, (sym_id, x, y) in enumerate(placements):
+        sym = instance_refine.get(p_idx, symbols[sym_id])
+        for yy, srow in enumerate(sym):
+            if 0 <= y + yy < nrows:
+                prow = page[y + yy]
+                for xx, v in enumerate(srow):
+                    if v and 0 <= x + xx < cols:
+                        prow[x + xx] = 1
+    return stream, page
+
+
 # --- baseline grayscale JPEG writer-side encoder ------------------------------
 # Independent T.81 transcription (Annex K tables); the engine's decoder
 # (pdf/jpeg.py) is round-trip checked against it by PSNR.
@@ -1584,6 +1731,22 @@ _JB2_TBL = {
            None, (6, 75), 6),
     "B4": ([(1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4), (5, 6, 12)],
            None, (5, 76), 0),
+    # text-region tables (writer's own transcription of Annex B)
+    "B6": ([(5, 10, -2048), (4, 9, -1024), (4, 8, -512), (4, 7, -256),
+            (5, 6, -128), (5, 5, -64), (4, 5, -32), (2, 7, 0),
+            (3, 7, 128), (3, 8, 256), (4, 9, 512), (4, 10, 1024)],
+           (6, -2049), (6, 2048), 0),
+    "B8": ([(8, 3, -15), (9, 1, -7), (8, 1, -5), (9, 0, -3), (7, 0, -2),
+            (4, 0, -1), (2, 1, 0), (5, 0, 2), (6, 0, 3), (3, 4, 4),
+            (6, 1, 20), (4, 4, 22), (4, 5, 38), (5, 6, 70), (5, 7, 134),
+            (6, 7, 262), (7, 8, 390), (6, 10, 646)],
+           (9, -16), (9, 1670), 2),
+    "B11": ([(1, 0, 1), (2, 1, 2), (4, 0, 4), (4, 1, 5), (5, 1, 7),
+             (5, 2, 9), (6, 2, 13), (7, 2, 17), (7, 3, 21), (7, 4, 29),
+             (7, 5, 45), (7, 6, 77)], None, (7, 141), 0),
+    "B15": ([(7, 4, -24), (6, 2, -8), (5, 1, -4), (4, 0, -2), (3, 0, -1),
+             (1, 0, 0), (3, 0, 1), (4, 0, 2), (5, 1, 3), (6, 2, 5),
+             (7, 4, 9)], (7, -25), (7, 25), 0),
 }
 
 

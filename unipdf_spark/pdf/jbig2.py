@@ -451,6 +451,56 @@ TABLE_B4 = HuffTable([(1, 0, 1), (2, 0, 2), (3, 0, 3), (4, 3, 4),
 TABLE_B5 = HuffTable([(7, 8, -255), (1, 0, 1), (2, 0, 2), (3, 0, 3),
                       (4, 3, 4), (5, 6, 12)], lower=(7, -256),
                      upper=(6, 76))
+# B.6–B.15 (text region FS/DS/DT/RD* selections) transcribed against the
+# reference's embedded standard-table data (decoder/huffman/huffman.go,
+# `_eded` — B.1–B.5 there match the transcriptions above line for line,
+# validating the format before trusting B.6–B.15).
+TABLE_B6 = HuffTable([(5, 10, -2048), (4, 9, -1024), (4, 8, -512),
+                      (4, 7, -256), (5, 6, -128), (5, 5, -64),
+                      (4, 5, -32), (2, 7, 0), (3, 7, 128), (3, 8, 256),
+                      (4, 9, 512), (4, 10, 1024)],
+                     lower=(6, -2049), upper=(6, 2048))
+TABLE_B7 = HuffTable([(4, 9, -1024), (3, 8, -512), (4, 7, -256),
+                      (5, 6, -128), (5, 5, -64), (4, 5, -32), (4, 5, 0),
+                      (5, 5, 32), (5, 6, 64), (4, 7, 128), (3, 8, 256),
+                      (3, 9, 512), (3, 10, 1024)],
+                     lower=(5, -1025), upper=(5, 2048))
+TABLE_B8 = HuffTable([(8, 3, -15), (9, 1, -7), (8, 1, -5), (9, 0, -3),
+                      (7, 0, -2), (4, 0, -1), (2, 1, 0), (5, 0, 2),
+                      (6, 0, 3), (3, 4, 4), (6, 1, 20), (4, 4, 22),
+                      (4, 5, 38), (5, 6, 70), (5, 7, 134), (6, 7, 262),
+                      (7, 8, 390), (6, 10, 646)],
+                     lower=(9, -16), upper=(9, 1670), oob_len=2)
+TABLE_B9 = HuffTable([(8, 4, -31), (9, 2, -15), (8, 2, -11), (9, 1, -7),
+                      (7, 1, -5), (4, 1, -3), (3, 1, -1), (3, 1, 1),
+                      (5, 1, 3), (6, 1, 5), (3, 5, 7), (6, 2, 39),
+                      (4, 5, 43), (4, 6, 75), (5, 7, 139), (5, 8, 267),
+                      (6, 8, 523), (7, 9, 779), (6, 11, 1291)],
+                     lower=(9, -32), upper=(9, 3339), oob_len=2)
+TABLE_B10 = HuffTable([(7, 4, -21), (8, 0, -5), (7, 0, -4), (5, 0, -3),
+                       (2, 2, -2), (5, 0, 2), (6, 0, 3), (7, 0, 4),
+                       (8, 0, 5), (2, 6, 6), (5, 5, 70), (6, 5, 102),
+                       (6, 6, 134), (6, 7, 198), (6, 8, 326),
+                       (6, 9, 582), (6, 10, 1094), (7, 11, 2118)],
+                      lower=(8, -22), upper=(8, 4166), oob_len=2)
+TABLE_B11 = HuffTable([(1, 0, 1), (2, 1, 2), (4, 0, 4), (4, 1, 5),
+                       (5, 1, 7), (5, 2, 9), (6, 2, 13), (7, 2, 17),
+                       (7, 3, 21), (7, 4, 29), (7, 5, 45), (7, 6, 77)],
+                      upper=(7, 141))
+TABLE_B12 = HuffTable([(1, 0, 1), (2, 0, 2), (3, 1, 3), (5, 0, 5),
+                       (5, 1, 6), (6, 1, 8), (7, 0, 10), (7, 1, 11),
+                       (7, 2, 13), (7, 3, 17), (7, 4, 25), (8, 5, 41)],
+                      upper=(8, 73))
+TABLE_B13 = HuffTable([(1, 0, 1), (3, 0, 2), (4, 0, 3), (5, 0, 4),
+                       (4, 1, 5), (3, 3, 7), (6, 1, 15), (6, 2, 17),
+                       (6, 3, 21), (6, 4, 29), (6, 5, 45), (7, 6, 77)],
+                      upper=(7, 141))
+TABLE_B14 = HuffTable([(3, 0, -2), (3, 0, -1), (1, 0, 0), (3, 0, 1),
+                       (3, 0, 2)])
+TABLE_B15 = HuffTable([(7, 4, -24), (6, 2, -8), (5, 1, -4), (4, 0, -2),
+                       (3, 0, -1), (1, 0, 0), (3, 0, 1), (4, 0, 2),
+                       (5, 1, 3), (6, 2, 5), (7, 4, 9)],
+                      lower=(7, -25), upper=(7, 25))
 
 
 def _huffman_symbol_dict(seg: bytes, flags: int, off: int,
@@ -860,10 +910,15 @@ def decode_halftone_region(seg: bytes, patterns: list):
     return bitmap, rw, rh, rx, ry
 
 
-def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
-    """Text region decoding (§6.4, arithmetic): SBREFINE=1 instances are
-    refinement-coded deltas of their dictionary symbol (RI flag + RDW/RDH/
-    RDX/RDY + GRR decode, §6.4.11). SBHUFF stays a typed error.
+def decode_text_region(seg: bytes, symbols: list[list[bytearray]],
+                       custom_tables: list | None = None):
+    """Text region decoding (§6.4): arithmetic or SBHUFF=1 Huffman.
+    SBREFINE=1 instances are refinement-coded deltas of their dictionary
+    symbol (RI flag + RDW/RDH/RDX/RDY + GRR decode, §6.4.11; in Huffman
+    mode RI is one raw bit and the GRR data is a byte-aligned
+    BMSIZE-delimited arithmetic chunk). ``custom_tables`` are referred
+    type-53 table segments, consumed in field order FS, DS, DT, RDW,
+    RDH, RDX, RDY, RSIZE for selections == 3 (1 for RSIZE).
     Returns (region rows, rw, rh, rx, ry)."""
     rw, rh = _u32(seg, 0), _u32(seg, 4)
     rx, ry = _u32(seg, 8), _u32(seg, 12)
@@ -882,10 +937,13 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
     ds_offset = (flags << 17) & 0xFFFFFFFF
     ds_offset = (ds_offset >> 27) - 32 if (ds_offset >> 27) > 15 else (
         ds_offset >> 27)
-    if huffman:
-        raise Jbig2Error("huffman text regions unsupported")
     rtemplate = (flags >> 15) & 1
     off = 19
+    hflags = 0
+    if huffman:
+        # §7.4.3.1.2 text region Huffman flags (big-endian 16-bit)
+        hflags = int.from_bytes(seg[19:21], "big")
+        off = 21
     rat = None
     if refine and rtemplate == 0:
         rat = []
@@ -897,6 +955,13 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
     num_instances = _u32(seg, off)
     off += 4
 
+    if huffman:
+        bitmap = _huffman_text_region(
+            seg, off, hflags, symbols, rw, rh, num_instances, strips,
+            log_strips, ref_corner, transposed, ds_offset, def_pixel,
+            bool(refine), rtemplate, rat, custom_tables)
+        return bitmap, rw, rh, rx, ry
+
     n_syms = len(symbols)
     symcodelen = max(1, (n_syms - 1).bit_length() if n_syms > 1 else 1)
     dec = MQDecoder(seg[off:])
@@ -905,6 +970,175 @@ def decode_text_region(seg: bytes, symbols: list[list[bytearray]]):
         dec, tc, symbols, rw, rh, num_instances, strips, ref_corner,
         transposed, ds_offset, def_pixel, bool(refine), rtemplate, rat)
     return bitmap, rw, rh, rx, ry
+
+
+def _symbol_id_codes(br: "_BitsMSB", n_syms: int) -> "HuffTable":
+    """Symbol ID code assignment (§7.4.3.1.7): 35 four-bit runcode
+    lengths → canonical runcode table → per-symbol code lengths via
+    runcodes (0–31 literal, 32 = repeat previous 3–6×, 33 = 3–10 zeros,
+    34 = 11–138 zeros) → canonical symbol code table. The reader is
+    byte-aligned afterwards (reference: symbolIDCodeLengths → Align)."""
+    runlines = []
+    for rc in range(35):
+        pl = br.bits(4)
+        if pl > 0:
+            runlines.append((pl, 0, rc))
+    runtab = HuffTable(runlines)
+    lengths: list[int] = []
+    prev = 0
+    while len(lengths) < n_syms:
+        code = runtab.decode(br)
+        if code is OOB:
+            raise Jbig2Error("unexpected OOB in symbol ID code lengths")
+        if code < 32:
+            lengths.append(code)
+            if code > 0:
+                prev = code
+        elif code == 32:
+            rep = br.bits(2) + 3
+            val = prev if lengths else 0
+            lengths.extend([val] * rep)
+        elif code == 33:
+            lengths.extend([0] * (br.bits(3) + 3))
+        else:  # 34
+            lengths.extend([0] * (br.bits(7) + 11))
+    br.align()
+    symlines = [(ln, 0, i) for i, ln in enumerate(lengths[:n_syms])
+                if ln > 0]
+    if not symlines:
+        raise Jbig2Error("no symbol ID codes assigned")
+    return HuffTable(symlines)
+
+
+def _huffman_text_region(seg: bytes, off: int, hflags: int, symbols: list,
+                         rw: int, rh: int, num_instances: int,
+                         strips: int, log_strips: int, ref_corner: int,
+                         transposed: int, ds_offset: int, def_pixel: int,
+                         refine: bool, rtemplate: int, rat,
+                         custom_tables: list | None):
+    """SBHUFF=1 text region instance decoding (§6.4 Huffman branch).
+    Table selections (verified against the reference's readHuffmanFlags /
+    decodeDfs/decodeIds/decodeStripT/decodeRdw): FS → B.6/B.7, DS →
+    B.8–B.10, DT → B.11–B.13, RDW/RDH/RDX/RDY → B.14/B.15, RSIZE → B.1;
+    selection 3 (1 for RSIZE) takes the next referred custom table in
+    field order. CURT is LOGSBSTRIPS raw bits; RI is one raw bit; each
+    refined instance's GRR data is a byte-aligned BMSIZE arithmetic chunk
+    sharing one GR context store across the region."""
+    custom = list(custom_tables or [])
+
+    def pick(sel: int, *std):
+        if sel < len(std):
+            return std[sel]
+        if not custom:
+            raise Jbig2Error("custom huffman table segment missing")
+        return custom.pop(0)
+
+    t_fs = pick(hflags & 3, TABLE_B6, TABLE_B7)
+    t_ds = pick((hflags >> 2) & 3, TABLE_B8, TABLE_B9, TABLE_B10)
+    t_dt = pick((hflags >> 4) & 3, TABLE_B11, TABLE_B12, TABLE_B13)
+    t_rdw = pick((hflags >> 6) & 3, TABLE_B14, TABLE_B15)
+    t_rdh = pick((hflags >> 8) & 3, TABLE_B14, TABLE_B15)
+    t_rdx = pick((hflags >> 10) & 3, TABLE_B14, TABLE_B15)
+    t_rdy = pick((hflags >> 12) & 3, TABLE_B14, TABLE_B15)
+    t_rsize = pick((hflags >> 14) & 1, TABLE_B1)
+
+    _check_dims(rw, rh, "text region")
+    if num_instances > MAX_INSTANCES:
+        raise Jbig2Error("implausible text-region instance count")
+    n_syms = len(symbols)
+    br = _BitsMSB(seg, off)
+    symcodes = _symbol_id_codes(br, n_syms)
+    gr_ctx: dict[int, list] = {}  # shared across refined instances
+    bitmap = [bytearray([def_pixel] * rw) for _ in range(rh)]
+
+    first_dt = t_dt.decode(br)
+    if first_dt is OOB:
+        raise Jbig2Error("unexpected OOB for STRIPT")
+    stript = -first_dt * strips
+    firsts = 0
+    n_inst = 0
+    n_strips = 0
+    while n_inst < num_instances:
+        n_strips += 1
+        if n_strips > num_instances + 4096:
+            raise Jbig2Error("text region strip decoding diverged")
+        dt = t_dt.decode(br)
+        if dt is OOB:
+            raise Jbig2Error("unexpected OOB for DT")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = t_fs.decode(br)
+                if dfs is OOB:
+                    raise Jbig2Error("unexpected OOB for DFS")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = t_ds.decode(br)
+                if ids is OOB:
+                    break  # end of strip
+                curs += ids + ds_offset
+            curt = br.bits(log_strips) if strips != 1 else 0
+            t = stript + curt
+            sym_id = symcodes.decode(br)
+            sym = symbols[sym_id] if sym_id < n_syms else []
+            if refine and br.bit():
+                rdw = t_rdw.decode(br)
+                rdh = t_rdh.decode(br)
+                rdx = t_rdx.decode(br)
+                rdy = t_rdy.decode(br)
+                bmsize = t_rsize.decode(br)
+                for v in (rdw, rdh, rdx, rdy, bmsize):
+                    if v is OOB:
+                        raise Jbig2Error("unexpected OOB in refinement")
+                br.align()
+                sh = len(sym)
+                sw = len(sym[0]) if sh else 0
+                wi, hi = sw + rdw, sh + rdh
+                _check_dims(wi, hi, "refined instance")
+                end = br.pos + bmsize if bmsize else len(seg)
+                mq = MQDecoder(seg[br.pos:end])
+                sym = decode_refinement(
+                    mq, gr_ctx, wi, hi, rtemplate, rat, sym, sw, sh,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy, False)
+                br.pos = end
+                br.bitpos = 0
+            curs += _place_instance(bitmap, sym, t, curs, ref_corner,
+                                    transposed, rw, rh)
+            n_inst += 1
+            if n_inst >= num_instances:
+                break
+    return bitmap
+
+
+def _place_instance(bitmap, sym, t, curs, ref_corner, transposed,
+                    rw, rh) -> int:
+    """Instance placement (T.88 §6.4.5), shared by the arithmetic and
+    Huffman decode loops: S always spans CURS..CURS+len-1 along its axis
+    (x untransposed, y transposed); the corner only moves the T edge
+    (top/bottom row untransposed, left/right column transposed). Returns
+    the CURS advance (span length − 1); composition is OR."""
+    sh = len(sym)
+    sw = len(sym[0]) if sh else 0
+    if transposed:
+        x0 = t if ref_corner in (0, 1) else t - sw + 1  # TL/BL
+        y0 = curs
+    else:
+        y0 = t if ref_corner in (1, 3) else t - sh + 1  # TL/TR
+        x0 = curs
+    for yy in range(sh):
+        py = y0 + yy
+        if 0 <= py < rh:
+            row = bitmap[py]
+            srow = sym[yy]
+            for xx in range(sw):
+                px = x0 + xx
+                if 0 <= px < rw and srow[xx]:
+                    row[px] = 1  # OR composition
+    return (sh if transposed else sw) - 1
 
 
 class TextCtx:
@@ -985,26 +1219,8 @@ def decode_text_payload(dec: MQDecoder, tc: TextCtx, symbols: list,
                     dec, tc.gr_ctx, wi, hi, rtemplate, rat, sym, sw, sh,
                     (rdw >> 1) + rdx, (rdh >> 1) + rdy, False)
                 sh, sw = hi, wi
-            # placement (T.88 §6.4.5): S always spans CURS..CURS+len-1
-            # along its axis (x untransposed, y transposed); the corner
-            # only moves the T edge (top/bottom row untransposed,
-            # left/right column transposed).
-            if transposed:
-                x0 = t if ref_corner in (0, 1) else t - sw + 1  # TL/BL
-                y0 = curs
-            else:
-                y0 = t if ref_corner in (1, 3) else t - sh + 1  # TL/TR
-                x0 = curs
-            for yy in range(sh):
-                py = y0 + yy
-                if 0 <= py < rh:
-                    row = bitmap[py]
-                    srow = sym[yy]
-                    for xx in range(sw):
-                        px = x0 + xx
-                        if 0 <= px < rw and srow[xx]:
-                            row[px] = 1  # OR composition
-            curs += (sh if transposed else sw) - 1
+            curs += _place_instance(bitmap, sym, t, curs, ref_corner,
+                                    transposed, rw, rh)
             n_inst += 1
             if n_inst >= num_instances:
                 break
@@ -1123,9 +1339,13 @@ def decode_embedded(data: bytes, width_hint: int = 0, height_hint: int = 0):
                                                        in_tables)
         elif seg_type in (4, 6, 7):  # text region (intermediate/immediate)
             symbols: list = []
+            tr_tables: list = []
             for r in referred:
                 symbols.extend(sym_dicts.get(r, []))
-            rows, rw, rh, rx, ry = decode_text_region(seg, symbols)
+                if r in huff_tables:
+                    tr_tables.append(huff_tables[r])
+            rows, rw, rh, rx, ry = decode_text_region(seg, symbols,
+                                                      tr_tables)
             if page is None:
                 page_w, page_h = max(page_w, rx + rw), max(page_h, ry + rh)
                 page = [bytearray(page_w) for _ in range(page_h)]
