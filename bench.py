@@ -28,6 +28,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_start = os.getloadavg()  # r4 VERDICT #4: detect loaded-host runs
     sf = 0.1
     if "0.001" in sf_dir:
         sf = 0.001
@@ -103,11 +104,27 @@ def main() -> None:
     for name in headline:
         try:
             cold[name] = round(_run(name), 3)
-            timings[name] = round(min(cold[name], _run(name)), 3)
+            warm = _run(name)
+            if warm > cold[name] * 0.98:
+                # warm ≈/≥ cold is the documented signature of concurrent
+                # host load (r4's BENCH artifact recorded 2× inflation);
+                # one retry gives the steady state a fair shot
+                warm = min(warm, _run(name))
+            timings[name] = round(min(cold[name], warm), 3)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
 
+    load_end = os.getloadavg()
+    # the host is "noisy" when load beyond this process's own footprint is
+    # present at start (fresh runs start near-idle; a 1-min loadavg much
+    # above the residual-decay band means something else is running) or
+    # when warm==cold persisted across the retry on several queries
+    warm_eq_cold = sum(
+        1 for k in timings
+        if k in cold and timings[k] > 0 and timings[k] >= cold[k] * 0.98
+    )
+    noisy = load_start[0] > 4.0 or warm_eq_cold >= 3
     total = round(sum(v for v in timings.values() if v > 0), 3)
     print(
         json.dumps(
@@ -124,6 +141,9 @@ def main() -> None:
                 "span_equality_pass_rate": round(pass_rate, 6),
                 "extract_ok": n_ok,
                 "cpus": cpus,
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
+                "noisy": noisy,
             }
         )
     )

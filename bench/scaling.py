@@ -98,6 +98,16 @@ def host_cpu_ceiling() -> dict:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 48000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # load guard (r4 VERDICT #4): this metric is measurably load-sensitive
+    # (0.986 idle vs 0.77–0.80 with residual load); refuse to even start
+    # while another workload is running, and wait out residual decay
+    for _ in range(30):
+        if os.getloadavg()[0] <= 2.0:
+            break
+        print(f"waiting for idle host (loadavg {os.getloadavg()[0]:.1f})",
+              file=sys.stderr)
+        time.sleep(20)
+    load_start = os.getloadavg()
     ceiling = host_cpu_ceiling()
     ceil_8_32 = ceiling[32] / (4.0 * ceiling[8])
     r_n = run(n, n_docs)
@@ -123,6 +133,9 @@ def main() -> None:
         "host_cpu_ceiling_8_32": round(ceil_8_32, 3),
         "spark_fraction_of_ceiling_8_32": round(eff_8_32 / ceil_8_32, 3),
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "noisy": load_start[0] > 2.0,
     }
     print(json.dumps(result))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
