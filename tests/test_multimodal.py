@@ -1,5 +1,6 @@
-"""Multimodal binary-column plumbing tests (decode is a documented stub;
-schemas, batch shapes, and per-row error handling are real)."""
+"""Multimodal binary-column tests: real pixel decode (CCITT/JBIG2/JPEG)
+behind Arrow-batched feature extraction; schemas, batch shapes and
+per-row error handling."""
 
 from __future__ import annotations
 
@@ -30,33 +31,50 @@ def test_media_table_extraction(spark):
 
 def test_feature_extraction_deterministic(spark):
     media = mm.media_table_from_fixtures(spark, n_docs=40).persist()
-    f1 = {r["media_ref"]: r["feature"] for r in mm.extract_features(media).collect()}
-    f2 = {r["media_ref"]: r["feature"] for r in mm.extract_features(media).collect()}
-    assert f1 == f2 and len(f1) > 0
-    for v in f1.values():
-        assert len(v) == mm.STUB_FEAT_DIM
-        assert all(0.0 <= x < 1.0 for x in v)
+    r1 = {r["media_ref"]: r for r in mm.extract_features(media).collect()}
+    r2 = {r["media_ref"]: r for r in mm.extract_features(media).collect()}
+    assert len(r1) > 0
+    assert {k: v["feature"] for k, v in r1.items()} == {
+        k: v["feature"] for k, v in r2.items()}
+    assert {k: v["dhash"] for k, v in r1.items()} == {
+        k: v["dhash"] for k, v in r2.items()}
+    ok = [v for v in r1.values() if v["decode_ok"]]
+    assert ok, "engine-decodable codecs must produce real features"
+    for v in ok:
+        assert len(v["feature"]) == 64
+        # centred block means: mean ~ 0, values bounded by [-1, 1]
+        assert abs(sum(v["feature"])) < 1e-4
+        assert all(-1.0 <= x <= 1.0 for x in v["feature"])
     media.unpersist()
 
 
 def test_decode_failure_is_row_level(spark):
     import pandas as pd
 
+    from unipdf_spark.fixtures.render import ccitt_g4_encode
+
+    rows = [[bool((x + y) % 3 == 0) for x in range(16)] for y in range(8)]
+    good = ccitt_g4_encode(rows, 16)
     bad = spark.createDataFrame(
         pd.DataFrame(
             {
-                "media_ref": ["img_x", "img_y"],
-                "doc_id": ["d1", "d2"],
-                "kind": ["image", "image"],
-                "payload": [b"", b"\x01\x02\x03"],
-                "width": [4, 4],
-                "height": [4, 4],
-                "n_bytes": [0, 3],
+                "media_ref": ["img_x", "img_y", "img_z"],
+                "doc_id": ["d1", "d2", "d3"],
+                "kind": ["image"] * 3,
+                "payload": [b"", good, b"\x01\x02\x03"],
+                "width": [4, 16, 4],
+                "height": [4, 8, 4],
+                "n_bytes": [0, len(good), 3],
+                "codec": ["CCITTFaxDecode", "CCITTFaxDecode", "JPXDecode"],
+                "ccitt_k": [-1, -1, 0],
+                "blackis1": [False] * 3,
             }
-        )
+        ),
+        schema=mm.MEDIA_SCHEMA,
     )
     out = {r["media_ref"]: r["decode_ok"] for r in mm.extract_features(bad).collect()}
-    assert out == {"img_x": False, "img_y": True}
+    # empty payload fails, a real G4 stream decodes, unsupported codec fails
+    assert out == {"img_x": False, "img_y": True, "img_z": False}
 
 
 def test_thumbnails_schema_and_bounds(spark):
@@ -167,35 +185,58 @@ def test_jbig2_bilevel_ink_ratio_matches_plan(spark):
     assert checked >= 12 and text_checked >= 36
 
 
-def test_media_feature_dedup_finds_identical_payloads(spark):
-    """Identical payloads share stub features -> cosine 1 pairs; blocks past
-    the cap refine instead of forming one giant join key."""
+def test_media_feature_dedup_cross_encoding(spark):
+    """The SAME page bitmap encoded as CCITT G4 *and* as JBIG2 must pair
+    (identical decoded ink map -> identical centred block-mean features ->
+    same sign-LSH block, dot = |f|^2 > 0, dHash equality) while distinct
+    bitmaps stay unpaired."""
+    import random
+
     import pandas as pd
 
-    payloads = [bytes([i]) * 40 for i in range(30)]
-    payloads += [payloads[0]] * 2  # two exact dups of payload 0
+    from unipdf_spark.fixtures.render import ccitt_g4_encode, jbig2_encode
+
+    rng = random.Random(7)
+    w, h = 32, 16
+    bitmaps = [
+        [[rng.random() < 0.35 for _ in range(w)] for _ in range(h)]
+        for _ in range(6)
+    ]
+    rows = []
+    for i, bm in enumerate(bitmaps):
+        rows.append((f"fax_{i}", ccitt_g4_encode(bm, w),
+                     "CCITTFaxDecode", -1, True))
+    # plant bitmap 0 again under a DIFFERENT encoding
+    rows.append(("jb2_0", jbig2_encode(bitmaps[0], w), "JBIG2Decode",
+                 0, False))
     media = spark.createDataFrame(
         pd.DataFrame(
             {
-                "media_ref": [f"img_{i:03d}" for i in range(len(payloads))],
-                "doc_id": ["d"] * len(payloads),
-                "kind": ["image"] * len(payloads),
-                "payload": payloads,
-                "width": [4] * len(payloads),
-                "height": [4] * len(payloads),
-                "n_bytes": [40] * len(payloads),
-                "codec": [""] * len(payloads),
-                "ccitt_k": [0] * len(payloads),
-                "blackis1": [False] * len(payloads),
+                "media_ref": [r[0] for r in rows],
+                "doc_id": ["d"] * len(rows),
+                "kind": ["image"] * len(rows),
+                "payload": [r[1] for r in rows],
+                "width": [w] * len(rows),
+                "height": [h] * len(rows),
+                "n_bytes": [len(r[1]) for r in rows],
+                "codec": [r[2] for r in rows],
+                "ccitt_k": [r[3] for r in rows],
+                "blackis1": [r[4] for r in rows],
             }
         ),
         schema=mm.MEDIA_SCHEMA,
     )
-    pairs = {(r["ref_a"], r["ref_b"]): r["dot"]
+    pairs = {(r["ref_a"], r["ref_b"]): r
              for r in mm.media_feature_dedup(media).collect()}
-    assert ("img_000", "img_030") in pairs
-    assert ("img_000", "img_031") in pairs
-    assert ("img_030", "img_031") in pairs
+    # BlackIs1=True fax: bit 1 = black = ink, same map as the JBIG2 leg
+    assert ("fax_0", "jb2_0") in pairs
+    p = pairs[("fax_0", "jb2_0")]
+    assert p["dot"] > 0 and p["dhash_match"]
+    # distinct random bitmaps must not collide
+    assert not any(
+        k for k in pairs
+        if k != ("fax_0", "jb2_0")
+    )
 
 
 def test_jpeg_grayscale_features_match_plan(spark):

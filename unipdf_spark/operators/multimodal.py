@@ -1,18 +1,20 @@
 """Multimodal column operators: image/audio/video as opaque `binary` columns
 with typed metadata.
 
-The Spark-side plumbing is real (schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning); the codec step itself is stubbed behind
-`_decode_image_stub` — the container has no image/audio libraries, and the
-span pipeline needs media *identity*, not pixels (same stance as the
-reference's text path, which skips image XObjects — extractor.go:1016 block).
-A real deployment swaps the stub for Pillow/torchaudio inside the same UDFs.
-"""
+The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
+signatures, partitioning) AND the pixel decode are real for the codec
+families the engine implements (CCITT fax, JBIG2, baseline JPEG —
+internal/ccittfax + internal/jbig2 + Go image/jpeg parity):
+`extract_features` computes 64-dim block-mean vectors + 64-bit dHashes
+from actual decoded bitmaps, so `media_feature_dedup` finds
+visually-identical images across DIFFERENT encodings. Codecs outside the
+engine's set (e.g. JPX) land in decode_ok=false rows; a deployment adds
+Pillow/torchaudio inside the same UDFs. `resize_thumbnails` remains a
+plumbing stub (byte-fold, documented)."""
 
 from __future__ import annotations
 
 import hashlib
-import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,15 +28,12 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_ref string, doc_id string, feature array<float>, "
-    "feat_dim int, decode_ok boolean"
+    "feat_dim int, dhash long, decode_ok boolean"
 )
 
 THUMB_SCHEMA = (
     "media_ref string, thumb binary, thumb_w int, thumb_h int"
 )
-
-STUB_FEAT_DIM = 16
-
 
 def media_table_from_fixtures(spark, n_docs: int = 60, mix="default") -> DataFrame:
     """Build a media table (one row per media span payload) from the fixture
@@ -87,43 +86,114 @@ def media_table_from_fixtures(spark, n_docs: int = 60, mix="default") -> DataFra
     return docs.mapInPandas(emit_media, schema=MEDIA_SCHEMA)
 
 
-def _decode_image_stub(payload: bytes, width: int, height: int):
-    """STUB decode: deterministic fake pixel statistics derived from the
-    payload hash — NOT a real codec. Replace with Pillow in deployment.
-    Raises on empty payload to exercise the per-row error path."""
+def _decode_pixels(payload: bytes, width: int, height: int, codec: str,
+                   ccitt_k: int, blackis1: bool):
+    """REAL pixel decode via the engine's own codecs → float H×W array.
+    Bilevel codecs (CCITT fax, JBIG2) produce an INK map (1.0 = black) so
+    the same page bitmap yields identical pixels regardless of encoding;
+    DCTDecode produces normalized grayscale. Unknown codecs raise — the
+    caller's per-row error path records decode_ok=false."""
+    import numpy as np
+
+    if codec == "JBIG2Decode":
+        from ..pdf.jbig2 import decode_jbig2_packed
+
+        bits, bw, bh = decode_jbig2_packed(payload, width, height)
+        stride = (bw + 7) // 8
+        arr = np.unpackbits(
+            np.frombuffer(bytes(bits), dtype=np.uint8)
+        ).reshape(-1, stride * 8)[:bh, :bw]
+        return arr.astype(np.float64)  # JBIG2: 1 = black, always
+    if codec == "CCITTFaxDecode":
+        from ..pdf.ccitt import decode_ccitt
+
+        packed = decode_ccitt(
+            payload,
+            {"K": ccitt_k, "Columns": width, "BlackIs1": blackis1},
+        )
+        stride = (width + 7) // 8
+        arr = np.unpackbits(
+            np.frombuffer(bytes(packed), dtype=np.uint8)
+        ).reshape(-1, stride * 8)[:, :width]
+        # PDF CCITT default: 0 = black; /BlackIs1 inverts
+        return arr.astype(np.float64) if blackis1 else 1.0 - arr
+    if codec == "DCTDecode":
+        from ..pdf.jpeg import decode_baseline_gray
+
+        img = decode_baseline_gray(payload)
+        return np.asarray(img, dtype=np.float64) / 255.0
+    raise NotImplementedError(f"no decoder for codec {codec!r}")
+
+
+def _grid_means(arr, gh: int, gw: int):
+    """Block-mean downsample of an H×W array to gh×gw (arbitrary sizes:
+    block boundaries are the integer lattice i·H//gh)."""
+    import numpy as np
+
+    h, w = arr.shape
+    ys = [(i * h) // gh for i in range(gh + 1)]
+    xs = [(j * w) // gw for j in range(gw + 1)]
+    out = np.empty((gh, gw), dtype=np.float64)
+    for i in range(gh):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(gw):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = arr[y0:y1, x0:x1].mean()
+    return out
+
+
+def _image_features(payload: bytes, width: int, height: int, codec: str,
+                    ccitt_k: int, blackis1: bool):
+    """(feature, dhash): feature = mean-centred 8×8 block means of the
+    decoded image (64 floats — identical bitmaps give identical vectors,
+    so fax and JBIG2 encodings of the same page collide exactly); dhash =
+    64-bit difference hash (adjacent-column comparisons of a 9×8 grid)."""
     if not payload:
-        raise NotImplementedError("empty payload: no codec available (stub)")
-    h = hashlib.sha256(payload).digest()
-    # 16 deterministic pseudo-features in [0, 1)
-    feats = [
-        struct.unpack(">H", h[2 * i : 2 * i + 2])[0] / 65536.0
-        for i in range(STUB_FEAT_DIM)
-    ]
-    return feats
+        raise NotImplementedError("empty payload")
+    arr = _decode_pixels(payload, width, height, codec, ccitt_k, blackis1)
+    if arr.size == 0:
+        raise NotImplementedError("empty image")
+    g8 = _grid_means(arr, 8, 8)
+    feat = (g8 - g8.mean()).ravel()
+    g98 = _grid_means(arr, 8, 9)
+    bits = (g98[:, 1:] > g98[:, :-1]).ravel()
+    dhash = 0
+    for bit in bits:
+        dhash = (dhash << 1) | int(bit)
+    if dhash >= 1 << 63:  # store as signed int64
+        dhash -= 1 << 64
+    return [float(x) for x in feat], dhash
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary media payloads. Per-row
-    failures land in `decode_ok=false` rows, never fail the task (relaxed
-    philosophy, SURVEY §3.1)."""
+    """Arrow-batched REAL feature extraction over binary media payloads:
+    per-image 64-dim centred block-mean vector + 64-bit dHash from actual
+    pixel decode (engine codecs: CCITT fax, JBIG2, baseline JPEG).
+    Codecs without a decoder and per-row failures land in
+    `decode_ok=false` rows, never fail the task (relaxed philosophy,
+    SURVEY §3.1)."""
 
     def feat_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            refs, dids, feats, dims, oks = [], [], [], [], []
-            for ref, did, payload, w, h in zip(
+            refs, dids, feats, dims, hashes, oks = [], [], [], [], [], []
+            for ref, did, payload, w, h, codec, k, b1 in zip(
                 b["media_ref"], b["doc_id"], b["payload"], b["width"],
-                b["height"],
+                b["height"], b["codec"], b["ccitt_k"], b["blackis1"],
             ):
                 refs.append(ref)
                 dids.append(did)
                 try:
-                    f = _decode_image_stub(bytes(payload or b""), int(w), int(h))
+                    f, dh = _image_features(
+                        bytes(payload or b""), int(w), int(h), str(codec),
+                        int(k), bool(b1))
                     feats.append(f)
                     dims.append(len(f))
+                    hashes.append(dh)
                     oks.append(True)
                 except Exception:
                     feats.append([])
                     dims.append(0)
+                    hashes.append(0)
                     oks.append(False)
             yield pd.DataFrame(
                 {
@@ -131,6 +201,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "doc_id": dids,
                     "feature": feats,
                     "feat_dim": dims,
+                    "dhash": hashes,
                     "decode_ok": oks,
                 }
             )
@@ -167,13 +238,16 @@ MEDIA_BLOCK_CAP = 64
 
 
 def media_feature_dedup(media: DataFrame) -> DataFrame:
-    """Near-dup media via stub-feature cosine within blocks.
+    """Near-dup media via REAL-feature cosine within blocks (centred
+    block-mean vectors from actual pixel decode — fax and JBIG2 encodings
+    of the same page bitmap produce identical features and pair at
+    dot = |f|²; `dhash_match` additionally reports 64-bit dHash equality).
 
     Blocking key = (feat_dim, 8-bit feature-sign LSH); blocks larger than
-    MEDIA_BLOCK_CAP refine to the full 16-bit sign signature (same
-    hierarchical device as embedding_near_dup_pairs — a degenerate
-    all-identical-feature corpus can't force an n² join task). The join is
-    an equality shuffle join on the block, never a cross product.
+    MEDIA_BLOCK_CAP refine to a 16-bit sign signature (same hierarchical
+    device as embedding_near_dup_pairs — a degenerate all-identical-
+    feature corpus can't force an n² join task). The join is an equality
+    shuffle join on the block, never a cross product.
     """
     feats = extract_features(media).filter(F.col("decode_ok"))
 
@@ -189,7 +263,7 @@ def media_feature_dedup(media: DataFrame) -> DataFrame:
 
     feats = feats.withColumn(
         "b8", F.concat_ws(":", F.col("feat_dim").cast("string"), sign_bits(8))
-    ).withColumn("b16", sign_bits(STUB_FEAT_DIM))
+    ).withColumn("b16", sign_bits(16))
     from pyspark.sql.window import Window
 
     feats = feats.withColumn(
@@ -219,6 +293,7 @@ def media_feature_dedup(media: DataFrame) -> DataFrame:
             F.col("a.media_ref").alias("ref_a"),
             F.col("b.media_ref").alias("ref_b"),
             F.round(dot, 6).alias("dot"),
+            (F.col("a.dhash") == F.col("b.dhash")).alias("dhash_match"),
         )
     )
 
