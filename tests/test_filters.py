@@ -869,3 +869,17 @@ def test_jbig2_huffman_text_region_roundtrip_fuzz():
         got, w, h = decode_embedded(stream)
         assert (w, h) == (cols, nrows)
         assert [list(r) for r in got] == want, (trial, strips)
+
+
+def test_ccitt_two_transcriptions_agree():
+    """Fixture independence (r4 VERDICT watch item): the writer side keeps
+    its OWN T.4 table transcription (fixtures/ccitt_codes.py, sourced from
+    the reference's table init) and the engine keeps its spec-derived one
+    (pdf/ccitt_tables.py). Equality of the two independent transcriptions
+    cross-validates both."""
+    from unipdf_spark.fixtures import ccitt_codes as A
+    from unipdf_spark.pdf import ccitt_tables as B
+
+    for name in ("WHITE_TERMINAL", "BLACK_TERMINAL", "WHITE_MAKEUP",
+                 "BLACK_MAKEUP", "EXT_MAKEUP"):
+        assert getattr(A, name) == getattr(B, name), name

@@ -445,7 +445,10 @@ def _ccitt_changes(row_black: list[bool]) -> list[int]:
 
 
 def _ccitt_run(w: "_BitWriter", run: int, white: bool) -> None:
-    from unipdf_spark.pdf import ccitt_tables as T
+    # fixture side's OWN T.4 table transcription (ccitt_codes.py, sourced
+    # from the reference's table init) — the engine's spec-derived copy is
+    # cross-checked against it by test, not shared (fixture independence)
+    from unipdf_spark.fixtures import ccitt_codes as T
 
     term = T.WHITE_TERMINAL if white else T.BLACK_TERMINAL
     makeup = T.WHITE_MAKEUP if white else T.BLACK_MAKEUP
