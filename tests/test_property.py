@@ -94,3 +94,35 @@ def test_corrupted_pdfs_never_raise():
         extract_lists(blob)
         extract_text_visibility(blob)
         extract_page_inventory(blob)
+
+
+# logical-word vocabulary for the joint Arabic-shaping × bidi property:
+# Latin (LTR), Hebrew (RTL, unshaped), Arabic (RTL, contextually shaped
+# incl. lam-alef ligature triggers)
+_BIDI_VOCAB = (
+    ["data", "engine", "span", "query", "x", "wrap-long-token"]
+    + ["שלום", "עולם", "ספר", "נתונים"]
+    + ["بيانات", "تحليل", "لا", "ولا", "الحل", "كتاب", "مكتبة"]
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.sampled_from(_BIDI_VOCAB), min_size=1, max_size=40))
+def test_arabic_bidi_roundtrip_property(words):
+    """Joint Arabic-shaping + bidi property (r4 VERDICT #8): ANY logical
+    word sequence rendered through the visual pipeline (Arabic shaped to
+    presentation forms incl. lam-alef collapsing two charcodes into one
+    glyph, RTL runs reversed) must round-trip to the logical golden with
+    exact cumulative offsets."""
+    from unipdf_spark.fixtures.gen import make_bidi_text_doc
+
+    golden, pdf = make_bidi_text_doc("doc_prop_bidi", words)
+    res = extract_spans(pdf)
+    assert res.error is None
+    assert res.spans == golden
+    # offset invariant: spans carve the doc text exactly
+    cum = 0
+    for s in res.spans:
+        assert s["offset"] == cum
+        if s["kind"] == "text":
+            cum += len(s["text"])

@@ -486,6 +486,61 @@ def _arabic_para(rng: random.Random, x: float, v_cursor: float, width: float
     return plan, v + LEADING - PARA_SKIP
 
 
+def make_bidi_text_doc(doc_id: str, words: list[str]
+                       ) -> tuple[list[dict], bytes]:
+    """Property-test entry: render an ARBITRARY logical word sequence
+    (Latin / Hebrew / Arabic mix) through the full visual pipeline —
+    Arabic words contextually shaped to presentation forms, every RTL run
+    reversed word- and char-wise — and return (golden spans, pdf). The
+    golden is the logical order; extraction must jointly unshape (NFKC)
+    and bidi-reorder to recover it."""
+
+    def is_rtl(wd: str) -> bool:
+        return any("֐" <= ch <= "ࣿ" for ch in wd)
+
+    def is_arabic(wd: str) -> bool:
+        return any("؀" <= ch <= "ۿ" for ch in wd)
+
+    words = [w for w in words if w] or ["empty"]
+    width = PAGE_W - 2 * MARGIN
+    lines_logical: list[list[str]] = [[]]
+    cur_w = 0.0
+    for wd in words:
+        cost = _cid_text_w(wd + " ", FS)
+        if cur_w + cost > width and lines_logical[-1]:
+            lines_logical.append([])
+            cur_w = 0.0
+        lines_logical[-1].append(wd)
+        cur_w += cost
+
+    seg_lines: list[list[Seg]] = []
+    baselines: list[float] = []
+    v = PAGE_H - MARGIN - FS
+    for toks in lines_logical:
+        visual: list[str] = []
+        i = 0
+        while i < len(toks):
+            if is_rtl(toks[i]):
+                j = i
+                while j < len(toks) and is_rtl(toks[j]):
+                    j += 1
+                visual.extend(
+                    (_fixture_arabic_shape(t) if is_arabic(t) else t)[::-1]
+                    for t in reversed(toks[i:j]))
+                i = j
+            else:
+                visual.append(toks[i])
+                i += 1
+        seg_lines.append([Seg(" ".join(visual), golden=" ".join(toks))])
+        baselines.append(v)
+        v -= LEADING
+    plan = DocPlan()
+    plan.blocks.append(ParaPlan(lines=seg_lines, x=MARGIN,
+                                baselines=baselines, font="F2"))
+    pdf, golden = render_doc(plan)
+    return golden, pdf
+
+
 def _hyphen_para(rng: random.Random, x: float, v_cursor: float, width: float
                  ) -> tuple[ParaPlan, float]:
     pre = [rng.choice(WORDS) for _ in range(rng.randint(3, 6))]
