@@ -292,3 +292,48 @@ def test_r5_document_decrypts_with_single_sha256_kdf():
          "CF": {"StdCF": {"CFM": "AESV3", "Length": 32}}},
         b"")
     assert h.key == file_key
+
+
+def test_fetch_standards_verify_machinery(tmp_path, monkeypatch):
+    """The vendoring tool's --verify leg, exercised against a synthetic
+    cmap-resources checkout (fixture-grade CMaps written as real files):
+    dir scan, parse, usecmap chain resolution. With a real Adobe checkout
+    in UNIPDF_SPARK_CMAP_DIR the same code verifies UniGB/UniJIS."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "tools")
+    fsd = importlib.import_module("fetch_standards_data")
+    from unipdf_spark.pdf import cmap_resources as cr
+
+    d = tmp_path / "Adobe-Fixture" / "CMap"
+    d.mkdir(parents=True)
+    (d / "DiskGB-base-H").write_bytes(cr._FIXTURE_BASE.replace(
+        b"FixtureGB-base-H", b"DiskGB-base-H"))
+    (d / "DiskGB-UCS2-H").write_bytes(cr._FIXTURE_UCS2.replace(
+        b"FixtureGB-base-H", b"DiskGB-base-H").replace(
+        b"FixtureGB-UCS2-H", b"DiskGB-UCS2-H"))
+    monkeypatch.setattr(cr, "_dir_scanned", False)
+    assert fsd.verify(str(tmp_path)) == 0
+    # the registry now resolves the on-disk chain
+    monkeypatch.setattr(cr, "_dir_scanned", False)
+    monkeypatch.setenv("UNIPDF_SPARK_CMAP_DIR", str(tmp_path))
+    cm = cr.cid_cmap("DiskGB-UCS2-H")
+    assert cm is not None and cm.cid_map
+
+
+def test_fetch_standards_real_adobe_data_when_present():
+    """CI-style gate: when a deployment supplies real Adobe cmap-resources
+    via UNIPDF_SPARK_CMAP_DIR, the registry must load UniGB-UCS2-H with a
+    plausible range count. Skipped in the sandbox (no network)."""
+    import os
+
+    import pytest
+
+    root = os.environ.get("UNIPDF_SPARK_CMAP_DIR")
+    from unipdf_spark.pdf import cmap_resources as cr
+
+    if not root or not cr.registered("UniGB-UCS2-H"):
+        pytest.skip("real Adobe cmap-resources not vendored")
+    cm = cr.cid_cmap("UniGB-UCS2-H")
+    assert cm is not None and len(cm.cid_map) > 100
