@@ -559,6 +559,18 @@ def test_jbig2_halftone_region_roundtrip_fuzz():
         got, w, h = decode_embedded(stream)
         assert (w, h) == (hgw * s, hgh * s)
         assert [list(r) for r in got] == want
+        # HMMR=1: consecutive T.6 bitplanes in one MMR stream
+        stream, want = jbig2_halftone_encode(gray, patterns, mmr=True)
+        got, w, h = decode_embedded(stream)
+        assert (w, h) == (hgw * s, hgh * s)
+        assert [list(r) for r in got] == want, "mmr"
+        # ENABLESKIP=1: first column pushed wholly off-region via HGX<0
+        if hgw > 3:
+            stream, want = jbig2_halftone_encode(gray, patterns,
+                                                 skip_cols=1)
+            got, w, h = decode_embedded(stream)
+            assert (w, h) == ((hgw - 1) * s, hgh * s)
+            assert [list(r) for r in got] == want, "skip"
 
 
 def test_jbig2_refagg_symbol_dict_roundtrip_fuzz():

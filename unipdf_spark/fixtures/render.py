@@ -463,8 +463,19 @@ def _ccitt_run(w: "_BitWriter", run: int, white: bool) -> None:
 
 def ccitt_g4_encode(rows: list[list[bool]], columns: int) -> bytes:
     """Generator-side ITU-T T.6 (Group 4) encoder — independent of the
-    engine's decoder; shares only the published T.4 code tables."""
+    engine's decoder; fixture-side T.4 code tables (ccitt_codes)."""
     w = _BitWriter()
+    _ccitt_g4_into(w, rows, columns)
+    w.write("000000000001" * 2)  # EOFB
+    return w.bytes()
+
+
+def _ccitt_g4_into(w: "_BitWriter", rows: list[list[bool]],
+                   columns: int) -> None:
+    """T.6 row coding into an existing bit writer (no EOFB) — lets the
+    JBIG2 HMMR=1 halftone encoder emit consecutive bitplanes in ONE MMR
+    stream with a persistent coder, matching the reference's reuse of a
+    single MMR decoder across planes."""
     ref = [columns, columns]
     for row in rows:
         cur = _ccitt_changes(row)
@@ -504,8 +515,6 @@ def ccitt_g4_encode(rows: list[list[bool]], columns: int) -> bytes:
                 _ccitt_run(w, a2 - a1, not white)
                 a0 = a2
         ref = cur
-    w.write("000000000001" * 2)  # EOFB
-    return w.bytes()
 
 
 def ccitt_g3_1d_encode(rows: list[list[bool]], columns: int) -> bytes:
@@ -844,10 +853,16 @@ def _jb2_enc_iaid(enc: "_MQEncoder", cx: list, symcodelen: int, sym_id: int) -> 
 
 
 def _jb2_generic_into(enc: "_MQEncoder", contexts: dict,
-                      rows: list[list[bool]], cols: int) -> None:
+                      rows: list[list[bool]], cols: int,
+                      skip: list | None = None) -> None:
     """Template-0 generic coding into an EXISTING MQ encoder + GB context
-    store (symbol-dictionary semantics: one coder for all symbol bitmaps)."""
+    store (symbol-dictionary semantics: one coder for all symbol bitmaps).
+    ``skip`` (USESKIP, §6.2.5.7): skipped pixels are forced to 0 and NO
+    decision is emitted for them."""
     h = len(rows)
+    if skip is not None:
+        rows = [[bool(v) and not skip[y][x] for x, v in enumerate(r)]
+                for y, r in enumerate(rows)]
 
     def px(x: int, y: int) -> int:
         if 0 <= x < cols and 0 <= y < h:
@@ -856,6 +871,8 @@ def _jb2_generic_into(enc: "_MQEncoder", contexts: dict,
 
     for y in range(h):
         for x in range(cols):
+            if skip is not None and skip[y][x]:
+                continue
             ctx = 0
             for dx, dy in _JB2_T0:
                 ctx = (ctx << 1) | px(x + dx, y + dy)
@@ -2026,12 +2043,17 @@ def jbig2_huffman_text_encode(symbols, placements, cols: int, nrows: int,
     return stream, page
 
 
-def jbig2_halftone_encode(gray, patterns) -> tuple[bytes, list]:
+def jbig2_halftone_encode(gray, patterns, mmr: bool = False,
+                          skip_cols: int = 0) -> tuple[bytes, list]:
     """Embedded JBIG2 with a PATTERN DICTIONARY (collective generic bitmap,
     §6.7) + HALFTONE REGION (§6.6: Gray-coded grayscale bitplanes, MSB
-    first, one MQ encoder + shared contexts). `gray` is an HGH×HGW grid of
-    pattern indices; `patterns` are square S×S bitmaps laid on a regular
-    grid (HRX = S<<8, HRY = 0). Returns (stream, composed page rows)."""
+    first). `gray` is an HGH×HGW grid of pattern indices; `patterns` are
+    square S×S bitmaps laid on a regular grid (HRX = S<<8, HRY = 0).
+    ``mmr``: HMMR=1 — planes as consecutive T.6 bitmaps in ONE stream (no
+    EOFB between planes, persistent coder). ``skip_cols``: ENABLESKIP=1
+    with HGX = −skip_cols·S, pushing the first columns wholly off-region
+    so their cells hit the §6.6.5.1 skip bitmap (encoder emits no
+    decisions for them). Returns (stream, composed page rows)."""
     s = len(patterns[0])
     assert all(len(p) == s and len(p[0]) == s for p in patterns)
     hgh, hgw = len(gray), len(gray[0])
@@ -2044,21 +2066,40 @@ def jbig2_halftone_encode(gray, patterns) -> tuple[bytes, list]:
     pd_data = (bytes([0, s, s]) + graymax.to_bytes(4, "big") + pd_body)
 
     bpp = max(1, graymax.bit_length())
-    enc = _MQEncoder()
-    ctx: dict[int, list] = {}
-    for j in range(bpp - 1, -1, -1):  # MSB plane first; Gray code
-        plane = [[bool(((gray[y][x] >> j) & 1) ^ ((gray[y][x] >> (j + 1)) & 1))
-                  for x in range(hgw)] for y in range(hgh)]
-        _jb2_generic_into(enc, ctx, plane, hgw)
-    rw, rh = hgw * s, hgh * s
+    hgx = -skip_cols * s
+    rw, rh = (hgw - skip_cols) * s, hgh * s
+    skipmap = None
+    if skip_cols:
+        skipmap = [[1 if (hgx + ng * s) + s <= 0 else 0
+                    for ng in range(hgw)] for _ in range(hgh)]
+
+    def plane_bits(j):
+        return [[bool(((gray[y][x] >> j) & 1)
+                      ^ ((gray[y][x] >> (j + 1)) & 1))
+                 for x in range(hgw)] for y in range(hgh)]
+
+    if mmr:
+        w = _BitWriter()
+        for j in range(bpp - 1, -1, -1):  # MSB plane first; Gray code
+            _ccitt_g4_into(w, plane_bits(j), hgw)
+        body = w.bytes()
+    else:
+        enc = _MQEncoder()
+        ctx: dict[int, list] = {}
+        for j in range(bpp - 1, -1, -1):
+            _jb2_generic_into(enc, ctx, plane_bits(j), hgw,
+                              skip=skipmap)
+        body = enc.flush()
     region_info = (rw.to_bytes(4, "big") + rh.to_bytes(4, "big")
                    + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
                    + bytes([0]))
-    ht_data = (region_info + bytes([0])
+    ht_flags = (1 if mmr else 0) | ((1 if skip_cols else 0) << 3)
+    ht_data = (region_info + bytes([ht_flags])
                + hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
-               + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+               + ((hgx << 8) & 0xFFFFFFFF).to_bytes(4, "big")  # 1/256 fp
+               + (0).to_bytes(4, "big")
                + (s << 8).to_bytes(2, "big") + (0).to_bytes(2, "big")
-               + enc.flush())
+               + body)
     page_info = (rw.to_bytes(4, "big") + rh.to_bytes(4, "big")
                  + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
                  + bytes([0x01]) + (0).to_bytes(2, "big"))
@@ -2069,11 +2110,14 @@ def jbig2_halftone_encode(gray, patterns) -> tuple[bytes, list]:
     page = [[0] * rw for _ in range(rh)]
     for mg in range(hgh):
         for ng in range(hgw):
+            if skipmap is not None and skipmap[mg][ng]:
+                continue  # cell wholly off-region: decodes as gray 0
             pat = patterns[gray[mg][ng]]
             for yy in range(s):
                 for xx in range(s):
-                    if pat[yy][xx]:
-                        page[mg * s + yy][ng * s + xx] = 1
+                    px = hgx + ng * s + xx
+                    if pat[yy][xx] and 0 <= px < rw:
+                        page[mg * s + yy][px] = 1
     return stream, page
 
 

@@ -177,6 +177,35 @@ def _changes_to_row(changes: list[int], columns: int) -> bytearray:
     return row
 
 
+def decode_t6_planes(data: bytes, columns: int, rows: int,
+                     n_planes: int) -> list[bytes]:
+    """N consecutive T.6 (MMR) bitmaps from ONE bit stream — the JBIG2
+    halftone HMMR=1 grayscale shape (T.88 Annex C.5: bitplanes coded one
+    after another, each terminated by EOFB). Returns packed rows per
+    plane, 1 = black (JBIG2 convention), without byte re-alignment
+    between planes beyond the EOFB."""
+    if not (0 < columns <= (1 << 16)):
+        raise CCITTError(f"implausible Columns {columns}")
+    bits = _Bits(data)
+    planes: list[bytes] = []
+    for _ in range(n_planes):
+        out = bytearray()
+        ref = [columns, columns]
+        for _r in range(rows):
+            if bits.peek_str(24) == "000000000001" * 2:
+                break
+            changes = _decode_2d_row(bits, ref, columns)
+            out += _changes_to_row(changes, columns)
+            ref = changes if changes else [columns, columns]
+        if bits.peek_str(24) == "000000000001" * 2:
+            bits.pos += 24  # consume the plane's EOFB
+        stride = (columns + 7) // 8
+        if len(out) < rows * stride:
+            raise CCITTError("truncated halftone grayscale plane")
+        planes.append(bytes(out))
+    return planes
+
+
 def decode_ccitt(data: bytes, parms: dict | None = None) -> bytes:
     """CCITTFaxDecode → packed 1-bpp rows (PDF image data convention)."""
     parms = parms or {}

@@ -18,16 +18,19 @@ LoC; decoder entry internal/jbig2/decoder) from the public spec
   Huffman classes (standard Annex B tables B.1–B.5, collective
   height-class bitmaps — uncompressed or MMR); TEXT REGIONS (types 4/6/7,
   §6.4, arithmetic, all four REFCORNERs, transposed and untransposed,
-  SBREFINE=1 refinement-coded instances per §6.4.11);
+  SBREFINE=1 refinement-coded instances per §6.4.11), INCLUDING SBHUFF=1
+  Huffman text regions (standard tables B.6–B.15 verified against the
+  reference's embedded table data, §7.4.3.1.7 symbol ID runcodes,
+  byte-aligned BMSIZE refinement chunks);
 * GENERIC REFINEMENT REGIONS (types 40/42/43, §6.3): templates 0/1 with
   TPGRON, refining (replacing) the current page content;
 * PATTERN DICTIONARIES (type 16, §6.7: collective generic bitmap, special
   A1 = (−HDPW, 0)) + HALFTONE REGIONS (types 20/22/23, §6.6: Gray-coded
-  grayscale bitplanes, MSB first, shared MQ contexts, grid stamping);
-* CUSTOM HUFFMAN TABLE segments (type 53, §7.4.13) consumed by SDHUFF
-  selections in order of use;
-* Huffman text regions and MMR/skip halftone grayscale remain typed
-  errors — the remaining tail.
+  grayscale bitplanes, MSB first — arithmetic shared-context or HMMR=1
+  consecutive T.6 planes in one stream — with ENABLESKIP §6.6.5.1 skip
+  bitmaps honored in both coding and composition);
+* CUSTOM HUFFMAN TABLE segments (type 53, §7.4.13) consumed by SDHUFF /
+  SBHUFF selections in order of use.
 
 Bitmap convention: 1 = black (JBIG2 foreground), rows packed MSB-first —
 callers converting to PDF imaging space handle /Decode semantics.
@@ -214,11 +217,14 @@ def decode_generic(
 def decode_generic_with(
     dec: MQDecoder, contexts: dict, width: int, height: int,
     template: int = 0, at: list[tuple[int, int]] | None = None,
-    tpgdon: bool = False,
+    tpgdon: bool = False, skip: list | None = None,
 ) -> list[bytearray]:
     """Generic region decoding sharing an MQ decoder + GB context store —
     the symbol-dictionary procedure (§6.5.5) decodes every symbol bitmap
-    through ONE arithmetic decoder with persistent contexts."""
+    through ONE arithmetic decoder with persistent contexts. ``skip``
+    (USESKIP, §6.2.5.7 step 3(c)): pixels where the skip bitmap is 1 are
+    set to 0 WITHOUT consuming an arithmetic decision (halftone
+    ENABLESKIP grid cells wholly outside the region)."""
     at = at if at is not None else NOMINAL_AT[template]
     pts = template_pixels(template, at)
     nbits = len(pts)
@@ -241,7 +247,10 @@ def decode_generic_with(
                     bitmap[y][:] = bitmap[y - 1]
                 continue
         row = bitmap[y]
+        skiprow = skip[y] if skip is not None else None
         for x in range(width):
+            if skiprow is not None and skiprow[x]:
+                continue  # row[x] stays 0, no arithmetic decision
             ctx = 0
             for k in range(nbits):
                 dx, dy = pts[k]
@@ -849,11 +858,14 @@ def decode_pattern_dict(seg: bytes) -> list[list[bytearray]]:
 
 
 def decode_halftone_region(seg: bytes, patterns: list):
-    """Halftone region decoding (§6.6, arithmetic): Gray-coded grayscale
-    bitplanes (Annex C, MSB first, one MQ decoder + shared contexts) index
-    the pattern dictionary; patterns stamp onto the region grid at
-    ((HGX + mg·HRY + ng·HRX) >> 8, (HGY + mg·HRX − ng·HRY) >> 8) with OR
-    composition. MMR grayscale and ENABLESKIP raise typed errors."""
+    """Halftone region decoding (§6.6): Gray-coded grayscale bitplanes
+    (Annex C, MSB first) index the pattern dictionary; patterns stamp onto
+    the region grid at ((HGX + mg·HRY + ng·HRX) >> 8,
+    (HGY + mg·HRX − ng·HRY) >> 8) with OR composition. HMMR=1 planes
+    decode as consecutive EOFB-terminated T.6 bitmaps from one stream
+    (ccitt.decode_t6_planes); ENABLESKIP computes the §6.6.5.1 skip
+    bitmap (grid cells wholly outside the region) and generic decoding
+    skips those pixels."""
     rw, rh = _u32(seg, 0), _u32(seg, 4)
     rx, ry = _u32(seg, 8), _u32(seg, 12)
     flags = seg[17]
@@ -861,8 +873,6 @@ def decode_halftone_region(seg: bytes, patterns: list):
     template = (flags >> 1) & 3
     enableskip = (flags >> 3) & 1
     def_pixel = (flags >> 7) & 1
-    if hmmr or enableskip:
-        raise Jbig2Error("MMR/skip halftone regions unsupported")
     hgw, hgh = _u32(seg, 18), _u32(seg, 22)
     hgx = int.from_bytes(seg[26:30], "big", signed=True)
     hgy = int.from_bytes(seg[30:34], "big", signed=True)
@@ -873,14 +883,48 @@ def decode_halftone_region(seg: bytes, patterns: list):
     npats = len(patterns)
     if npats == 0:
         raise Jbig2Error("halftone region without pattern dictionary")
+    pat_h0 = len(patterns[0])
+    pat_w0 = len(patterns[0][0]) if pat_h0 else 0
     bpp = max(1, (npats - 1).bit_length())
-    dec = MQDecoder(seg[38:])
-    contexts: dict[int, list] = {}
-    at = NOMINAL_AT[template]
+    skipmap = None
+    if enableskip and not hmmr:
+        # §6.6.5.1: skip a grid cell whose pattern stamp cannot touch the
+        # region (x + HPW ≤ 0, x ≥ HBW, y + HPH ≤ 0, or y ≥ HBH)
+        skipmap = [bytearray(hgw) for _ in range(hgh)]
+        for mg in range(hgh):
+            for ng in range(hgw):
+                x = (hgx + mg * hry + ng * hrx) >> 8
+                y = (hgy + mg * hrx - ng * hry) >> 8
+                if (x + pat_w0 <= 0 or x >= rw
+                        or y + pat_h0 <= 0 or y >= rh):
+                    skipmap[mg][ng] = 1
     gray = [[0] * hgw for _ in range(hgh)]
     prev = [[0] * hgw for _ in range(hgh)]
+    if hmmr:
+        from .ccitt import decode_t6_planes
+
+        stride = (hgw + 7) // 8
+        packed = decode_t6_planes(seg[38:], hgw, hgh, bpp)
+
+        def plane_rows(j: int):
+            p = packed[bpp - 1 - j]  # planes coded MSB first
+            return [
+                bytearray(
+                    (p[y * stride + (x >> 3)] >> (7 - (x & 7))) & 1
+                    for x in range(hgw)
+                )
+                for y in range(hgh)
+            ]
+    else:
+        dec = MQDecoder(seg[38:])
+        contexts: dict[int, list] = {}
+        at = NOMINAL_AT[template]
+
+        def plane_rows(j: int):
+            return decode_generic_with(dec, contexts, hgw, hgh, template,
+                                       at, skip=skipmap)
     for j in range(bpp - 1, -1, -1):  # MSB plane first (Annex C.5)
-        plane = decode_generic_with(dec, contexts, hgw, hgh, template, at)
+        plane = plane_rows(j)
         for y in range(hgh):
             gr = gray[y]
             pr = prev[y]
