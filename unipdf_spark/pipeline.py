@@ -344,19 +344,25 @@ def span_equality(docs_pdf: DataFrame, spans_out: DataFrame) -> DataFrame:
 
 def run_with_checkpoint(docs_pdf: DataFrame, out_dir: str,
                         partitions: int | None = None,
-                        buckets: int = 16) -> None:
+                        buckets: int = 16,
+                        max_buckets_per_pass: int | None = None) -> None:
     """Checkpoint-resumable extraction: docs are bucketed by xxhash64(doc_id);
     finished buckets are skipped on restart via the manifest (SURVEY §4
     'checkpoint/resume'). Output is byte-identical regardless of how many
     times the job was interrupted (bucket contents are deterministic).
 
-    All pending buckets are extracted and written in ONE pass
+    By default all pending buckets are extracted and written in ONE pass
     (`partitionBy("bucket")`), then each completed bucket directory gets its
     manifest row — a cold resume pays the upstream plan once, not once per
     bucket (round-1 ran `buckets` sequential jobs, each re-deriving the full
     upstream ~16×). Within one attempt, Spark task retries handle transient
     failures; across attempts, the manifest anti-join skips whole buckets.
-    """
+
+    ``max_buckets_per_pass`` bounds the work unit: process at most that
+    many buckets per write+manifest commit, looping until done. A crash
+    then loses only the in-flight chunk — the knob a 100 TB run uses to
+    trade re-derivation cost against blast radius (the kill-resume drill,
+    bench/drill.py, exercises exactly this)."""
     import os
 
     spark = docs_pdf.sparkSession
@@ -376,28 +382,32 @@ def run_with_checkpoint(docs_pdf: DataFrame, out_dir: str,
     bucketed = docs_pdf.withColumn(
         "bucket", (F.pmod(F.xxhash64("doc_id"), F.lit(buckets))).cast("int")
     )
-    part = bucketed.filter(F.col("bucket").isin(pending))
-    t0 = time.time()
-    # re-derive the bucket from doc_id AFTER extraction (cheap expression,
-    # no join/shuffle) — the extraction stage stays map-only
-    out = run_extraction(part.drop("bucket"), partitions).withColumn(
-        "bucket", (F.pmod(F.xxhash64("doc_id"), F.lit(buckets))).cast("int")
-    )
-    out.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"  # never touch completed buckets
-    ).partitionBy("bucket").parquet(spans_dir)
-    elapsed = time.time() - t0
-    counts = {
-        r["bucket"]: r["n"]
-        for r in spark.read.parquet(spans_dir)
-        .filter(F.col("bucket").isin(pending))
-        .groupBy("bucket").agg(F.count("*").alias("n")).collect()
-    }
-    lineage = spark.createDataFrame(
-        [(b, counts.get(b, 0), elapsed, time.time()) for b in pending],
-        "bucket int, n_docs long, elapsed_s double, finished_at double",
-    )
-    lineage.write.mode("append").parquet(manifest_dir)
+    chunk = max_buckets_per_pass or len(pending)
+    for i0 in range(0, len(pending), chunk):
+        batch = pending[i0 : i0 + chunk]
+        part = bucketed.filter(F.col("bucket").isin(batch))
+        t0 = time.time()
+        # re-derive the bucket from doc_id AFTER extraction (cheap
+        # expression, no join/shuffle) — extraction stays map-only
+        out = run_extraction(part.drop("bucket"), partitions).withColumn(
+            "bucket",
+            (F.pmod(F.xxhash64("doc_id"), F.lit(buckets))).cast("int"),
+        )
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"  # never touch done buckets
+        ).partitionBy("bucket").parquet(spans_dir)
+        elapsed = time.time() - t0
+        counts = {
+            r["bucket"]: r["n"]
+            for r in spark.read.parquet(spans_dir)
+            .filter(F.col("bucket").isin(batch))
+            .groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        lineage = spark.createDataFrame(
+            [(b, counts.get(b, 0), elapsed, time.time()) for b in batch],
+            "bucket int, n_docs long, elapsed_s double, finished_at double",
+        )
+        lineage.write.mode("append").parquet(manifest_dir)
 
 
 def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
