@@ -329,6 +329,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band", "band_hash")
     )
     members = bt.join(ok, ["band", "band_hash"], "left_semi")
+    # persist the candidate set: it is re-referenced by pair_ids (both
+    # legs), the verify join, and the shingle semi-join — without a cache
+    # each reference replays the bucket collect + pair explode from the
+    # band table. Bounded by candidate count (≤ MAX_BUCKET²/2 per bucket),
+    # so the cache is small at any scale.
     cand = (
         members.groupBy("band", "band_hash")
         .agg(F.collect_list("doc_id").alias("members"))
@@ -336,6 +341,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", F.explode("members").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
+        .persist()
     )
     # verify candidates with true Jaccard over shingle sets — computed ONLY
     # for docs that appear in a candidate pair (semi-join before the shingle
