@@ -110,9 +110,21 @@ def main() -> None:
     load_start = os.getloadavg()
     ceiling = host_cpu_ceiling()
     ceil_8_32 = ceiling[32] / (4.0 * ceiling[8])
-    r_n = run(n, n_docs)
-    r_4n = run(4 * n, n_docs)
-    eff = r_4n["docs_per_sec"] / (4.0 * r_n["docs_per_sec"])
+    # the efficiency is a RATIO of two noisy throughputs — single samples
+    # spread 0.77–0.99 across idle-host runs (each level's throughput
+    # swings ~10% with JVM/GC/page-cache state). Sample the (N, 4N) pair
+    # three times interleaved and report the MEDIAN pair efficiency plus
+    # all samples.
+    pairs = []
+    samples = []
+    for _ in range(3):
+        a = run(n, n_docs)
+        b4 = run(4 * n, n_docs)
+        e = b4["docs_per_sec"] / (4.0 * a["docs_per_sec"])
+        pairs.append((e, a, b4))
+        samples.append(round(e, 3))
+    pairs.sort(key=lambda p: p[0])
+    eff, r_n, r_4n = pairs[1]  # median pair
     # transparency: also measure the 8→32 pair when the primary pair differs
     r_8 = r_n if n == 8 else run(8, n_docs)
     r_32 = r_4n if 4 * n == 32 else run(32, n_docs)
@@ -126,6 +138,7 @@ def main() -> None:
         "seconds_N": round(r_n["seconds"], 2),
         "seconds_4N": round(r_4n["seconds"], 2),
         "scaling_efficiency": round(eff, 3),
+        "efficiency_samples": samples,
         "pass": eff >= 0.8,
         "tput_8": round(r_8["docs_per_sec"], 1),
         "tput_32": round(r_32["docs_per_sec"], 1),
@@ -154,6 +167,12 @@ def main() -> None:
             f"- **scaling efficiency tput(4N)/(4·tput(N)) = "
             f"{result['scaling_efficiency']}** "
             f"({'PASS' if result['pass'] else 'FAIL'}; requirement ≥ 0.8)\n"
+            f"- median of 3 interleaved (N, 4N) pair samples: "
+            f"{result['efficiency_samples']} — the ratio of two noisy\n"
+            f"  throughputs swings ~±0.08 between idle-host runs, so a\n"
+            f"  single sample is not representative\n"
+            f"- loadavg at start: {result['loadavg_start']}"
+            f" (noisy = {result['noisy']})\n"
             f"- measured: {result['ts']}\n\n"
             "## Methodology and the 8\u2192" "32 pair\n\n"
             "Each level runs in a fresh JVM CPU-pinned to its core budget \u2014\n"
