@@ -785,10 +785,19 @@ def test_jbig2_corrupt_streams_fail_fast():
     rows = [[rng.random() < 0.4 for _ in range(32)] for _ in range(12)]
     syms = [[[rng.random() < 0.5 for _ in range(5)] for _ in range(5)]]
     pats = [[[i > 0] * 4 for _ in range(4)] for i in range(2)]
+    from unipdf_spark.fixtures.render import jbig2_huffman_textregion_encode
+
     streams = [
         jbig2_encode(rows, 32),
         jbig2_text_encode(syms, [(0, 3, 3), (0, 12, 8)], 32, 16)[0],
         jbig2_halftone_encode([[0, 1], [1, 0]], pats)[0],
+        # r5 paths: Huffman text region, MMR halftone, skip halftone
+        jbig2_huffman_textregion_encode(
+            syms, [(0, 3, 3), (0, 12, 8)], 32, 16,
+            instance_refine={1: [[True] * 6 for _ in range(6)]})[0],
+        jbig2_halftone_encode([[0, 1], [1, 0]], pats, mmr=True)[0],
+        jbig2_halftone_encode([[0, 1, 0], [1, 0, 1]], pats,
+                              skip_cols=1)[0],
     ]
     t0 = time.monotonic()
     n_err = 0
