@@ -904,3 +904,56 @@ def test_ccitt_two_transcriptions_agree():
     for name in ("WHITE_TERMINAL", "BLACK_TERMINAL", "WHITE_MAKEUP",
                  "BLACK_MAKEUP", "EXT_MAKEUP"):
         assert getattr(A, name) == getattr(B, name), name
+
+
+def test_jbig2_huffman_refagg_symbol_dict_roundtrip_fuzz():
+    """SDHUFF=1 + SDREFAGG=1 symbol dictionaries (§6.5.8.2 Huffman
+    branch, verified against the reference's decodeRefinedSymbol /
+    huffDecodeRefAggNInst): refined symbols as raw-ID + B.15 RDX/RDY +
+    byte-aligned BMSIZE arithmetic chunks, and REFAGGNINST>1 aggregates
+    as nested Huffman text regions with raw-bit symbol IDs."""
+    import random
+
+    from unipdf_spark.fixtures.render import jbig2_huffman_refagg_encode
+    from unipdf_spark.pdf.jbig2 import decode_embedded
+
+    rng = random.Random(43)
+    for trial in range(8):
+        n_base = rng.randint(1, 4)
+        bases = []
+        for _ in range(n_base):
+            h, w = rng.randint(3, 7), rng.randint(3, 7)
+            bases.append([[rng.random() < 0.5 for _ in range(w)]
+                          for _ in range(h)])
+        # refined variants: dims shifted by ≤ 2 (B.14/B.15 comfortable)
+        variants = []
+        for _ in range(rng.randint(1, 3)):
+            bid = rng.randrange(n_base)
+            hi = len(bases[bid]) + rng.randint(0, 2)
+            wi = len(bases[bid][0]) + rng.randint(0, 2)
+            variants.append((bid, [[rng.random() < 0.5 for _ in range(wi)]
+                                   for _ in range(hi)]))
+        aggregates = []
+        if trial % 2:
+            insts = []
+            for k in range(rng.randint(2, 3)):
+                bid = rng.randrange(n_base)
+                hi = len(bases[bid]) + rng.randint(0, 2)
+                wi = len(bases[bid][0]) + rng.randint(0, 2)
+                insts.append((bid, 1 + 9 * k, rng.randint(0, 2),
+                              [[rng.random() < 0.5 for _ in range(wi)]
+                               for _ in range(hi)]))
+            aggregates.append((30, 12, insts))
+        n_all = n_base + len(variants) + len(aggregates)
+        cols, nrows = 64, 32
+        placements = [
+            (rng.randrange(n_all), rng.randint(0, cols - 32),
+             rng.randint(0, nrows - 14))
+            for _ in range(rng.randint(1, 6))
+        ]
+        stream, want = jbig2_huffman_refagg_encode(
+            bases, variants, placements, cols, nrows,
+            aggregates=aggregates)
+        got, w, h = decode_embedded(stream)
+        assert (w, h) == (cols, nrows)
+        assert [list(r) for r in got] == want, trial

@@ -1764,6 +1764,8 @@ _JB2_TBL = {
     "B11": ([(1, 0, 1), (2, 1, 2), (4, 0, 4), (4, 1, 5), (5, 1, 7),
              (5, 2, 9), (6, 2, 13), (7, 2, 17), (7, 3, 21), (7, 4, 29),
              (7, 5, 45), (7, 6, 77)], None, (7, 141), 0),
+    "B14": ([(3, 0, -2), (3, 0, -1), (1, 0, 0), (3, 0, 1), (3, 0, 2)],
+            None, None, 0),
     "B15": ([(7, 4, -24), (6, 2, -8), (5, 1, -4), (4, 0, -2), (3, 0, -1),
              (1, 0, 0), (3, 0, 1), (4, 0, 2), (5, 1, 3), (6, 2, 5),
              (7, 4, 9)], (7, -25), (7, 25), 0),
@@ -2314,6 +2316,221 @@ def jbig2_refagg_text_encode(base_symbols, variants, placements,
                 _jb2_enc_int(enc3, iads, x - curs)
                 curs = x
             _jb2_enc_iaid(enc3, iaid_t, symcodelen_t, sid)
+            curs += len(combined[sid][0]) - 1
+            n_inst += 1
+        if n_inst < total:
+            _jb2_enc_int(enc3, iads, None)
+    region_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
+                   + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                   + bytes([0]))
+    tr_data = (region_info + (1 << 4).to_bytes(2, "big")
+               + total.to_bytes(4, "big") + enc3.flush())
+    page_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
+                 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + bytes([0x01]) + (0).to_bytes(2, "big"))
+    stream = (_jb2_segment(1, 48, page_info)
+              + _jb2_segment(2, 0, sd1)
+              + _jb2_segment_refs(3, 0, [2], sd2)
+              + _jb2_segment_refs(4, 6, [3], tr_data)
+              + _jb2_segment(5, 49, b""))
+    all_syms = list(base_symbols) + [entry_bitmap(e) for e in entries]
+    page = [[0] * cols for _ in range(nrows)]
+    for sym_id, x, y in placements:
+        sym = all_syms[sym_id]
+        for yy, srow in enumerate(sym):
+            if 0 <= y + yy < nrows:
+                prow = page[y + yy]
+                for xx, v in enumerate(srow):
+                    if v and 0 <= x + xx < cols:
+                        prow[x + xx] = 1
+    return stream, page
+
+
+def jbig2_huffman_refagg_encode(base_symbols, variants, placements,
+                                cols: int, nrows: int,
+                                aggregates=None) -> tuple[bytes, list]:
+    """Embedded JBIG2 exercising SDHUFF=1 + SDREFAGG=1: an arithmetic
+    base dictionary, then a HUFFMAN refinement dictionary (DH via B.4,
+    DW via B.2, REFAGGNINST via B.1; =1 symbols = raw symcodelen-bit ID +
+    RDX/RDY via B.15 + BMSIZE via B.1 + byte-aligned arithmetic GRR
+    chunk; >1 = nested Huffman text region with B.6/B.8/B.11/B.14/B.1
+    tables and raw-bit IDs), then an arithmetic text region over the
+    combined exports. `variants` = [(base_id, bitmap)] (any dims);
+    `aggregates` = [(canvas_w, canvas_h, [(base_id, x, y, refined_bmp)])]
+    with |bmp dims − base dims| ≤ 2 (B.14 range). Returns
+    (stream, composed page rows)."""
+    aggregates = aggregates or []
+    # --- base dictionary (arithmetic) ------------------------------------
+    base_order = sorted(range(len(base_symbols)),
+                        key=lambda i: (len(base_symbols[i]),
+                                       len(base_symbols[i][0])))
+    enc = _MQEncoder()
+    gb_ctx: dict = {}
+    iadh, iadw, iaex = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    hcheight = 0
+    i = 0
+    while i < len(base_order):
+        hgt = len(base_symbols[base_order[i]])
+        _jb2_enc_int(enc, iadh, hgt - hcheight)
+        hcheight = hgt
+        symwidth = 0
+        while i < len(base_order) and len(base_symbols[base_order[i]]) == hgt:
+            wd = len(base_symbols[base_order[i]][0])
+            _jb2_enc_int(enc, iadw, wd - symwidth)
+            symwidth = wd
+            _jb2_generic_into(enc, gb_ctx, base_symbols[base_order[i]], wd)
+            i += 1
+        _jb2_enc_int(enc, iadw, None)
+    _jb2_enc_int(enc, iaex, 0)
+    _jb2_enc_int(enc, iaex, len(base_symbols))
+    at = bytes([3 & 0xFF, 0xFF, 0x100 - 3, 0xFF, 2, 0xFE, 0x100 - 2, 0xFE])
+    sd1 = ((0).to_bytes(2, "big") + at
+           + len(base_symbols).to_bytes(4, "big")
+           + len(base_symbols).to_bytes(4, "big") + enc.flush())
+    base_remap = {orig: k for k, orig in enumerate(base_order)}
+
+    # --- Huffman refinement dictionary -----------------------------------
+    def agg_canvas(a):
+        cw, ch, insts = a
+        canvas = [[False] * cw for _ in range(ch)]
+        for _bid, ax, ay, bmp in insts:
+            for yy, rrow in enumerate(bmp):
+                if 0 <= ay + yy < ch:
+                    for xx, v in enumerate(rrow):
+                        if v and 0 <= ax + xx < cw:
+                            canvas[ay + yy][ax + xx] = True
+        return canvas
+
+    entries = [("var", j, len(variants[j][1]), len(variants[j][1][0]))
+               for j in range(len(variants))]
+    entries += [("agg", k, aggregates[k][1], aggregates[k][0])
+                for k in range(len(aggregates))]
+    entry_order = sorted(range(len(entries)),
+                         key=lambda e: (entries[e][2], entries[e][3]))
+    n_in = len(base_symbols)
+    n_new = len(entries)
+    n_total = n_in + n_new
+    symcodelen = max(1, (n_total - 1).bit_length() if n_total > 1 else 1)
+    bw = _JB2BitWriterMSB()
+    gr_ctx: dict = {}
+
+    def chunk_out(bmp, ref, wi, hi, sw0, sh0, dx, dy):
+        genc = _MQEncoder()
+        _jb2_refine_into(genc, gr_ctx, bmp, ref, wi, hi, sw0, sh0,
+                         dx, dy, template=0)
+        chunk = genc.flush()
+        _jb2_huff_put(bw, "B1", len(chunk))  # BMSIZE
+        bw.align()
+        bw.out.extend(chunk)
+
+    hcheight = 0
+    i = 0
+    while i < len(entry_order):
+        hgt = entries[entry_order[i]][2]
+        _jb2_huff_put(bw, "B4", hgt - hcheight)  # DH (B.4: ≥ 1)
+        hcheight = hgt
+        symwidth = 0
+        while i < len(entry_order) and entries[entry_order[i]][2] == hgt:
+            kind, j, _h, wd = entries[entry_order[i]]
+            _jb2_huff_put(bw, "B2", wd - symwidth)  # DW (B.2: ≥ 0)
+            symwidth = wd
+            if kind == "var":
+                base_id, bmp = variants[j]
+                _jb2_huff_put(bw, "B1", 1)  # REFAGGNINST
+                bw.write(base_remap[base_id], symcodelen)  # raw ID
+                _jb2_huff_put(bw, "B15", 0)  # RDX
+                _jb2_huff_put(bw, "B15", 0)  # RDY
+                ref = base_symbols[base_id]
+                # SD refined symbols: GRREFERENCEDX = RDX directly
+                chunk_out(bmp, ref, wd, hgt, len(ref[0]), len(ref), 0, 0)
+            else:
+                cw, ch, insts = aggregates[j]
+                _jb2_huff_put(bw, "B1", len(insts))  # REFAGGNINST > 1
+                _jb2_huff_put(bw, "B11", 1)  # STRIPT init → −1
+                stript = -1
+                firsts = 0
+                n_i = 0
+                by_t: dict = {}
+                for bid, ax, ay, bmp in insts:
+                    by_t.setdefault(ay, []).append((ax, bid, bmp))
+                for t in sorted(by_t):
+                    _jb2_huff_put(bw, "B11", t - stript)  # DT ≥ 1
+                    stript = t
+                    first = True
+                    curs = 0
+                    for ax, bid, bmp in sorted(by_t[t],
+                                               key=lambda z: z[0]):
+                        if first:
+                            _jb2_huff_put(bw, "B6", ax - firsts)
+                            firsts = ax
+                            curs = ax
+                            first = False
+                        else:
+                            _jb2_huff_put(bw, "B8", ax - curs)
+                            curs = ax
+                        bw.write(base_remap[bid], symcodelen)  # raw ID
+                        bw.write(1, 1)  # RI
+                        ref = base_symbols[bid]
+                        sw0, sh0 = len(ref[0]), len(ref)
+                        wi, hi = len(bmp[0]), len(bmp)
+                        _jb2_huff_put(bw, "B14", wi - sw0)  # RDW
+                        _jb2_huff_put(bw, "B14", hi - sh0)  # RDH
+                        _jb2_huff_put(bw, "B14", 0)  # RDX
+                        _jb2_huff_put(bw, "B14", 0)  # RDY
+                        # §6.4.11 instances add floor(RDW/2)/floor(RDH/2)
+                        chunk_out(bmp, ref, wi, hi, sw0, sh0,
+                                  (wi - sw0) >> 1, (hi - sh0) >> 1)
+                        curs += wi - 1
+                        n_i += 1
+                    if n_i < len(insts):
+                        _jb2_huff_put(bw, "B8", None)  # end of strip
+            i += 1
+        _jb2_huff_put(bw, "B2", None)  # OOB: end of height class
+    _jb2_huff_put(bw, "B1", 0)          # export skip-run
+    _jb2_huff_put(bw, "B1", n_total)    # export inputs + new
+    rat = bytes([0xFF, 0xFF, 0xFF, 0xFF])  # GRAT nominal (−1,−1) ×2
+    # flags: SDHUFF=1, SDREFAGG=1, DH=B.4(0), DW=B.2(0), BM=B.1(0),
+    # AGG=B.1(0), SDRTEMPLATE=0
+    sd2 = ((0x0003).to_bytes(2, "big") + rat
+           + n_total.to_bytes(4, "big") + n_new.to_bytes(4, "big")
+           + bw.flush())
+
+    # --- text region over the combined exports ---------------------------
+    def entry_bitmap(e):
+        kind, j, _h, _w = e
+        return variants[j][1] if kind == "var" else agg_canvas(aggregates[j])
+
+    combined = [base_symbols[k] for k in base_order] + [
+        entry_bitmap(entries[k]) for k in entry_order]
+    remap = dict(base_remap)
+    for k, orig in enumerate(entry_order):
+        remap[n_in + orig] = n_in + k
+    enc3 = _MQEncoder()
+    iadt, iafs, iads = _jb2_int_ctx(), _jb2_int_ctx(), _jb2_int_ctx()
+    iaid_t = [[0, 0] for _ in range(1 << (symcodelen + 1))]
+    by_row: dict[int, list[tuple[int, int]]] = {}
+    for sym_id, x, y in placements:
+        by_row.setdefault(y, []).append((x, remap[sym_id]))
+    _jb2_enc_int(enc3, iadt, 0)
+    stript = 0
+    firsts = 0
+    n_inst = 0
+    total = len(placements)
+    for y in sorted(by_row):
+        _jb2_enc_int(enc3, iadt, y - stript)
+        stript = y
+        first = True
+        curs = 0
+        for x, sid in sorted(by_row[y]):
+            if first:
+                _jb2_enc_int(enc3, iafs, x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                _jb2_enc_int(enc3, iads, x - curs)
+                curs = x
+            _jb2_enc_iaid(enc3, iaid_t, symcodelen, sid)
             curs += len(combined[sid][0]) - 1
             n_inst += 1
         if n_inst < total:

@@ -15,8 +15,10 @@ LoC; decoder entry internal/jbig2/decoder) from the public spec
   SDREFAGG=1 refinement-coded symbols against imported/earlier symbols
   (§6.5.8.2 — both the REFAGGNINST=1 shortcut and >1 aggregate nested
   text regions, referred-dict imports honored), AND SDHUFF=1
-  Huffman classes (standard Annex B tables B.1–B.5, collective
-  height-class bitmaps — uncompressed or MMR); TEXT REGIONS (types 4/6/7,
+  Huffman classes (standard Annex B tables, collective height-class
+  bitmaps — uncompressed or MMR — or SDREFAGG=1 per-symbol refinement:
+  raw-ID + B.15 RDX/RDY + byte-aligned BMSIZE arithmetic chunks, with
+  REFAGGNINST>1 as nested Huffman text regions); TEXT REGIONS (types 4/6/7,
   §6.4, arithmetic, all four REFCORNERs, transposed and untransposed,
   SBREFINE=1 refinement-coded instances per §6.4.11), INCLUDING SBHUFF=1
   Huffman text regions (standard tables B.6–B.15 verified against the
@@ -514,12 +516,24 @@ TABLE_B15 = HuffTable([(7, 4, -24), (6, 2, -8), (5, 1, -4), (4, 0, -2),
 
 def _huffman_symbol_dict(seg: bytes, flags: int, off: int,
                          num_ex: int, num_new: int,
-                         custom_tables: list | None = None):
-    """SDHUFF=1, SDREFAGG=0 symbol dictionary (§6.5.5 Huffman branch +
-    §6.5.9 collective height-class bitmaps: uncompressed when BMSIZE=0,
-    MMR/T.6 otherwise). Standard Annex B selections, or custom table
-    segments consumed in order of use (DH, DW, BMSIZE — §7.4.3.1.6)."""
+                         custom_tables: list | None = None,
+                         input_syms: list | None = None,
+                         refagg: bool = False, rtemplate: int = 0,
+                         rat=None):
+    """SDHUFF=1 symbol dictionary (§6.5.5 Huffman branch).
+
+    SDREFAGG=0: §6.5.9 collective height-class bitmaps (uncompressed when
+    BMSIZE=0, MMR/T.6 otherwise). SDREFAGG=1 (verified against the
+    reference's huffDecodeRefAggNInst / decodeRefinedSymbol): per-symbol
+    REFAGGNINST via B.1 (or the custom table after DH/DW/BMSIZE customs);
+    =1 → raw symcodelen-bit ID + RDX/RDY via B.15 (fixed) + BMSIZE via
+    B.1 → byte-aligned arithmetic GRR chunk; >1 → nested Huffman text
+    region (standard B.6/B.8/B.11/B.14/B.1 tables, raw-bit symbol IDs,
+    TL/strip-1/refined). Standard Annex B selections, or custom table
+    segments consumed in order of use (DH, DW, BMSIZE, AGG —
+    §7.4.3.1.6)."""
     custom = list(custom_tables or [])
+    input_syms = input_syms or []
 
     def pick(sel: int, *std):
         if sel < len(std):
@@ -532,15 +546,18 @@ def _huffman_symbol_dict(seg: bytes, flags: int, off: int,
     dw_sel = (flags >> 4) & 3
     bm_sel = (flags >> 6) & 1
     ag_sel = (flags >> 7) & 1
-    if ag_sel:
-        raise Jbig2Error("custom AGG huffman table unsupported")
     t_dh = pick(dh_sel, TABLE_B4, TABLE_B5)
     t_dw = pick(dw_sel, TABLE_B2, TABLE_B3)
     t_bm = pick(bm_sel, TABLE_B1)
+    t_ag = pick(ag_sel, TABLE_B1) if refagg else None
     t_ex = TABLE_B1
 
     if num_new > MAX_SYMBOLS or num_ex > MAX_SYMBOLS:
         raise Jbig2Error("implausible symbol dictionary size")
+    n_total = len(input_syms) + num_new
+    # getSbSymCodeLen: ceil(log2(total)), floor 1 in Huffman mode
+    symcodelen = max(1, (n_total - 1).bit_length() if n_total > 1 else 1)
+    gr_ctx: dict[int, list] = {}  # shared across all refinement chunks
     br = _BitsMSB(seg, off)
     new_syms: list[list[bytearray]] = []
     hcheight = 0
@@ -554,6 +571,44 @@ def _huffman_symbol_dict(seg: bytes, flags: int, off: int,
             raise Jbig2Error("unexpected OOB in huffman height class")
         hcheight += dh
         symwidth = 0
+        if refagg:
+            while True:
+                dw = t_dw.decode(br)
+                if dw is OOB:
+                    break
+                symwidth += dw
+                _check_dims(symwidth, hcheight, "symbol")
+                if len(new_syms) >= num_new:
+                    raise Jbig2Error("too many symbols")
+                pool = input_syms + new_syms
+                n_inst = t_ag.decode(br)
+                if n_inst is OOB:
+                    raise Jbig2Error("unexpected OOB for REFAGGNINST")
+                if n_inst == 1:
+                    rid = br.bits(symcodelen)
+                    rdx = TABLE_B15.decode(br)
+                    rdy = TABLE_B15.decode(br)
+                    bmsize = TABLE_B1.decode(br)
+                    ref = pool[rid] if rid < len(pool) else []
+                    ref_h = len(ref)
+                    ref_w = len(ref[0]) if ref_h else 0
+                    new_syms.append(_huffman_refinement_chunk(
+                        br, seg, ref, ref_w, ref_h, symwidth, hcheight,
+                        rdx, rdy, rtemplate, rat, gr_ctx, bmsize))
+                else:
+                    new_syms.append([bytearray(r) for r in
+                                     _huffman_text_instances(
+                        br, seg, pool, symwidth, hcheight, n_inst,
+                        strips=1, log_strips=0, ref_corner=1,
+                        transposed=0, ds_offset=0, def_pixel=0,
+                        refine=True, rtemplate=rtemplate, rat=rat,
+                        t_fs=TABLE_B6, t_ds=TABLE_B8, t_dt=TABLE_B11,
+                        t_rdw=TABLE_B14, t_rdh=TABLE_B14,
+                        t_rdx=TABLE_B14, t_rdy=TABLE_B14,
+                        t_rsize=TABLE_B1,
+                        read_id=lambda: br.bits(symcodelen),
+                        gr_ctx=gr_ctx)])
+            continue
         totwidth = 0
         widths: list[int] = []
         while True:
@@ -601,16 +656,18 @@ def _huffman_symbol_dict(seg: bytes, flags: int, off: int,
             ]
             new_syms.append(sym)
             x0 += wd
-    # export flags: Table B.1 runs, alternating skip/export (§6.5.10)
+    # export flags: Table B.1 runs, alternating skip/export over
+    # SDINSYMS + SDNEWSYMS (§6.5.10)
+    all_syms = input_syms + new_syms
     exported: list[list[bytearray]] = []
     i = 0
     cur_export = 0
-    while i < len(new_syms) and len(exported) < num_ex:
+    while i < len(all_syms) and len(exported) < num_ex:
         run = t_ex.decode(br)
         if run is OOB:
             break
         if cur_export:
-            exported.extend(new_syms[i : i + run])
+            exported.extend(all_syms[i : i + run])
         i += run
         cur_export ^= 1
     return exported
@@ -713,12 +770,21 @@ def decode_symbol_dict(seg: bytes,
     template = (flags >> 10) & 3
     rtemplate = (flags >> 12) & 1
     if huffman:
-        if refagg:
-            raise Jbig2Error("huffman+refagg symbol dictionaries unsupported")
-        num_ex = _u32(seg, 2)
-        num_new = _u32(seg, 6)
-        return _huffman_symbol_dict(seg, flags, 10, num_ex, num_new,
-                                    custom_tables)
+        off = 2
+        rat = None
+        if refagg and rtemplate == 0:
+            rat = []
+            for _ in range(2):
+                rat.append((
+                    int.from_bytes(seg[off : off + 1], "big", signed=True),
+                    int.from_bytes(seg[off + 1 : off + 2], "big",
+                                   signed=True)))
+                off += 2
+        num_ex = _u32(seg, off)
+        num_new = _u32(seg, off + 4)
+        return _huffman_symbol_dict(seg, flags, off + 8, num_ex, num_new,
+                                    custom_tables, input_syms,
+                                    bool(refagg), rtemplate, rat)
     off = 2
     n_at = 4 if template == 0 else 1
     at = []
@@ -1087,12 +1153,55 @@ def _huffman_text_region(seg: bytes, off: int, hflags: int, symbols: list,
     t_rsize = pick((hflags >> 14) & 1, TABLE_B1)
 
     _check_dims(rw, rh, "text region")
-    if num_instances > MAX_INSTANCES:
-        raise Jbig2Error("implausible text-region instance count")
     n_syms = len(symbols)
     br = _BitsMSB(seg, off)
     symcodes = _symbol_id_codes(br, n_syms)
-    gr_ctx: dict[int, list] = {}  # shared across refined instances
+    return _huffman_text_instances(
+        br, seg, symbols, rw, rh, num_instances, strips, log_strips,
+        ref_corner, transposed, ds_offset, def_pixel, refine, rtemplate,
+        rat, t_fs, t_ds, t_dt, t_rdw, t_rdh, t_rdx, t_rdy, t_rsize,
+        read_id=lambda: symcodes.decode(br), gr_ctx={})
+
+
+def _huffman_refinement_chunk(br: "_BitsMSB", seg: bytes, ref, ref_w: int,
+                              ref_h: int, wi: int, hi: int, dx: int,
+                              dy: int, rtemplate: int, rat,
+                              gr_ctx: dict, bmsize: int):
+    """Byte-aligned BMSIZE-delimited arithmetic GRR chunk inside a
+    Huffman-coded stream (§6.4.11 / §6.5.8.2.2 Huffman branches): the
+    bit reader aligns, a fresh MQ decoder consumes exactly ``bmsize``
+    bytes (GR context store shared across the region/dictionary), and
+    reading resumes byte-aligned after the chunk. ``dx``/``dy`` are the
+    final GRREFERENCEDX/DY: text-region instances add floor(RDW/2) per
+    §6.4.11; symbol-dictionary refined symbols pass RDX/RDY directly
+    (reference decodeNewSymbols semantics)."""
+    _check_dims(wi, hi, "refined symbol")
+    br.align()
+    end = br.pos + bmsize if bmsize else len(seg)
+    mq = MQDecoder(seg[br.pos:end])
+    out = decode_refinement(
+        mq, gr_ctx, wi, hi, rtemplate, rat, ref, ref_w, ref_h,
+        dx, dy, False)
+    br.pos = end
+    br.bitpos = 0
+    return out
+
+
+def _huffman_text_instances(br: "_BitsMSB", seg: bytes, symbols: list,
+                            rw: int, rh: int, num_instances: int,
+                            strips: int, log_strips: int, ref_corner: int,
+                            transposed: int, ds_offset: int,
+                            def_pixel: int, refine: bool, rtemplate: int,
+                            rat, t_fs, t_ds, t_dt, t_rdw, t_rdh, t_rdx,
+                            t_rdy, t_rsize, read_id, gr_ctx: dict):
+    """Huffman text-region instance loop (§6.4 Huffman branch), shared by
+    SBHUFF=1 text region segments (canonical symbol ID codes) and
+    SDHUFF=1 aggregate symbol coding (raw symcodelen-bit IDs — the
+    reference's decodeID falls back to raw bits when no symbol code
+    table was built)."""
+    n_syms = len(symbols)
+    if num_instances > MAX_INSTANCES:
+        raise Jbig2Error("implausible text-region instance count")
     bitmap = [bytearray([def_pixel] * rw) for _ in range(rh)]
 
     first_dt = t_dt.decode(br)
@@ -1127,7 +1236,7 @@ def _huffman_text_region(seg: bytes, off: int, hflags: int, symbols: list,
                 curs += ids + ds_offset
             curt = br.bits(log_strips) if strips != 1 else 0
             t = stript + curt
-            sym_id = symcodes.decode(br)
+            sym_id = read_id()
             sym = symbols[sym_id] if sym_id < n_syms else []
             if refine and br.bit():
                 rdw = t_rdw.decode(br)
@@ -1138,18 +1247,12 @@ def _huffman_text_region(seg: bytes, off: int, hflags: int, symbols: list,
                 for v in (rdw, rdh, rdx, rdy, bmsize):
                     if v is OOB:
                         raise Jbig2Error("unexpected OOB in refinement")
-                br.align()
                 sh = len(sym)
                 sw = len(sym[0]) if sh else 0
-                wi, hi = sw + rdw, sh + rdh
-                _check_dims(wi, hi, "refined instance")
-                end = br.pos + bmsize if bmsize else len(seg)
-                mq = MQDecoder(seg[br.pos:end])
-                sym = decode_refinement(
-                    mq, gr_ctx, wi, hi, rtemplate, rat, sym, sw, sh,
-                    (rdw >> 1) + rdx, (rdh >> 1) + rdy, False)
-                br.pos = end
-                br.bitpos = 0
+                sym = _huffman_refinement_chunk(
+                    br, seg, sym, sw, sh, sw + rdw, sh + rdh,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                    rtemplate, rat, gr_ctx, bmsize)
             curs += _place_instance(bitmap, sym, t, curs, ref_corner,
                                     transposed, rw, rh)
             n_inst += 1
