@@ -149,8 +149,9 @@ def test_jbig2_bilevel_ink_ratio_matches_plan(spark):
             want = sum(sum(r) for r in bits) / (cols * len(bits))
             assert abs(feats[ref]["ink_ratio"] - want) < 1e-6, ref
             checked += 1
-        from unipdf_spark.fixtures.render import (jbig2_huffman_text_encode,
-                                                  jbig2_refinement_encode)
+        from unipdf_spark.fixtures.render import (
+            jbig2_huffman_refagg_encode, jbig2_huffman_text_encode,
+            jbig2_huffman_textregion_encode, jbig2_refinement_encode)
 
         for key, (syms, places, cols, nrows, mode,
                   corner) in plan.jbig2_text_images.items():
@@ -158,6 +159,17 @@ def test_jbig2_bilevel_ink_ratio_matches_plan(spark):
                 data, composed = jbig2_text_encode(
                     syms, places, cols, nrows, ref_corner=corner,
                     transposed=(mode == "arith_t"))
+            elif mode == "huff_tr":
+                data, composed = jbig2_huffman_textregion_encode(
+                    syms, places, cols, nrows)
+            elif mode == "huff_refagg":
+                seed = sum(len(sy) for sy in syms)
+                variant = [[bool(v) ^ ((x + y + seed) % 7 == 0)
+                            for x, v in enumerate(row)]
+                           for y, row in enumerate(syms[0])]
+                data, composed = jbig2_huffman_refagg_encode(
+                    syms, [(0, variant)],
+                    places + [(len(syms), 2, 2)], cols, nrows)
             else:
                 data, composed = jbig2_huffman_text_encode(
                     syms, places, cols, nrows, mmr=(mode == "huff_mmr"))
@@ -175,8 +187,11 @@ def test_jbig2_bilevel_ink_ratio_matches_plan(spark):
             text_checked += 1
         from unipdf_spark.fixtures.render import jbig2_halftone_encode
 
-        for key, (grayg, pats) in plan.jbig2_halftone_images.items():
-            data, composed = jbig2_halftone_encode(grayg, pats)
+        for key, (grayg, pats, ht_mode) in plan.jbig2_halftone_images.items():
+            data, composed = jbig2_halftone_encode(
+                grayg, pats, mmr=(ht_mode == "mmr"),
+                skip_cols=(1 if ht_mode == "skip" and len(grayg[0]) > 2
+                           else 0))
             ref = schema.media_ref_for(data)
             want = sum(sum(r) for r in composed) / (
                 len(composed[0]) * len(composed))

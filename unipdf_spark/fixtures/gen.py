@@ -208,7 +208,7 @@ class DocPlan:
     jbig2_images: dict = field(default_factory=dict)  # key → (rows, cols, mmr)
     jbig2_text_images: dict = field(default_factory=dict)  # key → (symbols, placements, cols, nrows, mode, corner)
     jbig2_refine_images: dict = field(default_factory=dict)  # key → (base, target, cols, template, tpgron)
-    jbig2_halftone_images: dict = field(default_factory=dict)  # key → (gray, patterns)
+    jbig2_halftone_images: dict = field(default_factory=dict)  # key → (gray, patterns, mode)
     jpeg_images: dict = field(default_factory=dict)  # key → uint8 pixel rows (list of lists)
     jpeg_modes: dict = field(default_factory=dict)  # key → baseline|progressive|restartN
     jpeg_color_images: dict = field(default_factory=dict)  # key → rgb rows
@@ -911,10 +911,12 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
                                rng.randint(0, t_cols - 8),
                                rng.randint(0, t_rows - 8)))
         key = 210
-        # dictionary coding mode: arithmetic height classes, or SDHUFF=1
-        # Huffman classes with collective bitmaps (raw / MMR); REFCORNER
-        # and TRANSPOSED vary on the arithmetic leg (T.88 §6.4.5)
-        mode = rng.choice(["arith", "arith_t", "huff", "huff_mmr"])
+        # dictionary coding mode: arithmetic height classes; SDHUFF=1
+        # Huffman classes with collective bitmaps (raw / MMR); SBHUFF=1
+        # Huffman TEXT region; or SDHUFF+SDREFAGG per-symbol refinement.
+        # REFCORNER and TRANSPOSED vary on the arithmetic leg (§6.4.5)
+        mode = rng.choice(["arith", "arith_t", "huff", "huff_mmr",
+                           "huff_tr", "huff_refagg"])
         corner = rng.choice([0, 1, 2, 3]) if mode.startswith("arith") else 1
         plan.jbig2_text_images[key] = (symbols, placements, t_cols, t_rows,
                                        mode, corner)
@@ -949,7 +951,8 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         grayg = [[rng.randrange(npat) for _ in range(hgw)]
                  for _ in range(hgh)]
         key = 230
-        plan.jbig2_halftone_images[key] = (grayg, patterns)
+        ht_mode = rng.choice(["arith", "mmr", "skip"])
+        plan.jbig2_halftone_images[key] = (grayg, patterns, ht_mode)
         h = 20.0
         plan.blocks.append(ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 2, h=h))
         v -= h + 10
@@ -1405,12 +1408,28 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
 
     for key, (symbols, placements, t_cols, t_rows, mode,
               corner) in plan.jbig2_text_images.items():
-        from .render import jbig2_huffman_text_encode, jbig2_text_encode
+        from .render import (jbig2_huffman_refagg_encode,
+                             jbig2_huffman_text_encode,
+                             jbig2_huffman_textregion_encode,
+                             jbig2_text_encode)
 
         if mode.startswith("arith"):
             data, _composed = jbig2_text_encode(
                 symbols, placements, t_cols, t_rows, ref_corner=corner,
                 transposed=(mode == "arith_t"))
+        elif mode == "huff_tr":
+            # SBHUFF=1 Huffman text region over an arithmetic dictionary
+            data, _composed = jbig2_huffman_textregion_encode(
+                symbols, placements, t_cols, t_rows)
+        elif mode == "huff_refagg":
+            # SDHUFF+SDREFAGG: symbol 0 gains a refined variant placed once
+            seed = sum(len(sy) for sy in symbols)
+            variant = [[bool(v) ^ ((x + y + seed) % 7 == 0)
+                        for x, v in enumerate(row)]
+                       for y, row in enumerate(symbols[0])]
+            data, _composed = jbig2_huffman_refagg_encode(
+                symbols, [(0, variant)],
+                placements + [(len(symbols), 2, 2)], t_cols, t_rows)
         else:
             data, _composed = jbig2_huffman_text_encode(
                 symbols, placements, t_cols, t_rows,
@@ -1445,10 +1464,12 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         img_refs[key] = schema.media_ref_for(data)
         xobj_res += f"/{name} {num} 0 R ".encode()
 
-    for key, (grayg, patterns) in plan.jbig2_halftone_images.items():
+    for key, (grayg, patterns, ht_mode) in plan.jbig2_halftone_images.items():
         from .render import jbig2_halftone_encode
 
-        data, composed = jbig2_halftone_encode(grayg, patterns)
+        data, composed = jbig2_halftone_encode(
+            grayg, patterns, mmr=(ht_mode == "mmr"),
+            skip_cols=(1 if ht_mode == "skip" and len(grayg[0]) > 2 else 0))
         hw, hh = len(composed[0]), len(composed)
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width " + str(hw).encode()
