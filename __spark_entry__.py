@@ -244,11 +244,38 @@ def _extract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _media_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup media pairs via REAL-feature cosine within sign-LSH blocks
     (centred block-mean vectors + dHash equality from actual pixel
-    decode, multimodal.py)."""
+    decode, multimodal.py). The fixture corpus is augmented with planted
+    CROSS-ENCODING duplicates — the same page bitmaps as CCITT G4 and as
+    JBIG2 — which must pair on identical decoded ink maps (the capability
+    this operator exists for; random fixture images correctly do NOT
+    pair under real features)."""
+    import random
+
+    import pandas as pd
+
+    from unipdf_spark.fixtures.render import ccitt_g4_encode, jbig2_encode
     from unipdf_spark.operators import multimodal as mm
 
     media = mm.media_table_from_fixtures(spark, n_docs=24)
-    return mm.media_feature_dedup(media).orderBy("ref_a", "ref_b")
+    rng = random.Random(17)
+    w, h = 32, 16
+    rows = []
+    for i in range(3):
+        bm = [[rng.random() < 0.35 for _ in range(w)] for _ in range(h)]
+        fax = ccitt_g4_encode(bm, w)
+        jb2 = jbig2_encode(bm, w)
+        rows.append((f"plant_fax_{i}", f"plant_{i}", "image", fax, w, h,
+                     len(fax), "CCITTFaxDecode", -1, True))
+        rows.append((f"plant_jb2_{i}", f"plant_{i}", "image", jb2, w, h,
+                     len(jb2), "JBIG2Decode", 0, False))
+    planted = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "media_ref", "doc_id", "kind", "payload", "width", "height",
+            "n_bytes", "codec", "ccitt_k", "blackis1"]),
+        schema=mm.MEDIA_SCHEMA,
+    )
+    return mm.media_feature_dedup(
+        media.unionByName(planted)).orderBy("ref_a", "ref_b")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
