@@ -617,37 +617,69 @@ def _gap_cut(intervals: list[tuple[float, float]], min_gap: float) -> float | No
 
 
 def reading_order(paras: list[Para]) -> list[Para]:
-    """Reading order via recursive XY-cut — column-aware, equivalent in
-    outcome to the reference's sortReadingOrder/topoOrder (e:271, e:511):
-    prefer a vertical gutter cut (left block first), else a horizontal
-    whitespace band (top block first), else diagonal order."""
-    if len(paras) <= 1:
+    """Reading order — the reference's topoOrder/readBefore relation
+    (extractor.go e:271/:511, verified against the obfuscated source):
+
+    ``readBefore(a, b)`` holds when (1) their x-ranges overlap and a's
+    BOTTOM edge sits above b's (column flow), or (2) a lies strictly
+    left of b with NO third paragraph — among those whose bottom edges
+    fall between theirs — spanning the horizontal gap between them
+    (the gap-spanning paragraph is what distinguishes a true column
+    gutter from a coincidental left/right pair). A DFS over this
+    relation emits a topological order (reversed post-order), seeded in
+    construction order for ties."""
+    n = len(paras)
+    if n <= 1:
         return list(paras)
+    # PDF-style Lly (bottom edge, y up) from the reading frame where
+    # depth grows downward
+    lly = [-p.depth1 for p in paras]
+    llx = [p.u0 for p in paras]
+    urx = [p.u1 for p in paras]
+    by_lly = sorted(range(n), key=lambda k: lly[k])
+    lly_sorted = [lly[k] for k in by_lly]
+    import bisect
 
-    def order(group: list[Para], depth: int) -> list[Para]:
-        if len(group) <= 1 or depth > 32:
-            return sorted(group, key=lambda p: (p.depth0, p.u0))
-        fss = sorted(
-            ln.fontsize
-            for p in group
-            for ln in getattr(p, "lines", [])  # TablePara has no lines
-        )
-        med_fs = fss[len(fss) // 2] if fss else 12.0
-        x_cut = _gap_cut([(p.u0, p.u1) for p in group], 2.0 * med_fs)
-        if x_cut is not None:
-            left = [p for p in group if p.u1 <= x_cut]
-            right = [p for p in group if p.u1 > x_cut]
-            if left and right:
-                return order(left, depth + 1) + order(right, depth + 1)
-        y_cut = _gap_cut([(p.depth0, p.depth1) for p in group], 0.5 * med_fs)
-        if y_cut is not None:
-            top = [p for p in group if p.depth1 <= y_cut]
-            bottom = [p for p in group if p.depth1 > y_cut]
-            if top and bottom:
-                return order(top, depth + 1) + order(bottom, depth + 1)
-        return sorted(group, key=lambda p: (p.depth0 + 0.5 * p.u0, p.u0))
+    def read_before(i: int, j: int) -> bool:
+        if (llx[j] <= urx[i] and llx[i] <= urx[j]  # x-overlap (e _gbda)
+                and lly[i] > lly[j]):
+            return True
+        if not (urx[i] < llx[j]):
+            return False
+        lo, hi = sorted((lly[i], lly[j]))
+        x0 = max(llx[i], llx[j])
+        x1 = min(urx[i], urx[j])
+        for k in by_lly[bisect.bisect_left(lly_sorted, lo):
+                        bisect.bisect_right(lly_sorted, hi)]:
+            if k in (i, j):
+                continue
+            if llx[k] <= x1 and x0 <= urx[k]:
+                return False  # a para spans the gap: not column flow
+        return True
 
-    return order(list(paras), 0)
+    visited = [False] * n
+    post: list[int] = []
+
+    def visit(i: int) -> None:
+        stack = [(i, 0)]
+        visited[i] = True
+        while stack:
+            node, nxt = stack.pop()
+            advanced = False
+            for j in range(nxt, n):
+                if not visited[j] and read_before(node, j):
+                    visited[j] = True
+                    stack.append((node, j + 1))
+                    stack.append((j, 0))
+                    advanced = True
+                    break
+            if not advanced:
+                post.append(node)
+
+    for i in range(n):
+        if not visited[i]:
+            visit(i)
+    return [paras[i] for i in reversed(post)]
 
 
 def assemble_spans(
