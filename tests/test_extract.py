@@ -651,3 +651,22 @@ def test_search_positions_planted_coordinates():
     assert abs(ab["x0"] - 72.0) < 1e-6
     w_all = sum(widths.get(c, 500) for c in "alpha beta") * 12.0 / 1000.0
     assert abs(ab["x1"] - (72.0 + w_all)) < 1e-6
+
+
+def test_symbol_zapf_builtin_metrics():
+    """Standard-14 Symbol / ZapfDingbats without /Widths must use the real
+    AFM metrics (reference GetCharMetrics model.go:3340 via its compiled
+    tables) — planted Td coordinates verify the advance math end to end."""
+    from unipdf_spark.pdf.extract import search_positions
+    from unipdf_spark.pdf.std14 import SYMBOL_WIDTHS
+
+    # /F1 here is Symbol: 'a' maps to alpha in the built-in encoding
+    content = b"BT /F1 12 Tf 100 700 Td (abg) Tj ET\n"
+    pdf = _mini_pdf(content).replace(b"/BaseFont /Helvetica",
+                                     b"/BaseFont /Symbol")
+    hits = search_positions(pdf, ["αβγ"])  # alpha beta gamma
+    assert len(hits) == 1
+    h = hits[0]
+    assert abs(h["x0"] - 100.0) < 1e-6
+    w = sum(SYMBOL_WIDTHS[c] for c in "αβγ") * 12.0 / 1000.0
+    assert abs(h["x1"] - (100.0 + w)) < 1e-6
