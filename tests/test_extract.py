@@ -670,3 +670,20 @@ def test_symbol_zapf_builtin_metrics():
     assert abs(h["x0"] - 100.0) < 1e-6
     w = sum(SYMBOL_WIDTHS[c] for c in "αβγ") * 12.0 / 1000.0
     assert abs(h["x1"] - (100.0 + w)) < 1e-6
+
+
+def test_simple_encoding_tables_reference_anchors():
+    """Spot anchors for the r5 byte-for-byte verification of the five
+    simple-encoding tables against the reference's textencoding data:
+    StandardEncoding's quoteright/quoteleft + upper range, WinAnsi's
+    undefined-code bullets and nbsp/shy normalization, MacRoman control
+    passthrough and 0xCA nbsp."""
+    from unipdf_spark.pdf.fonts import MAC_ROMAN, STANDARD, WIN_ANSI
+
+    assert STANDARD[0x27] == "’" and STANDARD[0x60] == "‘"
+    assert STANDARD[0xAE] == "ﬁ" and STANDARD[0xAF] == "ﬂ"
+    assert STANDARD[0xA4] == "⁄" and STANDARD[0xFB] == "ß"
+    assert 0xD0 not in STANDARD  # unmapped codes stay unmapped
+    assert WIN_ANSI[0x7F] == WIN_ANSI[0x9D] == "•"
+    assert WIN_ANSI[0xA0] == " " and WIN_ANSI[0xAD] == "-"
+    assert MAC_ROMAN[0x01] == "\x01" and MAC_ROMAN[0xCA] == " "

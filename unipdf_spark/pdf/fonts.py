@@ -36,6 +36,10 @@ _WINANSI_HIGH = {
     0x93: 0x201C, 0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
     0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153,
     0x9E: 0x017E, 0x9F: 0x0178,
+    # undefined codes render as bullet (Annex D note, reference parity);
+    # nbsp -> space and soft hyphen -> hyphen per the reference's table
+    0x7F: 0x2022, 0x81: 0x2022, 0x8D: 0x2022, 0x8F: 0x2022, 0x90: 0x2022,
+    0x9D: 0x2022, 0xA0: 0x0020, 0xAD: 0x002D,
 }
 
 WIN_ANSI = {c: chr(c) for c in range(32, 256)}
@@ -46,10 +50,32 @@ _MACROMAN_HIGH = (
     "ÄÅÇÉÑÖÜáàâäãåçéèêëíìîïñóòôöõúùûü†°¢£§•¶ß®©™´¨≠ÆØ∞±≤≥¥µ∂∑∏π∫ªºΩæø"
     "¿¡¬√ƒ≈∆«»… ÀÃÕŒœ–—“”‘’÷◊ÿŸ⁄€‹›ﬁﬂ‡·‚„‰ÂÊÁËÈÍÎÏÌÓÔÒÚÛÙıˆ˜¯˘˙˚¸˝˛ˇ"
 )
-MAC_ROMAN = {c: chr(c) for c in range(32, 128)}
+MAC_ROMAN = {c: chr(c) for c in range(1, 128)}  # 0x01-0x1F identity (ref parity)
 MAC_ROMAN.update({0x80 + i: ch for i, ch in enumerate(_MACROMAN_HIGH)})
+MAC_ROMAN[0xCA] = "\u00A0"  # NO-BREAK SPACE (reference parity)
 
 STANDARD = {c: chr(c) for c in range(32, 127)}
+# Adobe StandardEncoding (Annex D.2) FULL table: quoteright/quoteleft at
+# 0x27/0x60 plus the 0xA1+ punctuation/ligature/accent/letter ranges —
+# cross-checked byte-for-byte against the reference's table (r5); codes
+# absent there stay unmapped
+STANDARD.update({
+    0x27: "\u2019", 0x60: "\u2018",
+    0xA1: "\u00A1", 0xA2: "\u00A2", 0xA3: "\u00A3", 0xA4: "\u2044",
+    0xA5: "\u00A5", 0xA6: "\u0192", 0xA7: "\u00A7", 0xA8: "\u00A4",
+    0xA9: "'", 0xAA: "\u201C", 0xAB: "\u00AB", 0xAC: "\u2039",
+    0xAD: "\u203A", 0xAE: "\uFB01", 0xAF: "\uFB02", 0xB1: "\u2013",
+    0xB2: "\u2020", 0xB3: "\u2021", 0xB4: "\u00B7", 0xB6: "\u00B6",
+    0xB7: "\u2022", 0xB8: "\u201A", 0xB9: "\u201E", 0xBA: "\u201D",
+    0xBB: "\u00BB", 0xBC: "\u2026", 0xBD: "\u2030", 0xBF: "\u00BF",
+    0xC1: "`", 0xC2: "\u00B4", 0xC3: "\u02C6", 0xC4: "\u02DC",
+    0xC5: "\u00AF", 0xC6: "\u02D8", 0xC7: "\u02D9", 0xC8: "\u00A8",
+    0xCA: "\u02DA", 0xCB: "\u00B8", 0xCC: "\u02DD", 0xCD: "\u02DB",
+    0xCE: "\u02C7", 0xCF: "\u2014", 0xE1: "\u00C6", 0xE3: "\u00AA",
+    0xE8: "\u0141", 0xE9: "\u00D8", 0xEA: "\u0152", 0xEB: "\u00BA",
+    0xF1: "\u00E6", 0xF5: "\u0131", 0xF8: "\u0142", 0xF9: "\u00F8",
+    0xFA: "\u0153", 0xFB: "\u00DF",
+})
 
 _ENCODINGS = {
     "WinAnsiEncoding": WIN_ANSI,
