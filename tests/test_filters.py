@@ -884,12 +884,16 @@ def test_jbig2_huffman_text_region_roundtrip_fuzz():
             wi = len(base[0]) + rng.randint(0, 2)
             refine[p_idx] = [[rng.random() < 0.5 for _ in range(wi)]
                              for _ in range(hi)]
+        corner = rng.choice([0, 1, 2, 3])
+        transposed = rng.random() < 0.5
         stream, want = jbig2_huffman_textregion_encode(
             symbols, placements, cols, nrows, strips=strips,
-            instance_refine=refine)
+            instance_refine=refine, ref_corner=corner,
+            transposed=transposed)
         got, w, h = decode_embedded(stream)
         assert (w, h) == (cols, nrows)
-        assert [list(r) for r in got] == want, (trial, strips)
+        assert [list(r) for r in got] == want, (trial, strips, corner,
+                                                transposed)
 
 
 def test_ccitt_two_transcriptions_agree():

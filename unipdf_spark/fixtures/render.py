@@ -1037,12 +1037,16 @@ def jbig2_huffman_textregion_encode(symbols: list[list[list[bool]]],
                               placements: list[tuple[int, int, int]],
                               cols: int, nrows: int,
                               strips: int = 1,
-                              instance_refine: dict | None = None
+                              instance_refine: dict | None = None,
+                              ref_corner: int = 1,
+                              transposed: bool = False
                               ) -> tuple[bytes, list[list[int]]]:
     """Embedded JBIG2 with an arithmetic SYMBOL DICTIONARY + SBHUFF=1
     Huffman TEXT REGION (T.88 §6.4 Huffman branch, §7.4.3.1.7 symbol ID
     runcodes). Standard table selections FS=B.6, DS=B.8, DT=B.11,
-    RDW/RDH/RDX/RDY=B.15, RSIZE=B.1; TL corner, untransposed, OR.
+    RDW/RDH/RDX/RDY=B.15, RSIZE=B.1; (x, y) is always the TOP-LEFT
+    pixel — ref_corner (0=BL 1=TL 2=BR 3=TR) and transposed select the
+    T/S encoding per §6.4.5 (transposed: T along x, S along y).
     ``instance_refine`` maps placement index → refined bitmap (RI=1:
     byte-aligned BMSIZE arithmetic GRR chunks sharing one GR context
     store). Returns (stream, composed page rows 0/1)."""
@@ -1092,12 +1096,23 @@ def jbig2_huffman_textregion_encode(symbols: list[list[list[bool]]],
     def put(tbl, v):
         _jb2_huff_put(bw, tbl, v)
 
-    # group placements into strips of `strips` rows
+    # group placements into strips of `strips` T-rows; the encoded T is
+    # the corner-selected edge of the EFFECTIVE (possibly refined) bitmap
+    def eff_bitmap(p_idx: int, sym_id: int):
+        return instance_refine.get(p_idx, symbols[sym_id])
+
     by_strip: dict[int, list[tuple[int, int, int, int]]] = {}
     for p_idx, (sym_id, x, y) in enumerate(placements):
-        base = (y // strips) * strips
-        by_strip.setdefault(base, []).append((x, y - base, remap[sym_id],
-                                              p_idx))
+        bmp0 = eff_bitmap(p_idx, sym_id)
+        if transposed:
+            t_enc = x if ref_corner in (0, 1) else x + len(bmp0[0]) - 1
+            s_coord = y
+        else:
+            t_enc = y if ref_corner in (1, 3) else y + len(bmp0) - 1
+            s_coord = x
+        base = (t_enc // strips) * strips
+        by_strip.setdefault(base, []).append((s_coord, t_enc - base,
+                                              remap[sym_id], p_idx))
     put("B11", 1)  # STRIPT init: stript = -strips
     stript = -strips
     firsts = 0
@@ -1141,7 +1156,7 @@ def jbig2_huffman_textregion_encode(symbols: list[list[list[bool]]],
                 bw.align()
                 bw.out.extend(chunk)
                 sym = bmp
-            curs += len(sym[0]) - 1
+            curs += (len(sym) if transposed else len(sym[0])) - 1
             n_inst += 1
         if n_inst < total:
             put("B8", None)  # OOB: end of strip
@@ -1150,9 +1165,11 @@ def jbig2_huffman_textregion_encode(symbols: list[list[list[bool]]],
     region_info = (cols.to_bytes(4, "big") + nrows.to_bytes(4, "big")
                    + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
                    + bytes([0]))
-    # SBHUFF=1, SBREFINE bit 1, LOGSBSTRIPS bits 2-3, TL corner (1<<4)
+    # SBHUFF=1, SBREFINE bit 1, LOGSBSTRIPS bits 2-3, REFCORNER bits 4-5,
+    # TRANSPOSED bit 6
     tr_flags = (1 | ((1 if refine else 0) << 1) | (log_strips << 2)
-                | (1 << 4))
+                | ((ref_corner & 3) << 4)
+                | ((1 if transposed else 0) << 6))
     # huffman flags: FS=B6(0), DS=B8(0), DT=B11(0), RD*=B15(1), RSIZE=B1(0)
     hflags = (1 << 6) | (1 << 8) | (1 << 10) | (1 << 12)
     rat = bytes([0xFF, 0xFF, 0xFF, 0xFF]) if refine else b""
