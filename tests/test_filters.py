@@ -961,3 +961,24 @@ def test_jbig2_huffman_refagg_symbol_dict_roundtrip_fuzz():
         got, w, h = decode_embedded(stream)
         assert (w, h) == (cols, nrows)
         assert [list(r) for r in got] == want, trial
+
+
+def test_jpeg_411_roundtrip_psnr():
+    """4:1:1 sampling (Y h=4,v=1 — DV/camera shape; the reference's Go
+    image/jpeg decodes it, so factor-4 luma is in parity scope)."""
+    import numpy as np
+
+    from unipdf_spark.fixtures.render import jpeg_411_encode
+    from unipdf_spark.pdf.jpeg import decode_baseline
+
+    h, w = 24, 72
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack([
+        128 + 100 * np.sin(x / 7.0),
+        128 + 90 * np.cos(y / 6.0),
+        128 + 80 * np.sin((x + y) / 9.0),
+    ], axis=2).astype("u1")
+    out = decode_baseline(jpeg_411_encode(rgb))
+    assert out.shape == rgb.shape
+    mse = float(np.mean((out.astype("f8") - rgb) ** 2))
+    assert 10 * np.log10(255**2 / mse) > 24  # 4x chroma subsampling cost

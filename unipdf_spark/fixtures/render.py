@@ -1534,6 +1534,98 @@ def jpeg_420_encode(rgb) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
 
 
+def jpeg_411_encode(rgb) -> bytes:
+    """Baseline 4:1:1 color JPEG encoder (Y h=4,v=1; Cb/Cr 1,1 — the DV/
+    camera shape the reference's Go image/jpeg also decodes): 32×8 MCUs
+    of 4 horizontal luma blocks + 4×1 box-averaged chroma."""
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype="f8")
+    h, w, _ = rgb.shape
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    mh, mw = (h + 7) // 8, (w + 31) // 32
+
+    def pad(pl, ph, pw):
+        p = np.zeros((ph, pw))
+        p[: pl.shape[0], : pl.shape[1]] = pl
+        p[pl.shape[0]:, : pl.shape[1]] = pl[-1:, :]
+        p[:, pl.shape[1]:] = p[:, pl.shape[1] - 1 : pl.shape[1]]
+        return p
+
+    yp = pad(y, mh * 8, mw * 32)
+    w4 = (w // 4) * 4
+    cb4 = cb[:, :w4].reshape(h, w // 4, 4).mean(axis=2) if w >= 4 else cb
+    cr4 = cr[:, :w4].reshape(h, w // 4, 4).mean(axis=2) if w >= 4 else cr
+    cbp = pad(cb4, mh * 8, mw * 8)
+    crp = pad(cr4, mh * 8, mw * 8)
+
+    c = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            c[k, n] = np.cos(np.pi * (2 * n + 1) * k / 16.0) * (
+                np.sqrt(0.125) if k == 0 else 0.5)
+    q = np.zeros(64)
+    q[_JPG_ZZ] = _JPG_Q
+    q = q.reshape(8, 8)
+    dc_codes = _jpg_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    bwr = _JpgBitWriter()
+    preds = [0, 0, 0]
+
+    def mag(v: int) -> tuple[int, int]:
+        t = abs(v).bit_length()
+        return (v if v >= 0 else v + (1 << t) - 1, t)
+
+    def put_block(plane, py, px, ci):
+        blk = plane[py : py + 8, px : px + 8] - 128.0
+        quant = np.rint((c @ blk @ c.T) / q).astype("i8")
+        zz = quant.reshape(64)[_JPG_ZZ]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        v, t = mag(diff)
+        bwr.write(*dc_codes[t])
+        if t:
+            bwr.write(v & ((1 << t) - 1), t)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                bwr.write(*ac_codes[0xF0])
+                run -= 16
+            v, t = mag(int(zz[k]))
+            bwr.write(*ac_codes[(run << 4) | t])
+            bwr.write(v & ((1 << t) - 1), t)
+            run = 0
+        if last_nz < 63:
+            bwr.write(*ac_codes[0x00])
+
+    for my in range(mh):
+        for mx in range(mw):
+            for sub in range(4):
+                put_block(yp, my * 8, mx * 32 + sub * 8, 0)
+            put_block(cbp, my * 8, mx * 8, 1)
+            put_block(crp, my * 8, mx * 8, 2)
+    body = bwr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(_JPG_Q))
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([3, 1, 0x41, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)) \
+        + seg(0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
+
+
 def jpeg_progressive_encode(img) -> bytes:
     """Progressive grayscale JPEG encoder (T.81 §G, spectral selection +
     one level of successive approximation). Scan script: DC first (Al=1),

@@ -9,7 +9,7 @@ approximation scans (T.81 §G: DC first/refine, AC first/refine with EOB
 runs), dequantize, 8×8 IDCT (numpy matrix form), level shift, chroma
 upsample, JFIF YCbCr→RGB.
 
-Scope: 8-bit Huffman streams, 1 or 3 components, sampling factors in
+Scope: 8-bit Huffman streams, 1 or 3 components, integer-ratio sampling factors in
 {1,2}×{1,2} (covers 4:4:4, 4:2:2, 4:2:0, 4:4:0). Arithmetic-coded,
 12-bit, hierarchical and lossless streams raise a typed error (the span
 path keeps byte-identity media_ref either way).
@@ -365,10 +365,18 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 comps.append(_Component(seg[off], hv >> 4, hv & 15,
                                         seg[off + 2]))
             for c in comps:
-                if c.h not in (1, 2) or c.v not in (1, 2):
-                    raise JpegError("sampling factors beyond 2 unsupported")
+                if c.h not in (1, 2, 4) or c.v not in (1, 2, 4):
+                    raise JpegError("unsupported sampling factors")
             hmax = max(c.h for c in comps)
             vmax = max(c.v for c in comps)
+            # integer chroma ratios only (Go image/jpeg parity: 4:4:4,
+            # 4:4:0, 4:2:2, 4:2:0, 4:1:1, 4:1:0 all satisfy this) and the
+            # T.81 §B.2.2 ten-blocks-per-MCU bound
+            for c in comps:
+                if hmax % c.h or vmax % c.v:
+                    raise JpegError("non-integer sampling ratios")
+            if sum(c.h * c.v for c in comps) > 10:
+                raise JpegError("blocks per MCU exceed spec limit")
             mcux = -(-w // (8 * hmax))
             mcuy = -(-h // (8 * vmax))
             for c in comps:
