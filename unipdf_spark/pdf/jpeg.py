@@ -9,8 +9,9 @@ approximation scans (T.81 §G: DC first/refine, AC first/refine with EOB
 runs), dequantize, 8×8 IDCT (numpy matrix form), level shift, chroma
 upsample, JFIF YCbCr→RGB.
 
-Scope: 8-bit Huffman streams, 1 or 3 components, integer-ratio sampling factors in
-{1,2}×{1,2} (covers 4:4:4, 4:2:2, 4:2:0, 4:4:0). Arithmetic-coded,
+Scope: 8-bit Huffman streams, 1 or 3 components, integer-ratio sampling
+factors in {1,2,4} (covers 4:4:4, 4:2:2, 4:2:0, 4:4:0, 4:1:1 — the Go
+image/jpeg set the reference decodes). Arithmetic-coded,
 12-bit, hierarchical and lossless streams raise a typed error (the span
 path keeps byte-identity media_ref either way).
 """
