@@ -294,9 +294,11 @@ def test_jpeg_grayscale_features_match_plan(spark):
             assert abs(feats[ref]["std_gray"] - want_std) < 5.0, ref
             checked += 1
         for key, (rgbimg, subsample) in plan.jpeg_color_images.items():
-            from unipdf_spark.fixtures.render import jpeg_420_encode
+            from unipdf_spark.fixtures.render import (jpeg_411_encode,
+                                                      jpeg_420_encode)
 
-            data = (jpeg_420_encode if subsample else jpeg_color_encode)(rgbimg)
+            data = {"411": jpeg_411_encode, "420": jpeg_420_encode,
+                    "444": jpeg_color_encode}[subsample](rgbimg)
             ref = schema.media_ref_for(data)
             a = np.asarray(rgbimg, dtype="f8")
             luma = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]

@@ -809,7 +809,8 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
             for y in range(h_px)
         ]
         key = 310
-        plan.jpeg_color_images[key] = (rgbimg, rng.random() < 0.5)
+        plan.jpeg_color_images[key] = (rgbimg,
+                                       rng.choice(["444", "420", "411"]))
         h = 30.0
         plan.blocks.append(ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h))
         v -= h + 10
@@ -1507,9 +1508,12 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         xobj_res += f"/{name} {num} 0 R ".encode()
 
     for key, (rgbimg, subsample) in plan.jpeg_color_images.items():
-        from .render import jpeg_420_encode, jpeg_color_encode
+        from .render import (jpeg_411_encode, jpeg_420_encode,
+                             jpeg_color_encode)
 
-        data = (jpeg_420_encode if subsample else jpeg_color_encode)(rgbimg)
+        enc = {"411": jpeg_411_encode, "420": jpeg_420_encode,
+               "444": jpeg_color_encode}[subsample]
+        data = enc(rgbimg)
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width "
             + str(len(rgbimg[0])).encode()
