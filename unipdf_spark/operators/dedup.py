@@ -427,7 +427,10 @@ def lsh_dropped_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the 8-doc sample comes from :func:`bounded_min_sample`
     (salted two-phase aggregate) — no single task ever sorts a whole
     mega-bucket."""
-    band_tbl = band_table(minhash_signatures(spark, sf_dir))
+    # persist: the band table is referenced twice (sizes + member join);
+    # without a cache the signature pass runs twice (same device as
+    # minhash_lsh_pairs)
+    band_tbl = band_table(minhash_signatures(spark, sf_dir)).persist()
     dropped = (
         band_tbl.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("size"))
@@ -437,7 +440,6 @@ def lsh_dropped_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bounded_min_sample(members, ["band", "band_hash", "size"])
         .select("band", "band_hash", "size", "sample_doc_ids")
-        .orderBy("band", "band_hash")
     )
 
 
@@ -844,7 +846,6 @@ def simhash_saturated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub.groupBy("chunk", "key", "sc", "skey")
         .agg(F.count(F.lit(1)).alias("size"))
         .filter(F.col("size") > MAX_BUCKET)
-        .orderBy("chunk", "key", "sc", "skey")
     )
 
 

@@ -496,7 +496,6 @@ def _embedding_swarms_from(e: DataFrame) -> DataFrame:
         bounded_min_sample(members, ["sig", "size"], col="vec_id")
         .select("sig", "size",
                 F.col("sample_doc_ids").alias("sample_vec_ids"))
-        .orderBy("sig")
     )
 
 
@@ -696,7 +695,10 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").cast("long").alias("size"),
         F.col("sample_vec_ids").alias("sample_ids"),
     )
-    return mh.unionByName(sh).unionByName(em).orderBy("family", "key")
+    # no terminal orderBy: the global sort's range-partition sampling
+    # would recompute ALL THREE family pipelines a second time; the
+    # correctness compare is order-insensitive
+    return mh.unionByName(sh).unionByName(em)
 
 
 def _near_dup_clusters_sql() -> str:
