@@ -521,9 +521,10 @@ def test_embedding_swarm_clusters_and_unified_companion(spark, tmp_path):
     con.execute("CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{tmp_path}/documents.parquet/*.parquet')")
     want = con.execute(sim.ORACLES["near_dup_clusters"]).fetchall()
-    got = [(r["family"], r["key"], r["size"], list(r["sample_ids"]))
-           for r in uni]
-    assert got == [(f, k, s, list(ids)) for f, k, s, ids in want]
+    # order-insensitive (driver semantics): the Spark side no longer sorts
+    got = sorted((r["family"], r["key"], r["size"], list(r["sample_ids"]))
+                 for r in uni)
+    assert got == sorted((f, k, s, list(ids)) for f, k, s, ids in want)
     # pairs oracle also agrees under the new swarm exclusion
     want_pairs = {(a, b) for a, b, _ in con.execute(
         sim.NEAR_DUP_SQL).fetchall()}
