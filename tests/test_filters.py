@@ -799,6 +799,12 @@ def test_jbig2_corrupt_streams_fail_fast():
         jbig2_halftone_encode([[0, 1, 0], [1, 0, 1]], pats,
                               skip_cols=1)[0],
     ]
+    from unipdf_spark.fixtures.render import jbig2_huffman_refagg_encode
+
+    streams.append(jbig2_huffman_refagg_encode(
+        syms, [(0, [[True] * 5 for _ in range(5)])], [(0, 3, 3), (1, 12, 6)],
+        32, 16, aggregates=[(20, 8, [(0, 1, 1, [[True] * 5] * 5),
+                                     (0, 9, 1, [[False] * 5] * 5)])])[0])
     t0 = time.monotonic()
     n_err = 0
     for base in streams:
