@@ -119,8 +119,9 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind, name, value) so the 50-entry driver gate covers them all:
     PageFonts/PageImages (e:536/:510), invisible-text counts (render mode
     3 / white fill, e:1018), struct-tree list items (e:495), real media
-    features (64-dim block-mean + dHash from pixel decode), and positional
-    term-search boxes (Editor.Search/Match analog, e:82)."""
+    features (64-dim block-mean + dHash from pixel decode), positional
+    term-search boxes (Editor.Search/Match analog, e:82), and placed
+    image boxes (ExtractPageImages analog, e:345)."""
     import pandas as pd
 
     from unipdf_spark.operators import multimodal as mm
@@ -178,6 +179,26 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "page", "kind", "name", "value"]
             )
 
+    def img_batch(batches):
+        # ExtractPageImages analog: placed image boxes (0.1pt-quantized
+        # into the name key, like term boxes)
+        from unipdf_spark.pdf.extract import extract_image_placements
+
+        for b in batches:
+            rows = []
+            for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
+                for i, m in enumerate(
+                        extract_image_placements(bytes(pdf_bytes))):
+                    rows.append((
+                        doc_id, m["page"], "image_box",
+                        f"{m['media_ref']}|{m['x0']:.1f},{m['y0']:.1f},"
+                        f"{m['x1']:.1f},{m['y1']:.1f}",
+                        i,
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "kind", "name", "value"]
+            )
+
     def box_batch(batches):
         # positional term search (Editor.Search/Match with boxes, e:82):
         # box coordinates folded into the name key, 0.1pt-quantized for
@@ -207,6 +228,9 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         list_batch, out_schema)
     boxes = inv_docs.select("doc_id", "pdf_bytes").mapInPandas(
         box_batch, out_schema)
+    imgs = pipeline.gen_docs_pdf(
+        spark, 16, mix=[("interleaved", 1)]
+    ).select("doc_id", "pdf_bytes").mapInPandas(img_batch, out_schema)
     media = mm.media_table_from_fixtures(spark, n_docs=24)
     feats = mm.extract_features(media).select(
         "doc_id", F.lit(-1).alias("page"), F.lit("media_feat").alias("kind"),
@@ -214,7 +238,7 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         inv.unionByName(vis).unionByName(lst).unionByName(feats)
-        .unionByName(boxes)
+        .unionByName(boxes).unionByName(imgs)
         .orderBy("doc_id", "page", "kind", "name", "value")
     )
 

@@ -687,3 +687,32 @@ def test_simple_encoding_tables_reference_anchors():
     assert WIN_ANSI[0x7F] == WIN_ANSI[0x9D] == "•"
     assert WIN_ANSI[0xA0] == " " and WIN_ANSI[0xAD] == "-"
     assert MAC_ROMAN[0x01] == "\x01" and MAC_ROMAN[0xCA] == " "
+
+
+def test_image_placements_planted_ctm():
+    """ExtractPageImages analog: the placed box is the unit square under
+    the CTM at Do time — planted cm values verify exactly."""
+    from unipdf_spark.fixtures import make_doc
+    from unipdf_spark.pdf.extract import extract_image_placements
+
+    _, pdf = make_doc("doc_imgbox", "interleaved")
+    res = extract_image_placements(pdf)
+    assert res, "interleaved class must place images"
+    for m in res:
+        assert m["x1"] > m["x0"] and m["y1"] > m["y0"]
+        assert m["media_ref"].startswith("img_")
+    # hand-planted: 120x48 image at (72, 600) via cm
+    content = (b"q 120 0 0 48 72 600 cm /Im1 Do Q\n")
+    pdf2 = _mini_pdf(content)
+    pdf2 = pdf2.replace(
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << /Im1 4 0 R >> >> /Contents 5 0 R >>")
+    pdf2 = pdf2.replace(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 4 >>\n"
+        b"stream\nABCD\nendstream")
+    (m,) = extract_image_placements(pdf2)
+    assert (m["x0"], m["y0"], m["x1"], m["y1"]) == (72.0, 600.0, 192.0, 648.0)

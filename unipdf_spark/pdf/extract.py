@@ -127,6 +127,30 @@ def extract_spans(pdf_bytes: bytes, dehyphenate: bool = True) -> ExtractResult:
         return ExtractResult([], 0, 0, f"{type(e).__name__}: {e}")
 
 
+def extract_image_placements(pdf_bytes: bytes) -> list[dict]:
+    """``ExtractPageImages`` analog (extractor/extractor.go:345 ImageMark:
+    images WITH their placed page-space position and size): one dict per
+    Do/BI image paint — {page, media_ref, x0, y0, x1, y1} — the bbox of
+    the unit square under the CTM at paint time. Relaxed per-document."""
+    from .interp import Interpreter
+
+    out: list[dict] = []
+    try:
+        doc = PdfDocument(pdf_bytes, relaxed=True)
+        for page_idx, page in enumerate(doc.pages()):
+            interp = Interpreter(doc, page)
+            interp.run()
+            for m in sorted(interp.media, key=lambda m: m.op_index):
+                out.append({
+                    "page": page_idx,
+                    "media_ref": m.media_ref,
+                    "x0": m.x, "y0": m.y, "x1": m.x1, "y1": m.y1,
+                })
+    except Exception:  # noqa: BLE001 — relaxed mode boundary
+        return []
+    return out
+
+
 def search_positions(pdf_bytes: bytes, terms: list[str]) -> list[dict]:
     """Positional term search — the ``Editor.Search`` / ``Match`` analog
     with page boxes (extractor/extractor.go:82, bidi mapping :649).

@@ -56,6 +56,14 @@ def mapply(m: Matrix, x: float, y: float) -> tuple[float, float]:
 def translation(tx: float, ty: float) -> Matrix:
     return (1.0, 0.0, 0.0, 1.0, tx, ty)
 
+def _placed_box(ctm: Matrix) -> tuple[float, float, float, float]:
+    """Page-space bbox of the unit square under `ctm` (image placement)."""
+    a, b, c, d, e, f = ctm
+    xs = (e, a + e, c + e, a + c + e)
+    ys = (f, b + f, d + f, b + d + f)
+    return min(xs), min(ys), max(xs), max(ys)
+
+
 
 @dataclass(slots=True)
 class TextMark:
@@ -80,12 +88,16 @@ class TextMark:
 
 @dataclass(slots=True)
 class MediaMark:
-    """Reference ImageMark analog (extractor/extractor.go:345)."""
+    """Reference ImageMark analog (extractor/extractor.go:345): the
+    placed page-space bounding box comes from pushing the unit square
+    through the CTM (Do/BI paint the image into the unit square)."""
 
     media_ref: str
     x: float
     y: float
     op_index: int
+    x1: float = 0.0
+    y1: float = 0.0
 
 
 @dataclass(slots=True)
@@ -350,9 +362,10 @@ class Interpreter:
                     self._do_xobject(str(p[0]), gs, resources, oi, depth)
                 elif o == "BI" and p and isinstance(p[0], InlineImage):
                     img = p[0]
-                    x, y = gs.ctm[4], gs.ctm[5]
+                    bx0, by0, bx1, by1 = _placed_box(gs.ctm)
                     self.media.append(
-                        MediaMark(schema.media_ref_for(img.data), x, y, oi)
+                        MediaMark(schema.media_ref_for(img.data), bx0, by0,
+                                  oi, bx1, by1)
                     )
                 elif o == "BDC" and len(p) >= 2:
                     mc_depth += 1
@@ -450,8 +463,9 @@ class Interpreter:
             return
         st = self.doc.resolve(xo.dict.get("Subtype"))
         if st == "Image":
-            x, y = gs.ctm[4], gs.ctm[5]
-            self.media.append(MediaMark(schema.media_ref_for(xo.raw), x, y, op_index))
+            bx0, by0, bx1, by1 = _placed_box(gs.ctm)
+            self.media.append(MediaMark(schema.media_ref_for(xo.raw), bx0,
+                                        by0, op_index, bx1, by1))
         elif st == "Form" and depth < self.MAX_FORM_DEPTH:
             key = id(xo)
             ops = self._form_ops_cache.get(key)
