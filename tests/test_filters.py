@@ -988,3 +988,50 @@ def test_jpeg_411_roundtrip_psnr():
     assert out.shape == rgb.shape
     mse = float(np.mean((out.astype("f8") - rgb) ** 2))
     assert 10 * np.log10(255**2 / mse) > 24  # 4x chroma subsampling cost
+
+
+def test_jbig2_symbol_id_runcode32_repeats_zero():
+    """§7.4.3.1.7 (reference symbolIDCodeLengths): runcode 32 repeats the
+    PREVIOUS code length even when that length is 0 — prev updates on every
+    literal, not only nonzero ones. A stream [2, 0, 32(rep 3)] must yield
+    lengths [2, 0, 0, 0, 0], not [2, 0, 2, 2, 2]."""
+    from unipdf_spark.pdf.jbig2 import _BitsMSB, _symbol_id_codes
+
+    bits = []
+    # 35 four-bit runcode code lengths: rc0→1, rc2→2, rc32→2, rest 0
+    for rc in range(35):
+        ln = {0: 1, 2: 2, 32: 2}.get(rc, 0)
+        bits.extend(int(b) for b in f"{ln:04b}")
+    # canonical: rc0="0", rc2="10", rc32="11"
+    bits.extend([1, 0])        # rc2  → literal length 2
+    bits.extend([0])           # rc0  → literal length 0
+    bits.extend([1, 1, 0, 0])  # rc32 + 2 repeat bits (00 → 3 repeats)
+    data = bytearray()
+    acc = 0
+    for i, b in enumerate(bits):
+        acc = (acc << 1) | b
+        if i % 8 == 7:
+            data.append(acc)
+            acc = 0
+    if len(bits) % 8:
+        data.append(acc << (8 - len(bits) % 8))
+    table = _symbol_id_codes(_BitsMSB(bytes(data)), 5)
+    # only symbol 0 (length 2) gets a code; symbols 1-4 have length 0
+    assert list(table.lookup.values()) == [("n", 0, 0)]
+    assert list(table.lookup.keys()) == [(2, 0)]
+
+
+def test_jbig2_huffman_refinement_bmsize0_advances_by_consumption():
+    """BMSIZE=0 GRR chunks are undelimited: the reader must advance by what
+    the MQ decoder actually consumed, not jump to end-of-segment (which
+    would drop every later instance in the stream)."""
+    from unipdf_spark.pdf.jbig2 import _BitsMSB, _huffman_refinement_chunk
+
+    seg = bytes([0x95, 0x21, 0x7B] + [0x5A] * 64)
+    br = _BitsMSB(seg)
+    ref = [bytearray([1])]
+    out = _huffman_refinement_chunk(
+        br, seg, ref, 1, 1, 1, 1, 0, 0, 0, None, {}, 0)
+    assert len(out) == 1 and len(out[0]) == 1
+    assert br.pos < len(seg)  # did NOT exhaust the segment
+    assert br.bitpos == 0

@@ -1102,12 +1102,16 @@ def _symbol_id_codes(br: "_BitsMSB", n_syms: int) -> "HuffTable":
             raise Jbig2Error("unexpected OOB in symbol ID code lengths")
         if code < 32:
             lengths.append(code)
-            if code > 0:
-                prev = code
+            # T.88 §7.4.3.1.7 / reference symbolIDCodeLengths: prev is
+            # updated for EVERY literal code including 0 — runcode 32
+            # after a literal 0 repeats the zero, not the last nonzero.
+            prev = code
         elif code == 32:
             rep = br.bits(2) + 3
-            val = prev if lengths else 0
-            lengths.extend([val] * rep)
+            if not lengths:
+                raise Jbig2Error(
+                    "runcode 32 (repeat previous) with no prior code")
+            lengths.extend([prev] * rep)
         elif code == 33:
             lengths.extend([0] * (br.bits(3) + 3))
         else:  # 34
@@ -1177,12 +1181,24 @@ def _huffman_refinement_chunk(br: "_BitsMSB", seg: bytes, ref, ref_w: int,
     (reference decodeNewSymbols semantics)."""
     _check_dims(wi, hi, "refined symbol")
     br.align()
-    end = br.pos + bmsize if bmsize else len(seg)
-    mq = MQDecoder(seg[br.pos:end])
-    out = decode_refinement(
-        mq, gr_ctx, wi, hi, rtemplate, rat, ref, ref_w, ref_h,
-        dx, dy, False)
-    br.pos = end
+    if bmsize:
+        end = br.pos + bmsize
+        mq = MQDecoder(seg[br.pos:end])
+        out = decode_refinement(
+            mq, gr_ctx, wi, hi, rtemplate, rat, ref, ref_w, ref_h,
+            dx, dy, False)
+        br.pos = end
+    else:
+        # BMSIZE=0: the chunk length is not delimited — the reference
+        # decodes from the shared reader and merely re-aligns, so later
+        # instances in the same stream must survive. Decode from the
+        # current aligned position and advance by the bytes the MQ
+        # decoder actually loaded (bp indexes the last byte read).
+        mq = MQDecoder(seg[br.pos:])
+        out = decode_refinement(
+            mq, gr_ctx, wi, hi, rtemplate, rat, ref, ref_w, ref_h,
+            dx, dy, False)
+        br.pos = min(len(seg), br.pos + mq.bp + 1)
     br.bitpos = 0
     return out
 
