@@ -529,3 +529,37 @@ def test_embedding_swarm_clusters_and_unified_companion(spark, tmp_path):
     want_pairs = {(a, b) for a, b, _ in con.execute(
         sim.NEAR_DUP_SQL).fetchall()}
     assert pairs == want_pairs
+
+
+def test_extracted_text_dedup_end_to_end(spark):
+    """The integrated render→extract→reassemble→dedup path: every planted
+    clone (doc_id % 7 == 0, re-rendered with a DIFFERENT paragraph layout)
+    must land in its original's normalized-dedup group AND surface as a
+    MinHash LSH candidate of it — computed entirely from text that made a
+    full trip through the PDF engine."""
+    import duckdb
+
+    from unipdf_spark.operators import extracted
+
+    out = extracted.extracted_text_dedup(spark, SF).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    clones = [d for d in by_id if d >= extracted.CLONE_OFFSET]
+    assert clones, "no planted clones at this sf"
+    for cid in clones:
+        orig = cid - extracted.CLONE_OFFSET
+        assert by_id[cid]["canonical_doc_id"] == orig
+        assert by_id[cid]["group_size"] >= 2
+        assert by_id[orig]["group_size"] >= 2
+        # identical content ⇒ identical signature ⇒ all 8 bands collide
+        assert by_id[cid]["n_candidates"] >= 1
+        assert by_id[orig]["n_candidates"] >= 1
+    # full value parity vs DuckDB computing from the ORIGINAL text
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    oracle = con.execute(extracted.EXTRACTED_DEDUP_SQL).fetchall()
+    spark_set = {(r["doc_id"], r["canonical_doc_id"], r["group_size"],
+                  r["n_candidates"]) for r in out}
+    assert spark_set == {tuple(r) for r in oracle}

@@ -1,0 +1,188 @@
+"""End-to-end corpus pipeline: render → extract → reassemble → curate.
+
+The extraction engine (reference: unipdf extractor/) and the LLM-data
+curation stack meet here: the `documents` text is rendered into real PDFs
+(distributed), the span-extraction engine pulls the text back out, and the
+dedup family runs on the EXTRACTED text. Because span extraction is exact
+(north rule), the reassembled word sequence equals the original text's —
+so DuckDB can compute the oracle directly from ``documents.text`` while
+Spark computes it from text that made a full trip through the PDF engine.
+Any engine regression (lost span, wrong order, mangled glyph) breaks the
+value hash: this is the integrated-path correctness gate, not a rows-only
+check.
+
+Planted duplicates: every ``doc_id % 7 == 0`` document is cloned under
+``doc_id + CLONE_OFFSET``. The clone renders with a DIFFERENT paragraph
+chunking (the render plan is seeded per doc_id), so the pair is a true
+re-formatted duplicate — same content, different layout — exactly what
+normalized dedup and MinHash LSH exist to catch.
+
+Scale shape (100 TB): render and extraction are map-only mapInPandas
+stages (no payload shuffle); the reassembled-text frame is persisted once
+and feeds both the dedup-hash and signature paths; LSH banding reuses the
+count-gated bounded-bucket pattern from :mod:`dedup` (no self-join, no
+mega-bucket task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import pipeline
+from . import phash
+from .dedup import (
+    MAX_BUCKET,
+    _SHINGLE_CTE,
+    _SIG_COLS_SQL,
+    _BANDS_SQL,
+    band_table,
+    minhash_signatures_pandas,
+)
+
+CLONE_OFFSET = 1_000_000
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = phash.spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+    ).select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + CLONE_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(clones)
+
+
+def extracted_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(+planted clones) → PDFs → span extraction → reassembled
+    text → normalized dedup groups + MinHash LSH candidate-partner counts,
+    all computed on the extracted text. Output per doc: (doc_id,
+    canonical_doc_id, group_size, n_candidates)."""
+    corpus = _corpus(spark, sf_dir)
+    named = corpus.select(
+        F.concat(F.lit("doc_"),
+                 F.lpad(F.col("doc_id").cast("string"), 8, "0")
+                 ).alias("doc_id"),
+        "text",
+    )
+    spans_out = pipeline.run_extraction(pipeline.docs_pdf_from_text(named))
+    # reassemble: text spans in document order, whitespace-collapsed.
+    # Interpreted-HOF cost is per-doc over tiny span arrays — not the
+    # signature-math hot path (which stays on the numpy mapInPandas route).
+    joined = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+    extracted = spans_out.select(
+        F.substring("doc_id", 5, 8).cast("bigint").alias("doc_id"),
+        F.trim(F.regexp_replace(joined, r"\s+", " ")).alias("text"),
+    ).persist()
+
+    # normalized dedup ON EXTRACTED TEXT (same normalization as
+    # dedup_normalized: lowercase, strip punctuation, collapse whitespace)
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.regexp_replace("text", r"[^A-Za-z0-9\s]", " ")),
+            r"\s+", " ",
+        )
+    )
+    h = extracted.select("doc_id", F.md5(norm).alias("norm_hash"))
+    groups = h.groupBy("norm_hash").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    dd = h.join(groups, "norm_hash").select(
+        "doc_id", "canonical_doc_id", "group_size")
+
+    # MinHash LSH candidate partners ON EXTRACTED TEXT: count-gated
+    # buckets (skew armor, same [2, MAX_BUCKET] gate as minhash_lsh_pairs)
+    # → bounded member collect → distinct pairs → per-doc partner count.
+    bt = band_table(minhash_signatures_pandas(extracted)).persist()
+    ok = (
+        bt.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= MAX_BUCKET))
+        .select("band", "band_hash")
+    )
+    cand = (
+        bt.join(ok, ["band", "band_hash"], "left_semi")
+        .groupBy("band", "band_hash")
+        .agg(F.collect_list("doc_id").alias("members"))
+        .select(F.explode("members").alias("doc_a"), "members")
+        .select("doc_a", F.explode("members").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    partners = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    return dd.join(partners, "doc_id", "left").select(
+        "doc_id", "canonical_doc_id", "group_size",
+        F.coalesce("n_candidates", F.lit(0)).cast("long")
+        .alias("n_candidates"),
+    )
+
+
+# Oracle: identical math straight from documents.text (no PDF trip).
+# The shared shingle/signature/band fragments are written over a
+# `documents` source; retarget them at the planted-clone corpus CTE.
+_CORPUS_CTE = f"""corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {CLONE_OFFSET} AS doc_id, text
+    FROM documents WHERE doc_id % 7 = 0
+)"""
+
+EXTRACTED_DEDUP_SQL = f"""
+WITH {_CORPUS_CTE},
+{_SHINGLE_CTE.replace("FROM documents", "FROM corpus")},
+sig AS (
+    SELECT doc_id,
+           {_SIG_COLS_SQL}
+    FROM hs
+),
+bands AS (
+    {_BANDS_SQL}
+),
+ok AS (
+    SELECT band, band_hash FROM bands
+    GROUP BY band, band_hash
+    HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN ok USING (band, band_hash)
+    JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+    WHERE a.doc_id < b.doc_id
+),
+partners AS (
+    SELECT doc_id, COUNT(*) AS n_candidates FROM (
+        SELECT doc_a AS doc_id FROM cand
+        UNION ALL
+        SELECT doc_b AS doc_id FROM cand
+    ) GROUP BY doc_id
+),
+h AS (
+    SELECT doc_id,
+           MD5(TRIM(REGEXP_REPLACE(
+               LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9\\s]', ' ', 'g')),
+               '\\s+', ' ', 'g'))) AS norm_hash
+    FROM corpus
+),
+g AS (SELECT norm_hash, MIN(doc_id) AS canonical_doc_id,
+             COUNT(*) AS group_size
+      FROM h GROUP BY norm_hash)
+SELECT h.doc_id, g.canonical_doc_id, g.group_size,
+       CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates
+FROM h JOIN g USING (norm_hash)
+LEFT JOIN partners p ON p.doc_id = h.doc_id
+"""
+
+QUERIES = {"extracted_text_dedup": extracted_text_dedup}
+ORACLES = {"extracted_text_dedup": EXTRACTED_DEDUP_SQL}
