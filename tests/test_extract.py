@@ -716,3 +716,48 @@ def test_image_placements_planted_ctm():
         b"stream\nABCD\nendstream")
     (m,) = extract_image_placements(pdf2)
     assert (m["x0"], m["y0"], m["x1"], m["y1"]) == (72.0, 600.0, 192.0, 648.0)
+
+
+def test_type1_cleartext_parser():
+    """FontFile cleartext parsing mirrors the reference's regex set
+    (model.go:3624-3626): dict-begin anchor, /Encoding 256 array …
+    readonly def section, `dup N /glyph put` lines (with .NN variant
+    suffixes stripped), FontName key-value."""
+    from unipdf_spark.pdf.type1 import parse_cleartext
+
+    data = (b"%!PS-AdobeFont-1.0: Foo 001\n"
+            b"8 dict begin\n"
+            b"/FontName /FooFont def\n"
+            b"/Encoding 256 array\n"
+            b"0 1 255 {1 index exch /.notdef put} for\n"
+            b"dup 65 /alpha put\n"
+            b"dup 66 /beta.03 put\n"
+            b"readonly def\n"
+            b"currentfile eexec\n")
+    binary = b"\x12\x34" * 8
+    name, enc = parse_cleartext(data + binary, len(data), len(binary))
+    assert name == "FooFont"
+    assert enc == {65: "alpha", 66: "beta"}
+    # no %! magic → None; no dup lines → None
+    assert parse_cleartext(b"garbage", None, None) is None
+    assert parse_cleartext(
+        b"%!X\n5 dict begin\n/FontName /N def\n", None, None) is None
+
+
+def test_type1_embedded_requires_fontfile():
+    """Negative control for the type1_embedded class: stripping the
+    /FontFile reference must break decoding (the charcodes sit where
+    Standard/WinAnsi disagree), proving the class exercises the
+    builtin-program path and nothing else."""
+    from unipdf_spark.fixtures.gen import make_doc
+    from unipdf_spark.pdf.extract import extract_spans
+
+    golden, pdf = make_doc("doc_t1neg_0001", "type1_embedded")
+    assert any("α" in s["text"] or "ω" in s["text"] or "θ" in s["text"]
+               for s in golden if s["kind"] == "text")
+    broken = pdf.replace(b"/FontFile ", b"/FontFileX ")
+    assert broken != pdf
+    res = extract_spans(broken)
+    got = "".join(s["text"] for s in res.spans if s["kind"] == "text")
+    want = "".join(s["text"] for s in golden if s["kind"] == "text")
+    assert got != want

@@ -89,6 +89,28 @@ RTL_WORDS = ["שלום", "עולם", "ספר", "מידע", "נתונים", "بي
 MAC_WORDS = WORDS[:16] + ["café", "naïve", "résumé", "señor", "garçon",
                           "über", "crème", "brûlée"]
 
+# Embedded-Type1 builtin encoding (F9, `type1_embedded` class): charcodes
+# sit at positions where every standard base encoding disagrees, and the
+# glyph names live only in the FontFile program's cleartext /Encoding
+# array — decoding works ONLY if the engine parses the embedded program.
+# Unicode values are the public Adobe Glyph List mappings for these names.
+T1_W = 520.0
+T1_GLYPHS = {  # char → (code, glyph name)
+    " ": (32, "space"),
+    "α": (0xE1, "alpha"), "β": (0xE2, "beta"), "γ": (0xE3, "gamma"),
+    "δ": (0xE4, "delta"), "ε": (0xE5, "epsilon"), "ζ": (0xE6, "zeta"),
+    "η": (0xE7, "eta"), "θ": (0xE8, "theta"), "ι": (0xE9, "iota"),
+    "κ": (0xEA, "kappa"), "λ": (0xEB, "lambda"), "ξ": (0xEE, "xi"),
+    "π": (0xF0, "pi"), "ρ": (0xF1, "rho"), "σ": (0xF3, "sigma"),
+    "τ": (0xF4, "tau"), "φ": (0xF6, "phi"), "χ": (0xF7, "chi"),
+    "ψ": (0xF8, "psi"), "ω": (0xF9, "omega"),
+}
+T1_WORDS = ["αβγα", "δεζ", "ηθλ", "κιξ", "πρσ", "ταφ", "χψω", "σιγμα",
+            "λογος", "θεωρια"]
+# words must stay inside the mapped repertoire
+T1_WORDS = [w for w in T1_WORDS
+            if all(ch in T1_GLYPHS for ch in w)] or ["αβγ"]
+
 FIXTURE_CLASSES = [
     "simple", "kerned", "multicolumn", "rotated", "cid", "interleaved",
     "form_xobject", "hyphenated", "tagged", "malformed", "skew", "objstm",
@@ -96,6 +118,7 @@ FIXTURE_CLASSES = [
     "gridtable", "macroman", "wstable", "cid_predefined", "encrypted_aes256",
     "invisible", "tagged_list", "fax", "std14", "tagged_pg",
     "twotables", "jbig2", "cid_vertical", "jpeg", "arabic",
+    "type1_embedded",
 ]
 
 
@@ -121,6 +144,10 @@ def _text_w(s: str, fs: float, tc: float = 0.0, th: float = 1.0,
         return sum(
             (_W_TIMES_BOLD.get(c, 500) / 1000.0 * fs + tc
              + (tw if c == " " else 0.0)) for c in s
+        ) * th
+    if font == "F9":  # embedded Type1: flat /Widths
+        return sum(
+            (T1_W / 1000.0 * fs + tc + (tw if c == " " else 0.0)) for c in s
         ) * th
     return sum(
         (_char_w(c) / 1000.0 * fs + tc + (tw if c == " " else 0.0)) for c in s
@@ -749,6 +776,16 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
             plan.blocks.append(p)
         return plan
 
+    if fixture_class == "type1_embedded":
+        # symbolic embedded Type1, NO /Encoding, no ToUnicode: the text
+        # decodes only via the FontFile cleartext /Encoding array
+        # (model.go:2146 addEncoding fontFile branch)
+        for _ in range(rng.randint(2, 4)):
+            p, v = _para(rng, MARGIN, v, width, (5, 12), font="F9",
+                         pool=T1_WORDS)
+            plan.blocks.append(p)
+        return plan
+
     if fixture_class == "cid":
         for _ in range(rng.randint(2, 4)):
             p, v = _para(rng, MARGIN, v, width, (5, 12), font="F2",
@@ -1079,6 +1116,12 @@ _CM_OFFSET = {0: (0.0, 0.0), 90: (PAGE_W, 0.0), 180: (PAGE_W, PAGE_H),
               270: (0.0, PAGE_H)}
 
 
+def _esc_t1(s: str) -> bytes:
+    """Escape F9 text through the builtin-encoding byte map."""
+    b = bytes(T1_GLYPHS[ch][0] for ch in s)
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
 def _para_content(p: ParaPlan, theta: int) -> bytes:
     c, s = {0: (1, 0), 90: (0, 1), 180: (-1, 0), 270: (0, -1)}[theta]
     out = bytearray()
@@ -1118,9 +1161,13 @@ def _para_content(p: ParaPlan, theta: int) -> bytes:
             out += b"<" + hexes.encode() + b"> Tj\n"
             continue
         enc = "mac_roman" if p.font == "F4" else "latin-1"
+
+        def _esc(t: str) -> bytes:
+            return _esc_t1(t) if p.font == "F9" else esc_string(t, enc)
+
         simple = len(segs) == 1 and segs[0].kern_after is None and i != p.lig_line
         if simple:
-            out += b"(" + esc_string(segs[0].text, enc) + b") Tj\n"
+            out += b"(" + _esc(segs[0].text) + b") Tj\n"
         else:
             for seg in segs:
                 if seg.text == "ﬁ" and i == p.lig_line:
@@ -1129,7 +1176,7 @@ def _para_content(p: ParaPlan, theta: int) -> bytes:
                     out += b"EMC\n"
                     continue
                 arr = bytearray(b"[")
-                arr += b"(" + esc_string(seg.text, enc) + b")"
+                arr += b"(" + _esc(seg.text) + b")"
                 if seg.kern_after is not None:
                     arr += b" %g" % seg.kern_after
                 arr += b"] TJ\n"
@@ -1289,6 +1336,58 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             + widths4 + b" ] >>"
         )
         font_res += b"/F4 " + str(f4).encode() + b" 0 R "
+
+    # Embedded Type1 font (F9): symbolic, NO /Encoding, no ToUnicode — the
+    # charcode→glyph mapping lives ONLY in the FontFile program's cleartext
+    # /Encoding array (reference parseASCIIPart; Length1 = cleartext bytes,
+    # the eexec binary segment is opaque and never parsed)
+    used_t1: set[str] = set()
+    for b in plan.blocks:
+        if isinstance(b, ParaPlan) and b.font == "F9":
+            for segs in b.lines:
+                for seg in segs:
+                    used_t1.update(seg.text)
+    if used_t1:
+        enc_lines = bytearray()
+        for ch in sorted(used_t1, key=lambda c: T1_GLYPHS[c][0]):
+            code, gname = T1_GLYPHS[ch]
+            enc_lines += b"dup %d /%s put\n" % (code, gname.encode())
+        cleartext = (
+            b"%!PS-AdobeFont-1.0: FixtureT1 001.001\n"
+            b"11 dict begin\n"
+            b"/FontName /FixtureT1 def\n"
+            b"/PaintType 0 def\n"
+            b"/FontMatrix [0.001 0 0 0.001 0 0] def\n"
+            b"/Encoding 256 array\n"
+            b"0 1 255 {1 index exch /.notdef put} for\n"
+            + bytes(enc_lines)
+            + b"readonly def\n"
+            b"currentfile eexec\n"
+        )
+        binary = bytes((i * 73 + 41) & 0xFF for i in range(64))  # opaque
+        ffnum, _ = w.add_stream(
+            b"/Length1 %d /Length2 %d /Length3 0 "
+            % (len(cleartext), len(binary)),
+            cleartext + binary, compress=True,
+        )
+        fdesc9 = w.add(
+            b"<< /Type /FontDescriptor /FontName /FixtureT1 /Flags 4 "
+            b"/FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 750 "
+            b"/Descent -200 /CapHeight 700 /StemV 80 /FontFile "
+            + str(ffnum).encode() + b" 0 R >>"
+        )
+        codes9 = sorted(T1_GLYPHS[ch][0] for ch in used_t1)
+        first9, last9 = min(codes9), max(codes9)
+        widths9 = b" ".join(
+            str(int(T1_W)).encode() for _ in range(first9, last9 + 1))
+        f9 = w.add(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /FixtureT1 "
+            b"/FirstChar " + str(first9).encode()
+            + b" /LastChar " + str(last9).encode() + b" /Widths [ "
+            + widths9 + b" ] /FontDescriptor " + str(fdesc9).encode()
+            + b" 0 R >>"
+        )
+        font_res += b"/F9 " + str(f9).encode() + b" 0 R "
 
     # Standard-14 font (F6): /Times-Bold with NO /Widths — exercises the
     # engine's AFM metric tables (std14 class)
@@ -2115,7 +2214,7 @@ DEFAULT_MIX = [
     ("cid_predefined", 3), ("encrypted_aes256", 2), ("invisible", 2),
     ("tagged_list", 2), ("fax", 2), ("std14", 3), ("tagged_pg", 2),
     ("twotables", 2), ("jbig2", 2), ("cid_vertical", 2), ("jpeg", 2),
-    ("arabic", 2),
+    ("arabic", 2), ("type1_embedded", 2),
 ]
 
 BENCH_MIX = [

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import re
 
-from . import std14, truetype
+from . import std14, truetype, type1
 from .agl import glyph_to_unicode
 from .extra_enc import MAC_EXPERT, PDF_DOC
 from .symbol_enc import SYMBOL, ZAPF_DINGBATS
@@ -508,6 +508,37 @@ def _utf16_charcode_to_unicode(code: int) -> str | None:
     return chr(code)
 
 
+def _type1_builtin_map(fd: dict, r) -> dict[int, str] | None:
+    """code → unicode from an embedded Type1 program's cleartext /Encoding
+    (FontDescriptor /FontFile; type1.parse_cleartext). Mirrors the
+    reference's all-or-nothing NewCustomSimpleTextEncoder: any glyph name
+    the AGL cannot resolve drops the whole builtin (parseASCIIPart logs
+    UNKNOWN GLYPH and leaves the encoder unset → Standard fallback)."""
+    fdesc = r(fd.get("FontDescriptor"))
+    if not isinstance(fdesc, dict):
+        return None
+    ff = r(fdesc.get("FontFile"))
+    if not hasattr(ff, "decoded"):
+        return None
+    try:
+        data = ff.decoded(r)
+    except Exception:
+        return None
+    sd = getattr(ff, "dict", None) or {}
+    parsed = type1.parse_cleartext(
+        data, r(sd.get("Length1")), r(sd.get("Length2")))
+    if parsed is None:
+        return None
+    _name, enc = parsed
+    out: dict[int, str] = {}
+    for code, glyph in enc.items():
+        u = glyph_to_unicode(glyph)
+        if u is None:
+            return None
+        out[code] = u
+    return out
+
+
 def load_font(doc, font_dict) -> Font:
     """Font factory (dispatch on /Subtype — model/model.go:2902)."""
     r = doc.resolve
@@ -606,6 +637,12 @@ def load_font(doc, font_dict) -> Font:
         if be:
             base_map = _ENCODINGS.get(str(be))
         diffs = r(enc.get("Differences"))
+    if base_map is None and enc is None:
+        # no /Encoding at all: a symbolic embedded Type1's builtin encoding
+        # (the cleartext /Encoding array of its FontFile program) wins —
+        # model.go:2146 addEncoding uses the fontFile encoder only when the
+        # font dict carries no /Encoding; Differences still apply on top
+        base_map = _type1_builtin_map(fd, r)
     if base_map is None:
         # built-in encodings for the symbolic Standard-14 fonts
         # (textencoding.go NewSymbolEncoder/NewZapfDingbatsEncoder)
