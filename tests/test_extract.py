@@ -132,13 +132,17 @@ def test_aes256_r6_fixture_decrypts():
 def test_table_cells_matrix_gridtable():
     from unipdf_spark.pdf.extract import extract_tables
 
-    golden, pdf = make_doc("tcells_grid", "gridtable")
+    golden, pdf = make_doc("tcells_grid_plain", "gridtable")
+    table_text = next(s["text"] for s in golden if "\n" in s["text"])
+    if table_text.count("\n") != 1:  # rng picked the merged variant
+        golden, pdf = make_doc("tcells_grid_plain2", "gridtable")
+        table_text = next(s["text"] for s in golden if "\n" in s["text"])
+    assert table_text.count("\n") == 1, "no plain 2x2 doc in two draws"
     tables = extract_tables(pdf)
     assert len(tables) == 1
     t = tables[0]
     assert (t["n_rows"], t["n_cols"]) == (2, 2)
     # the golden table span is the row-major serialization of the matrix
-    table_text = next(s["text"] for s in golden if "\n" in s["text"])
     expected = [row.split(" ") for row in table_text.split("\n")]
     assert t["cells"] == expected
 
@@ -761,3 +765,31 @@ def test_type1_embedded_requires_fontfile():
     got = "".join(s["text"] for s in res.spans if s["kind"] == "text")
     want = "".join(s["text"] for s in golden if s["kind"] == "text")
     assert got != want
+
+
+def test_grid_table_merged_cells_top_left_anchor():
+    """Merged/spanning cells (reference growTable/TableCell w,h>1,
+    e:61/:899): the colspan header and the rowspan first column must be
+    emitted at their top-left grid positions with the covered tiles
+    empty; paragraphs crossing boundaries where rules ARE drawn keep
+    center assignment (only unruled boundaries merge)."""
+    from unipdf_spark.pdf.extract import extract_tables
+
+    seen = 0
+    for i in range(40):
+        golden, pdf = make_doc(f"doc_mc_{i:04d}", "gridtable")
+        tgold = next((s["text"] for s in golden if "\n" in s["text"]), None)
+        if tgold is None or tgold.count("\n") != 2:
+            continue  # plain 2x2 leg
+        seen += 1
+        tables = extract_tables(pdf)
+        assert len(tables) == 1
+        t = tables[0]
+        assert (t["n_rows"], t["n_cols"]) == (3, 3)
+        rows = tgold.split("\n")
+        hdr = rows[0]
+        span_w = rows[1].split(" ")[0]
+        assert t["cells"][0] == [hdr, "", ""]
+        assert t["cells"][1][0] == span_w
+        assert t["cells"][2][0] == ""
+    assert seen >= 5

@@ -633,6 +633,56 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
     if fixture_class == "gridtable":
         p, v = _para(rng, MARGIN, v, width, (4, 8))
         plan.blocks.append(p)
+        if rng.random() < 0.4:
+            # merged-cell variant (reference growTable w/h>1, e:61): 3x3
+            # lattice with a colspan header row (no internal vertical rules
+            # in the top band; wide header text crossing the boundary) and
+            # a rowspan first column in the body (no horizontal rule at the
+            # middle boundary within column 0; two-line cell paragraph).
+            # Both must be emitted at their top-left grid position.
+            top = 640.0
+            gx = [MARGIN, MARGIN + 90.0, MARGIN + 180.0, MARGIN + 270.0]
+            gy = [top, top - 40.0, top - 80.0, top - 120.0]
+            # horizontal rules: full at top/header-split/bottom; the body
+            # middle rule skips column 0 (rowspan)
+            for y in (gy[0], gy[1], gy[3]):
+                plan.blocks.append(RulePlan(x=gx[0], y=y, w=gx[-1] - gx[0]))
+            plan.blocks.append(
+                RulePlan(x=gx[1], y=gy[2], w=gx[-1] - gx[1]))
+            # vertical rules: outer full-height; inner only in the body
+            for x in (gx[0], gx[-1]):
+                plan.blocks.append(
+                    RulePlan(x=x, y=gy[-1], w=1.0, h=gy[0] - gy[-1]))
+            for x in (gx[1], gx[2]):
+                plan.blocks.append(
+                    RulePlan(x=x, y=gy[-1], w=1.0, h=gy[1] - gy[-1]))
+            hdr = " ".join(rng.choice(WORDS[:20]) for _ in range(3))
+            hp = ParaPlan(lines=[[Seg(hdr)]], x=gx[0] + 12.0,
+                          baselines=[gy[0] - 26.0])
+            hp.is_table_cell = True
+            plan.blocks.append(hp)
+            # rowspan cell content sits vertically centered on the skipped
+            # boundary (its glyph extent crosses it, as a merged cell's
+            # centered text does); one word so it stays inside column 0
+            span_w = rng.choice(WORDS[:8])
+            sp = ParaPlan(lines=[[Seg(span_w)]], x=gx[0] + 12.0,
+                          baselines=[gy[2] - 3.0])
+            sp.is_table_cell = True
+            plan.blocks.append(sp)
+            body = [[rng.choice(WORDS[:20]) for _ in range(2)]
+                    for _ in range(2)]
+            for r in range(2):
+                for c in range(2):
+                    cp = ParaPlan(lines=[[Seg(body[r][c])]],
+                                  x=gx[c + 1] + 12.0,
+                                  baselines=[gy[r + 1] - 26.0])
+                    cp.is_table_cell = True
+                    plan.blocks.append(cp)
+            plan.table_golden = (
+                f"{hdr}\n{span_w} {body[0][0]} {body[0][1]}"
+                f"\n{body[1][0]} {body[1][1]}"
+            )
+            return plan
         # 2x2 ruled grid; cells hold single words; golden = one table span
         # serialized row-major ("c00 c01\nc10 c11")
         top = 640.0

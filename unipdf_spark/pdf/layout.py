@@ -413,9 +413,18 @@ def _cluster_rulings(h_rulings, v_rulings, tol: float = 2.0):
     return [c for c in comps.values() if c[0] and c[1]]
 
 
-def _grid_table_from_lattice(paras: list, ys: list, xs: list, rank: int):
+def _grid_table_from_lattice(paras: list, ys: list, xs: list, rank: int,
+                             hs=None, vs=None):
     """Assign paragraphs whose center falls inside the lattice to (row, col)
-    cells. Returns (table or None, remaining paras)."""
+    cells. Returns (table or None, remaining paras).
+
+    Merged/spanning cells (reference growTable/TableCell w,h > 1,
+    extractor.go:61/:899): a paragraph whose extent covers multiple lattice
+    tiles with NO actual rule segment separating them (the lattice
+    boundary exists only elsewhere in the grid) belongs to ONE merged cell
+    and is emitted at its top-left grid position. A paragraph that crosses
+    a boundary where a rule IS drawn (overflowing text) keeps the
+    center-based assignment."""
     import bisect
 
     inside, outside = [], []
@@ -429,11 +438,38 @@ def _grid_table_from_lattice(paras: list, ys: list, xs: list, rank: int):
     if not inside:
         return None, paras
     n_rows, n_cols = len(ys) - 1, len(xs) - 1
+
+    def clamp(i: int, n: int) -> int:
+        return max(0, min(i, n - 1))
+
+    def sep_v(k: int, y0: float, y1: float) -> bool:
+        # a vertical rule at boundary xs[k] crossing the band's midline
+        mid = (y0 + y1) / 2
+        return any(abs(x - xs[k]) <= 2.0 and vlo - 2.0 <= mid <= vhi + 2.0
+                   for x, vlo, vhi in (vs or ()))
+
+    def sep_h(k: int, x0: float, x1: float) -> bool:
+        mid = (x0 + x1) / 2
+        return any(abs(d - ys[k]) <= 2.0 and lo - 2.0 <= mid <= hi + 2.0
+                   for d, lo, hi in (hs or ()))
+
     cells: dict[tuple[int, int], list] = {}
     for pa in inside:
         r = min(bisect.bisect_right(ys, (pa.depth0 + pa.depth1) / 2) - 1,
                 n_rows - 1)
         c = min(bisect.bisect_right(xs, (pa.u0 + pa.u1) / 2) - 1, n_cols - 1)
+        if hs is not None and vs is not None:
+            eps = 1.0
+            cl = clamp(bisect.bisect_right(xs, pa.u0 + eps) - 1, n_cols)
+            cr = clamp(bisect.bisect_right(xs, pa.u1 - eps) - 1, n_cols)
+            rt = clamp(bisect.bisect_right(ys, pa.depth0 + eps) - 1, n_rows)
+            rb = clamp(bisect.bisect_right(ys, pa.depth1 - eps) - 1, n_rows)
+            if cl < cr and not any(
+                    sep_v(k, ys[rt], ys[rb + 1]) for k in range(cl + 1, cr + 1)):
+                c = cl
+            if rt < rb and not any(
+                    sep_h(k, xs[cl], xs[cr + 1]) for k in range(rt + 1, rb + 1)):
+                r = rt
         cells.setdefault((r, c), []).append(pa)
     rows_txt = []
     matrix: list[list[str]] = []
@@ -481,7 +517,8 @@ def detect_grid_tables(paras: list, h_rulings, v_rulings, rank: int):
         xs = dedup(sorted(x for x, _, _ in vs))
         if len(ys) < 2 or len(xs) < 2:
             continue
-        table, rest = _grid_table_from_lattice(rest, ys, xs, rank)
+        table, rest = _grid_table_from_lattice(rest, ys, xs, rank,
+                                               hs=hs, vs=vs)
         if table is not None:
             tables.append(table)
     return tables, rest
