@@ -153,17 +153,29 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = "doc_id string, page int, kind string, name string, value long"
 
     def inv_batch(batches):
-        from unipdf_spark.pdf.extract import extract_page_inventory
+        # ONE parse per doc feeds fonts/images AND the positional term
+        # boxes (extract_document_profile — the SURVEY §3.2 'one
+        # interpretation' principle; r5 re-parsed per feature family)
+        from unipdf_spark.pdf.extract import extract_document_profile
 
         for b in batches:
             rows = []
             for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
-                for pg in extract_page_inventory(bytes(pdf_bytes)):
+                prof = extract_document_profile(
+                    bytes(pdf_bytes), terms=["query", "stream"])
+                for pg in prof["pages"]:
                     for name, subtype in pg["fonts"]:
                         rows.append((doc_id, pg["page"], "font",
                                      f"{name}/{subtype}", 1))
                     for ref in pg["images"]:
                         rows.append((doc_id, pg["page"], "image", ref, 1))
+                for m in prof["term_boxes"]:
+                    rows.append((
+                        doc_id, m["page"], "term_box",
+                        f"{m['term']}|{m['x0']:.1f},{m['y0']:.1f},"
+                        f"{m['x1']:.1f},{m['y1']:.1f}",
+                        m["line_offset"],
+                    ))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "page", "kind", "name", "value"]
             )
@@ -216,35 +228,12 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "page", "kind", "name", "value"]
             )
 
-    def box_batch(batches):
-        # positional term search (Editor.Search/Match with boxes, e:82):
-        # box coordinates folded into the name key, 0.1pt-quantized for
-        # cross-run stability of the rows-only hash
-        from unipdf_spark.pdf.extract import search_positions
-
-        for b in batches:
-            rows = []
-            for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
-                for m in search_positions(bytes(pdf_bytes),
-                                          ["query", "stream"]):
-                    rows.append((
-                        doc_id, m["page"], "term_box",
-                        f"{m['term']}|{m['x0']:.1f},{m['y0']:.1f},"
-                        f"{m['x1']:.1f},{m['y1']:.1f}",
-                        m["line_offset"],
-                    ))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "page", "kind", "name", "value"]
-            )
-
     inv = inv_docs.select("doc_id", "pdf_bytes").mapInPandas(
         inv_batch, out_schema)
     vis = vis_docs.select("doc_id", "pdf_bytes").mapInPandas(
         vis_batch, out_schema)
     lst = list_docs.select("doc_id", "pdf_bytes").mapInPandas(
         list_batch, out_schema)
-    boxes = inv_docs.select("doc_id", "pdf_bytes").mapInPandas(
-        box_batch, out_schema)
     imgs = pipeline.gen_docs_pdf(
         spark, 16, mix=[("interleaved", 1)]
     ).select("doc_id", "pdf_bytes").mapInPandas(img_batch, out_schema)
@@ -255,7 +244,7 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         inv.unionByName(vis).unionByName(lst).unionByName(feats)
-        .unionByName(boxes).unionByName(imgs)
+        .unionByName(imgs)
         .orderBy("doc_id", "page", "kind", "name", "value")
     )
 
