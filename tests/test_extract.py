@@ -793,3 +793,28 @@ def test_grid_table_merged_cells_top_left_anchor():
         assert t["cells"][1][0] == span_w
         assert t["cells"][2][0] == ""
     assert seen >= 5
+
+
+def test_search_positions_per_rune_subword_box():
+    """Per-rune refinement (reference TextMark granularity, e:82): a term
+    matching MID-WORD gets the exact sub-word box from the matched chars'
+    own glyph boxes, not the whole word's union box."""
+    from unipdf_spark.pdf.extract import search_positions
+    from unipdf_spark.pdf.std14 import widths_for_basefont
+
+    content = b"BT /F1 12 Tf 200 650 Td (needle) Tj ET\n"
+    pdf = _mini_pdf(content)
+    widths = widths_for_basefont("Helvetica")
+
+    def adv(s):
+        return sum(widths.get(c, 500) for c in s) * 12.0 / 1000.0
+
+    (h,) = search_positions(pdf, ["eed"])
+    assert h["line_offset"] == 1
+    assert abs(h["x0"] - (200.0 + adv("n"))) < 1e-6
+    assert abs(h["x1"] - (200.0 + adv("need"))) < 1e-6
+    assert h["y0"] <= 650.0 <= h["y1"]
+    # suffix match
+    (t,) = search_positions(pdf, ["dle"])
+    assert abs(t["x0"] - (200.0 + adv("nee"))) < 1e-6
+    assert abs(t["x1"] - (200.0 + adv("needle"))) < 1e-6

@@ -133,6 +133,7 @@ def _term_boxes_for_page(marks: list, terms: list[str],
     analog, e:82): case-sensitive term hits within line text (all four
     orientation groups, logical order incl. RTL runs), each reporting the
     page-space union box of the words overlapping the matched range."""
+    from .layout import _is_rtl_word as _is_rtl_word_text
     from .layout import make_lines, make_words
 
     out: list[dict] = []
@@ -142,10 +143,22 @@ def _term_boxes_for_page(marks: list, terms: list[str],
             continue
         for line in make_lines(make_words(group, orientation)):
             pairs = line.logical_words()
-            ranges = []
+            # per-rune boxes aligned to the line's logical text (reference
+            # refines Search/Match boxes to per-rune TextMark granularity,
+            # e:82): a term matching part of a word gets the exact
+            # sub-word box. RTL words arrive char-reversed, so their box
+            # lists reverse with them. None slots (spaces, hand-built
+            # words) fall back to the word union box.
+            rune_boxes: list = []
             pos = 0
             for t, w in pairs:
-                ranges.append((pos, pos + len(t), w))
+                cb = w.char_boxes
+                if cb is not None and _is_rtl_word_text(t):
+                    cb = cb[::-1]
+                if cb is None or len(cb) != len(t):
+                    cb = [(w.x0, w.y0, w.x1, w.y1)] * len(t)
+                rune_boxes.extend(cb)
+                rune_boxes.append(None)  # inter-word space
                 pos += len(t) + 1
             text = " ".join(t for t, _ in pairs)
             for term in terms:
@@ -155,16 +168,16 @@ def _term_boxes_for_page(marks: list, terms: list[str],
                     if i < 0:
                         break
                     j = i + len(term)
-                    ws = [w for a, b, w in ranges if a < j and i < b]
-                    if ws:
+                    bs = [b for b in rune_boxes[i:j] if b is not None]
+                    if bs:
                         out.append({
                             "page": page_idx,
                             "term": term,
                             "line_offset": i,
-                            "x0": min(w.x0 for w in ws),
-                            "y0": min(w.y0 for w in ws),
-                            "x1": max(w.x1 for w in ws),
-                            "y1": max(w.y1 for w in ws),
+                            "x0": min(b[0] for b in bs),
+                            "y0": min(b[1] for b in bs),
+                            "x1": max(b[2] for b in bs),
+                            "y1": max(b[3] for b in bs),
                         })
                     start = i + 1
     return out

@@ -60,6 +60,13 @@ class Word:
     y0: float = 0.0
     x1: float = 0.0
     y1: float = 0.0
+    # per-character page-space boxes, aligned to ``text`` (the reference
+    # refines Search/Match boxes to per-rune TextMark granularity, e:82):
+    # single-char marks contribute their exact box; a multi-char mark
+    # (ligature expansion) is split into equal slices along the reading
+    # axis. None on hand-built Words (tests) → callers fall back to the
+    # union box.
+    char_boxes: list | None = None
 
 
 @dataclass
@@ -211,24 +218,41 @@ def make_words(marks: list[TextMark], orientation: int) -> list[Word]:
     """Sequential scan in operator/emission order (makeTextWords e:872)."""
     words: list[Word] = []
     cur_text: list[str] = []
+    cur_cboxes: list = []
     cur_u0 = cur_u1 = cur_depth = cur_fs = 0.0
     cur_bx0 = cur_by0 = cur_bx1 = cur_by1 = 0.0
     cur_op = 0
+    vertical = orientation in (90, 270)
+
+    def mark_char_boxes(m) -> list:
+        n = len(m.text)
+        if n <= 1:
+            return [(m.x0, m.y0, m.x1, m.y1)]
+        # ligature expansion: equal slices along the reading axis
+        if vertical:
+            step = (m.y1 - m.y0) / n
+            return [(m.x0, m.y0 + k * step, m.x1, m.y0 + (k + 1) * step)
+                    for k in range(n)]
+        step = (m.x1 - m.x0) / n
+        return [(m.x0 + k * step, m.y0, m.x0 + (k + 1) * step, m.y1)
+                for k in range(n)]
 
     def flush():
-        nonlocal cur_text
+        nonlocal cur_text, cur_cboxes
         if cur_text:
             t = "".join(cur_text)
             if t.strip():
                 words.append(Word(t, cur_u0, cur_u1, cur_depth, cur_fs,
                                   cur_op, cur_bx0, cur_by0, cur_bx1,
-                                  cur_by1))
+                                  cur_by1, cur_cboxes))
         cur_text = []
+        cur_cboxes = []
 
     def start(m, u0, u1, depth, fs):
         nonlocal cur_text, cur_u0, cur_u1, cur_depth, cur_fs, cur_op
-        nonlocal cur_bx0, cur_by0, cur_bx1, cur_by1
+        nonlocal cur_bx0, cur_by0, cur_bx1, cur_by1, cur_cboxes
         cur_text = [m.text]
+        cur_cboxes = mark_char_boxes(m)
         cur_u0, cur_u1, cur_depth, cur_fs, cur_op = u0, u1, depth, fs, m.op_index
         cur_bx0, cur_by0, cur_bx1, cur_by1 = m.x0, m.y0, m.x1, m.y1
 
@@ -249,6 +273,7 @@ def make_words(marks: list[TextMark], orientation: int) -> list[Word]:
             start(m, u0, u1, depth, fs)
         else:
             cur_text.append(m.text)
+            cur_cboxes.extend(mark_char_boxes(m))
             cur_u1 = max(cur_u1, u1)
             cur_u0 = min(cur_u0, u0)
             cur_depth = min(cur_depth, depth)
