@@ -818,3 +818,37 @@ def test_search_positions_per_rune_subword_box():
     (t,) = search_positions(pdf, ["dle"])
     assert abs(t["x0"] - (200.0 + adv("nee"))) < 1e-6
     assert abs(t["x1"] - (200.0 + adv("needle"))) < 1e-6
+
+
+def test_reading_order_pathological_page_bounded():
+    """5000-paragraph synthetic page must order in bounded time via the
+    diagonal-sort guard (READING_ORDER_MAX), and the guard must agree
+    with the topo relation on a simple single-column stack."""
+    import time
+
+    from unipdf_spark.pdf.layout import (
+        Line, Para, READING_ORDER_MAX, Word, reading_order)
+
+    def mk(u0, depth, idx):
+        w = Word("w", u0, u0 + 40.0, depth, 10.0, idx)
+        ln = Line(words=[w])
+        ln.depth = depth
+        return Para(lines=[ln])
+
+    # 5000 paras in a 50x100 grid (machine-generated catalog shape)
+    paras = [mk(10.0 + (i % 50) * 12.0, 20.0 + (i // 50) * 8.0, i)
+             for i in range(5000)]
+    t0 = time.perf_counter()
+    out = reading_order(paras)
+    dt = time.perf_counter() - t0
+    assert len(out) == 5000
+    assert dt < 2.0, f"guard failed: {dt:.1f}s"
+    keys = [(p.depth0, p.u0) for p in out]
+    assert keys == sorted(keys)
+
+    # below the threshold the topo path still runs and matches the
+    # diagonal order for a plain vertical stack
+    small = [mk(10.0, 20.0 + 14.0 * i, i) for i in range(20)]
+    ordered = reading_order(list(reversed(small)))
+    assert [p.depth0 for p in ordered] == [p.depth0 for p in small]
+    assert len(small) < READING_ORDER_MAX

@@ -33,6 +33,9 @@ LINE_MIN_FS = 12.0
 PARA_LINE_GAP = 1.0  # _ddef (× fontsize) beyond one line pitch
 DUP_TOL = 0.2  # _cdgdb
 HYPHENS = "-­‐‑"
+# pathological-page guard: pages with more paragraphs than this skip the
+# O(n²·log n) topoOrder relation for a diagonal sort (see reading_order)
+READING_ORDER_MAX = 2000
 
 
 def _is_rtl_word(t: str) -> bool:
@@ -689,10 +692,20 @@ def reading_order(paras: list[Para]) -> list[Para]:
     (the gap-spanning paragraph is what distinguishes a true column
     gutter from a coincidental left/right pair). A DFS over this
     relation emits a topological order (reversed post-order), seeded in
-    construction order for ties."""
+    construction order for ties.
+
+    Pathological-page guard: the relation is O(n²·log n) worst-case —
+    fine at real page scale (tens of paragraphs, sub-ms), but a
+    machine-generated page with thousands of paragraphs would stall one
+    worker task (r5 VERDICT 'What's wrong' #1). Past READING_ORDER_MAX
+    paragraphs the page falls back to the diagonal order (top-to-bottom
+    then left-to-right — the relation's own tie-break direction),
+    keeping the worst task O(n·log n)."""
     n = len(paras)
     if n <= 1:
         return list(paras)
+    if n > READING_ORDER_MAX:
+        return sorted(paras, key=lambda p: (p.depth0, p.u0, p.min_op))
     # PDF-style Lly (bottom edge, y up) from the reading frame where
     # depth grows downward
     lly = [-p.depth1 for p in paras]
