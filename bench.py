@@ -115,6 +115,48 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
 
+    # --- 100k-doc full-mix soak tier (r5 VERDICT #8: the 6k headline is
+    # mostly fixed overhead; the soak is the real throughput signal).
+    # Default-on at sf0.1 (the driver's per-round config); BENCH_SOAK_DOCS
+    # overrides (0 disables). Load-guarded like the headline: the loadavg
+    # at soak start is recorded and flags the tier noisy.
+    soak_default = 100000 if sf >= 0.1 else 0
+    soak_n = int(os.environ.get("BENCH_SOAK_DOCS", soak_default))
+    soak = None
+    if soak_n > 0:
+        soak_load = os.getloadavg()
+        t0 = time.perf_counter()
+        soak_docs = pipeline.gen_docs_pdf(
+            spark, soak_n, mix="default", partitions=cpus * 2
+        ).persist()
+        soak_docs.count()
+        soak_gen = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s_out = pipeline.run_extraction(soak_docs).persist()
+        s_err = s_out.filter(F.col("error").isNotNull()).count()
+        soak_extract = time.perf_counter() - t0
+        s_match = (
+            pipeline.span_equality(soak_docs, s_out)
+            .filter(F.col("match")).count()
+        )
+        s_out.unpersist()
+        soak_docs.unpersist()
+        soak = {
+            "n_docs": soak_n,
+            "mix": "default_full",
+            "generation_sec": round(soak_gen, 3),
+            "extract_sec": round(soak_extract, 3),
+            "docs_per_sec": round(soak_n / soak_extract, 1)
+            if soak_extract > 0 else 0.0,
+            "errors": s_err,
+            "span_equality_pass_rate": round(s_match / soak_n, 6),
+            "loadavg_start": [round(x, 2) for x in soak_load],
+            # external-load signal = the PROCESS-start loadavg: by soak
+            # time the 1-min average unavoidably carries this bench's own
+            # just-finished query work
+            "noisy": load_start[0] > 4.0,
+        }
+
     load_end = os.getloadavg()
     # the host is "noisy" when load beyond this process's own footprint is
     # present at start (fresh runs start near-idle; a 1-min loadavg much
@@ -144,6 +186,7 @@ def main() -> None:
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in load_end],
                 "noisy": noisy,
+                "soak": soak,
             }
         )
     )

@@ -70,6 +70,12 @@ def main() -> None:
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        finally:
+            # unpersist discipline (r5 VERDICT #9): queries persist shared
+            # frames (minhash bands, embedding sigs); release them at query
+            # end so long-lived sessions return memory and the next query
+            # never warns 'Asked to cache already cached data'
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
             n_rowsonly += 1
