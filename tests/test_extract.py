@@ -756,15 +756,23 @@ def test_type1_embedded_requires_fontfile():
     from unipdf_spark.fixtures.gen import make_doc
     from unipdf_spark.pdf.extract import extract_spans
 
-    golden, pdf = make_doc("doc_t1neg_0001", "type1_embedded")
-    assert any("α" in s["text"] or "ω" in s["text"] or "θ" in s["text"]
-               for s in golden if s["kind"] == "text")
-    broken = pdf.replace(b"/FontFile ", b"/FontFileX ")
-    assert broken != pdf
-    res = extract_spans(broken)
-    got = "".join(s["text"] for s in res.spans if s["kind"] == "text")
-    want = "".join(s["text"] for s in golden if s["kind"] == "text")
-    assert got != want
+    seen = set()
+    for i in range(12):
+        golden, pdf = make_doc(f"doc_t1neg_{i:04d}", "type1_embedded")
+        assert any("α" in s["text"] or "ω" in s["text"] or "θ" in s["text"]
+                   for s in golden if s["kind"] == "text")
+        if b"/FontFile3" in pdf:
+            seen.add("cff")
+            broken = pdf.replace(b"/FontFile3 ", b"/FontFileX ")
+        else:
+            seen.add("t1")
+            broken = pdf.replace(b"/FontFile ", b"/FontFileX ")
+        assert broken != pdf
+        res = extract_spans(broken)
+        got = "".join(s["text"] for s in res.spans if s["kind"] == "text")
+        want = "".join(s["text"] for s in golden if s["kind"] == "text")
+        assert got != want
+    assert seen == {"t1", "cff"}  # both program kinds exercised
 
 
 def test_grid_table_merged_cells_top_left_anchor():
@@ -852,3 +860,30 @@ def test_reading_order_pathological_page_bounded():
     ordered = reading_order(list(reversed(small)))
     assert [p.depth0 for p in ordered] == [p.depth0 for p in small]
     assert len(small) < READING_ORDER_MAX
+
+
+def test_cff_parser_and_standard_strings():
+    """pdf/cff.py: minimal CFF parse (custom format-0 encoding, format-0
+    charset, String-INDEX names) and the standard-strings table: every
+    ISOAdobe name (SIDs 1-228) must resolve through the engine's AGL —
+    a typo in either table breaks this cross-check."""
+    from unipdf_spark.fixtures.gen import _cff_font_program
+    from unipdf_spark.pdf.agl import glyph_to_unicode
+    from unipdf_spark.pdf.cff import (
+        N_STD, STANDARD_STRINGS, parse_cff_builtin)
+
+    assert len(STANDARD_STRINGS) == 229
+    assert STANDARD_STRINGS[0] == ".notdef"
+    assert STANDARD_STRINGS[228] == "zcaron"
+    bad = [nm for nm in STANDARD_STRINGS[1:]
+           if glyph_to_unicode(nm) is None]
+    assert bad == [], f"AGL-unresolvable standard strings: {bad}"
+    assert N_STD == 391
+
+    entries = [(32, "space"), (0xE1, "alpha"), (0xF9, "omega")]
+    name, enc = parse_cff_builtin(_cff_font_program(entries))
+    assert name == "FixtureCFF"
+    assert enc == {32: "space", 0xE1: "alpha", 0xF9: "omega"}
+    # garbage and CFF2 are refused
+    assert parse_cff_builtin(b"") is None
+    assert parse_cff_builtin(bytes([2, 0, 4, 2]) + b"\0" * 16) is None

@@ -827,9 +827,12 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         return plan
 
     if fixture_class == "type1_embedded":
-        # symbolic embedded Type1, NO /Encoding, no ToUnicode: the text
-        # decodes only via the FontFile cleartext /Encoding array
-        # (model.go:2146 addEncoding fontFile branch)
+        # symbolic embedded font, NO /Encoding, no ToUnicode: the text
+        # decodes only via the embedded program — half the docs carry a
+        # Type1 FontFile (cleartext /Encoding array, model.go:2146
+        # addEncoding fontFile branch), half a FontFile3 /Type1C bare CFF
+        # (engine extension; the reference rejects Type1C)
+        plan.t1_cff = rng.random() < 0.5
         for _ in range(rng.randint(2, 4)):
             p, v = _para(rng, MARGIN, v, width, (5, 12), font="F9",
                          pool=T1_WORDS)
@@ -1166,6 +1169,58 @@ _CM_OFFSET = {0: (0.0, 0.0), 90: (PAGE_W, 0.0), 180: (PAGE_W, PAGE_H),
               270: (0.0, PAGE_H)}
 
 
+def _cff_font_program(entries: list[tuple[int, str]]) -> bytes:
+    """Minimal bare-CFF font program (Adobe TN#5176) for the FontFile3
+    /Type1C leg of the `type1_embedded` class: custom format-0 Encoding
+    (code → GID), format-0 charset (GID → SID 391+i), glyph names in the
+    String INDEX, one-byte `endchar` charstrings. Written independently of
+    the engine's pdf/cff.py reader (fixture independence)."""
+    names = [nm for _, nm in entries]
+    n_glyphs = len(entries) + 1  # GID 0 = .notdef
+
+    def index(items: list[bytes]) -> bytes:
+        if not items:
+            return b"\x00\x00"
+        out = bytearray(len(items).to_bytes(2, "big"))
+        out.append(2)  # offSize 2
+        off = 1
+        offs = [off]
+        for it in items:
+            off += len(it)
+            offs.append(off)
+        for o in offs:
+            out += o.to_bytes(2, "big")
+        for it in items:
+            out += it
+        return bytes(out)
+
+    header = bytes([1, 0, 4, 2])
+    name_idx = index([b"FixtureCFF"])
+    string_idx = index([nm.encode("latin-1") for nm in names])
+    gsubr_idx = b"\x00\x00"
+
+    def op_abs(v: int, op: int) -> bytes:  # 29-coded 4-byte operand
+        return bytes([29]) + v.to_bytes(4, "big") + bytes([op])
+
+    td_len = 18  # three (5-byte operand + 1-byte op) entries
+    top_idx_len = 2 + 1 + 4 + td_len
+    front = (len(header) + len(name_idx) + top_idx_len + len(string_idx)
+             + len(gsubr_idx))
+    enc = bytes([0, len(entries)]) + bytes(code for code, _ in entries)
+    charset = bytes([0]) + b"".join(
+        (391 + i).to_bytes(2, "big") for i in range(len(entries)))
+    charstrings = index([b"\x0e"] * n_glyphs)
+    enc_off = front
+    charset_off = enc_off + len(enc)
+    cs_off = charset_off + len(charset)
+    top = op_abs(charset_off, 15) + op_abs(enc_off, 16) + op_abs(cs_off, 17)
+    assert len(top) == td_len
+    top_idx = index([top])
+    assert len(top_idx) == top_idx_len
+    return (header + name_idx + top_idx + string_idx + gsubr_idx
+            + enc + charset + charstrings)
+
+
 def _esc_t1(s: str) -> bytes:
     """Escape F9 text through the builtin-encoding byte map."""
     b = bytes(T1_GLYPHS[ch][0] for ch in s)
@@ -1398,32 +1453,41 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
                 for seg in segs:
                     used_t1.update(seg.text)
     if used_t1:
-        enc_lines = bytearray()
-        for ch in sorted(used_t1, key=lambda c: T1_GLYPHS[c][0]):
-            code, gname = T1_GLYPHS[ch]
-            enc_lines += b"dup %d /%s put\n" % (code, gname.encode())
-        cleartext = (
-            b"%!PS-AdobeFont-1.0: FixtureT1 001.001\n"
-            b"11 dict begin\n"
-            b"/FontName /FixtureT1 def\n"
-            b"/PaintType 0 def\n"
-            b"/FontMatrix [0.001 0 0 0.001 0 0] def\n"
-            b"/Encoding 256 array\n"
-            b"0 1 255 {1 index exch /.notdef put} for\n"
-            + bytes(enc_lines)
-            + b"readonly def\n"
-            b"currentfile eexec\n"
-        )
-        binary = bytes((i * 73 + 41) & 0xFF for i in range(64))  # opaque
-        ffnum, _ = w.add_stream(
-            b"/Length1 %d /Length2 %d /Length3 0 "
-            % (len(cleartext), len(binary)),
-            cleartext + binary, compress=True,
-        )
+        entries = sorted((T1_GLYPHS[ch] for ch in used_t1),
+                         key=lambda e: e[0])
+        if getattr(plan, "t1_cff", False):
+            ffnum, _ = w.add_stream(
+                b"/Subtype /Type1C ", _cff_font_program(entries),
+                compress=True,
+            )
+            ff_key = b"/FontFile3 "
+        else:
+            enc_lines = bytearray()
+            for code, gname in entries:
+                enc_lines += b"dup %d /%s put\n" % (code, gname.encode())
+            cleartext = (
+                b"%!PS-AdobeFont-1.0: FixtureT1 001.001\n"
+                b"11 dict begin\n"
+                b"/FontName /FixtureT1 def\n"
+                b"/PaintType 0 def\n"
+                b"/FontMatrix [0.001 0 0 0.001 0 0] def\n"
+                b"/Encoding 256 array\n"
+                b"0 1 255 {1 index exch /.notdef put} for\n"
+                + bytes(enc_lines)
+                + b"readonly def\n"
+                b"currentfile eexec\n"
+            )
+            binary = bytes((i * 73 + 41) & 0xFF for i in range(64))  # opaque
+            ffnum, _ = w.add_stream(
+                b"/Length1 %d /Length2 %d /Length3 0 "
+                % (len(cleartext), len(binary)),
+                cleartext + binary, compress=True,
+            )
+            ff_key = b"/FontFile "
         fdesc9 = w.add(
             b"<< /Type /FontDescriptor /FontName /FixtureT1 /Flags 4 "
             b"/FontBBox [0 -200 1000 900] /ItalicAngle 0 /Ascent 750 "
-            b"/Descent -200 /CapHeight 700 /StemV 80 /FontFile "
+            b"/Descent -200 /CapHeight 700 /StemV 80 " + ff_key
             + str(ffnum).encode() + b" 0 R >>"
         )
         codes9 = sorted(T1_GLYPHS[ch][0] for ch in used_t1)

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import re
 
-from . import std14, truetype, type1
+from . import cff, std14, truetype, type1
 from .agl import glyph_to_unicode
 from .extra_enc import MAC_EXPERT, PDF_DOC
 from .symbol_enc import SYMBOL, ZAPF_DINGBATS
@@ -517,16 +517,28 @@ def _type1_builtin_map(fd: dict, r) -> dict[int, str] | None:
     fdesc = r(fd.get("FontDescriptor"))
     if not isinstance(fdesc, dict):
         return None
+    parsed = None
     ff = r(fdesc.get("FontFile"))
-    if not hasattr(ff, "decoded"):
-        return None
-    try:
-        data = ff.decoded(r)
-    except Exception:
-        return None
-    sd = getattr(ff, "dict", None) or {}
-    parsed = type1.parse_cleartext(
-        data, r(sd.get("Length1")), r(sd.get("Length2")))
+    if hasattr(ff, "decoded"):
+        try:
+            data = ff.decoded(r)
+        except Exception:
+            return None
+        sd = getattr(ff, "dict", None) or {}
+        parsed = type1.parse_cleartext(
+            data, r(sd.get("Length1")), r(sd.get("Length2")))
+    if parsed is None:
+        # FontFile3 /Type1C (bare CFF): a deliberate extension beyond
+        # reference parity — the reference rejects Type1C programs
+        # (model.go:4205 ErrType1CFontNotSupported) and degrades to
+        # Standard; reading the CFF's own Encoding/Charset only improves
+        # decoding (pdf/cff.py)
+        ff3 = r(fdesc.get("FontFile3"))
+        if hasattr(ff3, "decoded"):
+            try:
+                parsed = cff.parse_cff_builtin(ff3.decoded(r))
+            except Exception:
+                parsed = None
     if parsed is None:
         return None
     _name, enc = parsed
