@@ -64,21 +64,34 @@ def extracted_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ).alias("doc_id"),
         "text",
     )
-    spans_out = pipeline.run_extraction(pipeline.docs_pdf_from_text(named))
-    # reassemble: text spans in document order, whitespace-collapsed.
-    # Interpreted-HOF cost is per-doc over tiny span arrays — not the
-    # signature-math hot path (which stays on the numpy mapInPandas route).
-    joined = F.array_join(
-        F.transform(
-            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
-            lambda s: s["text"],
-        ),
-        " ",
-    )
-    extracted = spans_out.select(
-        F.substring("doc_id", 5, 8).cast("bigint").alias("doc_id"),
-        F.trim(F.regexp_replace(joined, r"\s+", " ")).alias("text"),
-    ).persist()
+    # FUSED render→extract→reassemble in ONE mapInPandas worker: as two
+    # chained MapInPandas nodes every rendered PDF (and its span structs)
+    # would cross Python→JVM→Python through Arrow once for nothing — the
+    # render here is only the synthetic source; a real corpus enters at
+    # the extraction stage, which stays the standalone pipeline.run_
+    # extraction. Still map-only: no payload shuffle at any scale.
+    def render_extract(batches):
+        import re
+
+        import pandas as pd
+
+        from ..fixtures.gen import make_text_doc
+        from ..pdf.extract import extract_spans
+
+        ws = re.compile(r"\s+")
+        for b in batches:
+            ids, texts = [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                _golden, pdf = make_text_doc(doc_id, text or "")
+                res = extract_spans(pdf)
+                joined = " ".join(
+                    s["text"] for s in res.spans if s["kind"] == "text")
+                ids.append(int(doc_id[4:]))
+                texts.append(ws.sub(" ", joined).strip())
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    extracted = named.mapInPandas(
+        render_extract, schema="doc_id bigint, text string").persist()
 
     # normalized dedup ON EXTRACTED TEXT (same normalization as
     # dedup_normalized: lowercase, strip punctuation, collapse whitespace)
