@@ -233,3 +233,50 @@ def test_streaming_minhash_candidates_across_batches(spark, tmp_path):
     for a, b in pairs:
         by_doc[b] = by_doc.get(b, 0) + 1
     assert all(v <= 8 * MAX_BUCKET for v in by_doc.values())
+
+
+def test_streaming_integrated_extract_dedup(spark, tmp_path):
+    """The integrated render→extract→reassemble→LSH path under Structured
+    Streaming: a re-formatted duplicate (same content, different doc_id ⇒
+    different paragraph layout) arriving in a LATER micro-batch pairs with
+    its original through per-bucket state — extraction and curation
+    working together on a stream."""
+    import pandas as pd
+
+    from unipdf_spark.operators.extracted import render_extract_reassemble
+    from unipdf_spark.streaming.ops import streaming_minhash_candidates
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 4
+    far = "totally unrelated corpus words nothing shared at all here " * 4
+    b1 = pd.DataFrame({"doc_id": ["doc_00000007", "doc_00000042"],
+                       "text": [base, far]})
+    b2 = pd.DataFrame({"doc_id": ["doc_01000007"], "text": [base]})
+    src = f"{tmp_path}/in"
+    spark.createDataFrame(b1).coalesce(1).write.json(f"{src}/batch=0")
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/batch=*")
+    )
+    from pyspark.sql import functions as F
+
+    extracted = render_extract_reassemble(stream).withColumn(
+        "doc_id", F.col("doc_id").cast("string"))  # LSH state keys strings
+    out = streaming_minhash_candidates(extracted)
+    q = (
+        out.writeStream.format("memory").queryName("intdedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2).coalesce(1).write.json(f"{src}/batch=1")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM intdedup_out").collect()
+    finally:
+        q.stop()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert ("1000007", "7") in pairs  # clone found ACROSS micro-batches
+    assert all("42" not in p for p in pairs)

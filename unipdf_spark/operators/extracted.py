@@ -52,24 +52,17 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(clones)
 
 
-def extracted_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents(+planted clones) → PDFs → span extraction → reassembled
-    text → normalized dedup groups + MinHash LSH candidate-partner counts,
-    all computed on the extracted text. Output per doc: (doc_id,
-    canonical_doc_id, group_size, n_candidates)."""
-    corpus = _corpus(spark, sf_dir)
-    named = corpus.select(
-        F.concat(F.lit("doc_"),
-                 F.lpad(F.col("doc_id").cast("string"), 8, "0")
-                 ).alias("doc_id"),
-        "text",
-    )
-    # FUSED render→extract→reassemble in ONE mapInPandas worker: as two
-    # chained MapInPandas nodes every rendered PDF (and its span structs)
-    # would cross Python→JVM→Python through Arrow once for nothing — the
-    # render here is only the synthetic source; a real corpus enters at
-    # the extraction stage, which stays the standalone pipeline.run_
-    # extraction. Still map-only: no payload shuffle at any scale.
+def render_extract_reassemble(named: DataFrame) -> DataFrame:
+    """(doc_id 'doc_NNNNNNNN', text) → (doc_id bigint, text) where the
+    output text made a full render→span-extraction→reassembly trip
+    through the PDF engine. FUSED into ONE mapInPandas worker: as two
+    chained MapInPandas nodes every rendered PDF (and its span structs)
+    would cross Python→JVM→Python through Arrow once for nothing — the
+    render here is only the synthetic source; a real corpus enters at the
+    extraction stage, which stays the standalone pipeline.run_extraction.
+    Map-only (no payload shuffle) and streaming-capable (mapInPandas binds
+    to micro-batches unchanged — see the streaming integrated-path test)."""
+
     def render_extract(batches):
         import re
 
@@ -90,8 +83,23 @@ def extracted_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 texts.append(ws.sub(" ", joined).strip())
             yield pd.DataFrame({"doc_id": ids, "text": texts})
 
-    extracted = named.mapInPandas(
-        render_extract, schema="doc_id bigint, text string").persist()
+    return named.mapInPandas(
+        render_extract, schema="doc_id bigint, text string")
+
+
+def extracted_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(+planted clones) → PDFs → span extraction → reassembled
+    text → normalized dedup groups + MinHash LSH candidate-partner counts,
+    all computed on the extracted text. Output per doc: (doc_id,
+    canonical_doc_id, group_size, n_candidates)."""
+    corpus = _corpus(spark, sf_dir)
+    named = corpus.select(
+        F.concat(F.lit("doc_"),
+                 F.lpad(F.col("doc_id").cast("string"), 8, "0")
+                 ).alias("doc_id"),
+        "text",
+    )
+    extracted = render_extract_reassemble(named).persist()
 
     # normalized dedup ON EXTRACTED TEXT (same normalization as
     # dedup_normalized: lowercase, strip punctuation, collapse whitespace)
