@@ -561,5 +561,5 @@ def test_extracted_text_dedup_end_to_end(spark):
     )
     oracle = con.execute(extracted.EXTRACTED_DEDUP_SQL).fetchall()
     spark_set = {(r["doc_id"], r["canonical_doc_id"], r["group_size"],
-                  r["n_candidates"]) for r in out}
+                  r["n_tokens"], r["n_candidates"]) for r in out}
     assert spark_set == {tuple(r) for r in oracle}

@@ -91,7 +91,7 @@ def extracted_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(+planted clones) → PDFs → span extraction → reassembled
     text → normalized dedup groups + MinHash LSH candidate-partner counts,
     all computed on the extracted text. Output per doc: (doc_id,
-    canonical_doc_id, group_size, n_candidates)."""
+    canonical_doc_id, group_size, n_tokens, n_candidates)."""
     corpus = _corpus(spark, sf_dir)
     named = corpus.select(
         F.concat(F.lit("doc_"),
@@ -109,13 +109,20 @@ def extracted_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"\s+", " ",
         )
     )
-    h = extracted.select("doc_id", F.md5(norm).alias("norm_hash"))
+    # token stats on the extracted text (already single-space collapsed):
+    # the count must equal DuckDB's over the ORIGINAL text — an extra
+    # per-doc integrity column beyond the dedup hash
+    h = extracted.select(
+        "doc_id", F.md5(norm).alias("norm_hash"),
+        F.size(F.filter(F.split("text", r"\s+"),
+                        lambda x: x != "")).cast("long").alias("n_tokens"),
+    )
     groups = h.groupBy("norm_hash").agg(
         F.min("doc_id").alias("canonical_doc_id"),
         F.count(F.lit(1)).alias("group_size"),
     )
     dd = h.join(groups, "norm_hash").select(
-        "doc_id", "canonical_doc_id", "group_size")
+        "doc_id", "canonical_doc_id", "group_size", "n_tokens")
 
     # MinHash LSH candidate partners ON EXTRACTED TEXT: count-gated
     # buckets (skew armor, same [2, MAX_BUCKET] gate as minhash_lsh_pairs)
@@ -143,7 +150,7 @@ def extracted_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_candidates"))
     )
     return dd.join(partners, "doc_id", "left").select(
-        "doc_id", "canonical_doc_id", "group_size",
+        "doc_id", "canonical_doc_id", "group_size", "n_tokens",
         F.coalesce("n_candidates", F.lit(0)).cast("long")
         .alias("n_candidates"),
     )
@@ -193,13 +200,15 @@ h AS (
     SELECT doc_id,
            MD5(TRIM(REGEXP_REPLACE(
                LOWER(REGEXP_REPLACE(text, '[^A-Za-z0-9\\s]', ' ', 'g')),
-               '\\s+', ' ', 'g'))) AS norm_hash
+               '\\s+', ' ', 'g'))) AS norm_hash,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
     FROM corpus
 ),
 g AS (SELECT norm_hash, MIN(doc_id) AS canonical_doc_id,
              COUNT(*) AS group_size
       FROM h GROUP BY norm_hash)
-SELECT h.doc_id, g.canonical_doc_id, g.group_size,
+SELECT h.doc_id, g.canonical_doc_id, g.group_size, h.n_tokens,
        CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates
 FROM h JOIN g USING (norm_hash)
 LEFT JOIN partners p ON p.doc_id = h.doc_id
