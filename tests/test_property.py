@@ -126,3 +126,37 @@ def test_arabic_bidi_roundtrip_property(words):
         assert s["offset"] == cum
         if s["kind"] == "text":
             cum += len(s["text"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+    min_size=0, max_size=600,
+))
+def test_external_text_reassembly_property(text):
+    """The invariant the extracted_text_dedup oracle rests on, generalized
+    to ARBITRARY text: render via make_text_doc, extract, reassemble the
+    text spans — the token sequence must equal the sanitized original's
+    (non-printables → space, >40-char tokens hard-split, empty → 'empty'),
+    exactly the transform a SQL oracle can mirror."""
+    import re
+
+    from unipdf_spark.fixtures.gen import make_text_doc
+
+    golden, pdf = make_text_doc("doc_prop_ext", text)
+    res = extract_spans(pdf)
+    assert res.error is None
+    assert res.spans == golden
+    joined = " ".join(s["text"] for s in res.spans if s["kind"] == "text")
+    got = [t for t in re.split(r"\s+", joined) if t]
+    clean = "".join(ch if 32 <= ord(ch) <= 126 else " " for ch in text)
+    want = []
+    for w in clean.split():
+        while len(w) > 40:
+            want.append(w[:40])
+            w = w[40:]
+        if w:
+            want.append(w)
+    if not want:
+        want = ["empty"]
+    assert got == want
