@@ -176,6 +176,17 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"{m['x1']:.1f},{m['y1']:.1f}",
                         m["line_offset"],
                     ))
+                for i, sp in enumerate(prof["strokes"]):
+                    # ExtractStrokePaths analog rows: color + point count +
+                    # 0.1pt-quantized first point (stable rows-only hash)
+                    r_, g_, b_ = sp["color"]
+                    px, py = sp["points"][0] if sp["points"] else (0.0, 0.0)
+                    rows.append((
+                        doc_id, sp["page"], "stroke_path",
+                        f"{r_:.2f},{g_:.2f},{b_:.2f}|n={len(sp['points'])}"
+                        f"|{px:.1f},{py:.1f}",
+                        i,
+                    ))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "page", "kind", "name", "value"]
             )
@@ -237,6 +248,28 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = pipeline.gen_docs_pdf(
         spark, 16, mix=[("interleaved", 1)]
     ).select("doc_id", "pdf_bytes").mapInPandas(img_batch, out_schema)
+
+    def area_batch(batches):
+        # ApplyArea analog (e:886): left-half-page extraction char count
+        from unipdf_spark.pdf.extract import extract_spans
+
+        for b in batches:
+            rows = []
+            for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
+                full = extract_spans(bytes(pdf_bytes))
+                half = extract_spans(bytes(pdf_bytes),
+                                     area=(0.0, 0.0, 306.0, 792.0))
+                rows.append((doc_id, -1, "area_chars", "left_half",
+                             sum(len(s["text"]) for s in half.spans)))
+                rows.append((doc_id, -1, "full_chars", "",
+                             sum(len(s["text"]) for s in full.spans)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "kind", "name", "value"]
+            )
+
+    areas = pipeline.gen_docs_pdf(
+        spark, 8, mix=[("multicolumn", 1)]
+    ).select("doc_id", "pdf_bytes").mapInPandas(area_batch, out_schema)
     media = mm.media_table_from_fixtures(spark, n_docs=24)
     feats = mm.extract_features(media).select(
         "doc_id", F.lit(-1).alias("page"), F.lit("media_feat").alias("kind"),
@@ -244,7 +277,7 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         inv.unionByName(vis).unionByName(lst).unionByName(feats)
-        .unionByName(imgs)
+        .unionByName(imgs).unionByName(areas)
         .orderBy("doc_id", "page", "kind", "name", "value")
     )
 

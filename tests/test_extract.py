@@ -918,3 +918,44 @@ def test_embedded_font_program_corruption_relaxed():
             b[k] ^= 0x5A
         res = extract_spans(bytes(b))
         assert res.spans is not None
+
+
+def test_extract_stroke_paths_planted():
+    """ExtractStrokePaths analog: stroked paths report their stroke color
+    and exact page-space points; fill-only paints are excluded."""
+    from unipdf_spark.pdf.extract import extract_stroke_paths
+
+    content = (b"0.9 0.1 0.2 RG 2 w\n"
+               b"100 200 m 300 200 l 300 400 l S\n"
+               b"50 50 120 30 re S\n"
+               b"0 0 1 rg 10 10 20 20 re f\n")
+    pdf = _mini_pdf(content)
+    paths = extract_stroke_paths(pdf)
+    assert len(paths) == 2  # the filled rect is NOT a stroke path
+    a, b = paths
+    assert a["page"] == 0
+    assert a["color"] == (0.9, 0.1, 0.2)
+    assert a["points"] == [(100.0, 200.0), (300.0, 200.0), (300.0, 400.0)]
+    assert b["color"] == (0.9, 0.1, 0.2)
+    assert b["points"] == [(50.0, 50.0), (170.0, 50.0), (170.0, 80.0),
+                           (50.0, 80.0), (50.0, 50.0)]
+
+
+def test_extract_spans_apply_area():
+    """ApplyArea analog (e:886): an area restriction keeps only the marks
+    whose boxes intersect it and rebuilds the span stream the same way."""
+    content = (b"BT /F1 12 Tf 72 700 Td (left side text) Tj ET\n"
+               b"BT /F1 12 Tf 400 700 Td (right side text) Tj ET\n")
+    pdf = _mini_pdf(content)
+    full = extract_spans(pdf)
+    assert "left side text" in full.spans[0]["text"]
+    assert "right side text" in "".join(s["text"] for s in full.spans)
+    left = extract_spans(pdf, area=(0.0, 0.0, 300.0, 792.0))
+    ltext = "".join(s["text"] for s in left.spans)
+    assert "left side text" in ltext and "right" not in ltext
+    right = extract_spans(pdf, area=(350.0, 600.0, 612.0, 792.0))
+    rtext = "".join(s["text"] for s in right.spans)
+    assert "right side text" in rtext and "left" not in rtext
+    empty = extract_spans(pdf, area=(0.0, 0.0, 10.0, 10.0))
+    assert empty.spans == [] or all(
+        not s["text"].strip() for s in empty.spans)

@@ -207,14 +207,18 @@ class ParaPlan:
 
 @dataclass
 class RulePlan:
-    """Painted rule (thin filled rect) — no golden span; blocks paragraph
-    merges and feeds grid-table detection."""
+    """Painted rule — no golden span; blocks paragraph merges and feeds
+    grid-table detection. ``stroked`` renders it as a stroked segment
+    (m/l + S at the midline) instead of a thin filled rect: same ruling
+    midline either way, but only the stroked form appears in the
+    ExtractStrokePaths output."""
 
     x: float
     y: float
     w: float
     h: float = 1.0
     page: int = 0
+    stroked: bool = False
 
 
 @dataclass
@@ -761,7 +765,13 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         # clear band between A's baseline (va) and B's glyph-box top
         # (vb + fs = va - 8): place the rule mid-band
         rule_y = va_last - 4.5
-        plan.blocks.append(RulePlan(x=MARGIN, y=rule_y, w=width))
+        plan.blocks.append(RulePlan(x=MARGIN, y=rule_y, w=width,
+                                    stroked=rng.random() < 0.5))
+        # page-bottom decorative stroked rule (below all text, layout-
+        # neutral): guarantees every rules doc exercises the stroked-path
+        # surface (ExtractStrokePaths rows in doc_inventory)
+        plan.blocks.append(RulePlan(x=MARGIN, y=60.0, w=width / 3,
+                                    stroked=True))
         vb = va_last - 20.0  # next baseline, 20pt pitch
         pb_words = [rng.choice(WORDS) for _ in range(rng.randint(4, 7))]
         lines_b = _wrap(pb_words, FS, width, 0.0, 1.0, cid=False)
@@ -1811,8 +1821,20 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
             )
             offset += len(t)
         elif isinstance(block, RulePlan):
-            page_content[block.page] += b"%g %g %g %g re f\n" % (
-                block.x, block.y, block.w, block.h)
+            if block.stroked:
+                if block.w >= block.h:  # horizontal
+                    ym = block.y + block.h / 2
+                    page_content[block.page] += (
+                        b"%g w 0.25 G %g %g m %g %g l S 0 G\n"
+                        % (block.h, block.x, ym, block.x + block.w, ym))
+                else:
+                    xm = block.x + block.w / 2
+                    page_content[block.page] += (
+                        b"%g w 0.25 G %g %g m %g %g l S 0 G\n"
+                        % (block.w, xm, block.y, xm, block.y + block.h))
+            else:
+                page_content[block.page] += b"%g %g %g %g re f\n" % (
+                    block.x, block.y, block.w, block.h)
             continue
         else:  # ImagePlan
             if block.inline:

@@ -87,8 +87,14 @@ def _struct_tree_actual_text(
     return out
 
 
-def extract_spans(pdf_bytes: bytes, dehyphenate: bool = True) -> ExtractResult:
+def extract_spans(pdf_bytes: bytes, dehyphenate: bool = True,
+                  area: tuple[float, float, float, float] | None = None
+                  ) -> ExtractResult:
     """Extract the interleaved span sequence from a (possibly multi-page) PDF.
+
+    ``area`` (x0, y0, x1, y1, page space) restricts extraction to marks and
+    media whose boxes intersect it — the reference's ``ApplyArea`` (e:886)
+    reduces the page's marks to an area and rebuilds the text the same way.
 
     Relaxed-mode philosophy (core ParserOpts core/core.go:389): per-document
     errors are reported in the result, never raised — at corpus scale one bad
@@ -112,7 +118,19 @@ def extract_spans(pdf_bytes: bytes, dehyphenate: bool = True) -> ExtractResult:
             }
             interp = Interpreter(doc, page, mcid_actual_text=page_at)
             interp.run()
-            spans = assemble_spans(interp.marks, interp.media, dehyphenate,
+            marks, media = interp.marks, interp.media
+            if area is not None:
+                ax0, ay0, ax1, ay1 = area
+
+                def _hits(x0, y0, x1, y1):
+                    return x0 <= ax1 and ax0 <= x1 and y0 <= ay1 and ay0 <= y1
+
+                marks = [m for m in marks
+                         if _hits(m.x0, m.y0, m.x1, m.y1)]
+                media = [m for m in media
+                         if _hits(min(m.x, m.x1), min(m.y, m.y1),
+                                  max(m.x, m.x1), max(m.y, m.y1))]
+            spans = assemble_spans(marks, media, dehyphenate,
                                    rulings=interp.rulings)
             for s in spans:
                 s["offset"] += offset_base
@@ -194,6 +212,8 @@ def extract_document_profile(pdf_bytes: bytes,
     - ``placements``: placed image boxes (ExtractPageImages ImageMark,
       e:345 — unit square under the CTM at paint time),
     - ``term_boxes``: positional term matches (Editor.Search/Match, e:82),
+    - ``strokes``: stroked paths with color + page-space points
+      (ExtractStrokePaths, e:758 family),
     - ``n_chars``/``n_invisible``: invisible-text statistics (render mode
       3 / white fill, e:1018).
 
@@ -201,12 +221,16 @@ def extract_document_profile(pdf_bytes: bytes,
     pages_out: list[dict] = []
     placements: list[dict] = []
     term_boxes: list[dict] = []
+    strokes: list[dict] = []
     n_chars = n_invisible = 0
     try:
         doc = PdfDocument(pdf_bytes, relaxed=True)
         for page_idx, page in enumerate(doc.pages()):
             interp = Interpreter(doc, page)
             interp.run()
+            for rgb, points in interp.stroke_paths:
+                strokes.append({"page": page_idx, "color": rgb,
+                                "points": points})
             pages_out.append({
                 "page": page_idx,
                 "fonts": sorted(interp.fonts_used),
@@ -228,10 +252,18 @@ def extract_document_profile(pdf_bytes: bytes,
                     _term_boxes_for_page(interp.marks, terms, page_idx))
     except Exception:  # noqa: BLE001 — relaxed mode boundary
         return {"pages": [], "placements": [], "term_boxes": [],
-                "n_chars": 0, "n_invisible": 0}
+                "strokes": [], "n_chars": 0, "n_invisible": 0}
     return {"pages": pages_out, "placements": placements,
-            "term_boxes": term_boxes,
+            "term_boxes": term_boxes, "strokes": strokes,
             "n_chars": n_chars, "n_invisible": n_invisible}
+
+
+def extract_stroke_paths(pdf_bytes: bytes) -> list[dict]:
+    """``ExtractStrokePaths`` analog (reference: Extractor.
+    ExtractStrokePaths — per stroked path its Color and the concatenated
+    page-space subpath points) — thin wrapper over
+    :func:`extract_document_profile`."""
+    return extract_document_profile(pdf_bytes)["strokes"]
 
 
 def extract_image_placements(pdf_bytes: bytes) -> list[dict]:

@@ -159,6 +159,9 @@ class Interpreter:
         self.marks: list[TextMark] = []
         self.media: list[MediaMark] = []
         self.rulings: list[Ruling] = []
+        # ExtractStrokePaths analog (e:758 family): every stroked path's
+        # page-space points + stroke color, in paint order
+        self.stroke_paths: list[tuple[tuple, list[tuple[float, float]]]] = []
         self._path_pts: list[tuple[float, float]] = []
         self._path_rects: list[tuple[float, float, float, float]] = []
         self.n_misses = 0
@@ -417,7 +420,11 @@ class Interpreter:
                     ys = [q[1] for q in pts]
                     self._path_rects.append((min(xs), min(ys), max(xs), max(ys)))
                 elif o in ("S", "s", "f", "F", "f*", "B", "B*", "b", "b*"):
-                    self._flush_path(paint=True)
+                    self._flush_path(
+                        paint=True,
+                        stroke_rgb=(gs.stroke_rgb
+                                    if o in ("S", "s", "B", "B*", "b", "b*")
+                                    else None))
                 elif o == "n":
                     self._flush_path(paint=False)
                 elif o == "BMC":
@@ -434,10 +441,20 @@ class Interpreter:
                 # relaxed mode: log-and-continue philosophy (c:575)
                 continue
 
-    def _flush_path(self, paint: bool) -> None:
+    def _flush_path(self, paint: bool, stroke_rgb: tuple | None = None
+                    ) -> None:
         """Painted thin rects / axis-aligned segments become rulings
-        (derivation from stroke/fill paths, getParagraphs e:235)."""
+        (derivation from stroke/fill paths, getParagraphs e:235); stroked
+        paths additionally record (color, flattened page-space points) —
+        the ExtractStrokePaths output (reference collects per-path Color +
+        concatenated subpath points)."""
         if paint:
+            if stroke_rgb is not None and (self._path_pts or self._path_rects):
+                points = list(self._path_pts)
+                for x0, y0, x1, y1 in self._path_rects:
+                    points.extend([(x0, y0), (x1, y0), (x1, y1), (x0, y1),
+                                   (x0, y0)])
+                self.stroke_paths.append((stroke_rgb, points))
             for x0, y0, x1, y1 in self._path_rects:
                 w_, h_ = x1 - x0, y1 - y0
                 if h_ <= RULING_THICKNESS and w_ >= RULING_MIN_LEN:
