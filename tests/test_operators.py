@@ -563,3 +563,65 @@ def test_extracted_text_dedup_end_to_end(spark):
     spark_set = {(r["doc_id"], r["canonical_doc_id"], r["group_size"],
                   r["n_tokens"], r["n_candidates"]) for r in out}
     assert spark_set == {tuple(r) for r in oracle}
+
+
+def test_html_main_content_end_to_end(spark):
+    """HTML leg of the main-content pipeline: boilerplate-laden wrap →
+    DOM-heuristic strip must recover exactly the article text (oracle
+    parity vs the original), and a NAIVE strip-all-tags extractor must
+    FAIL on the same pages (the boilerplate is real, not decorative)."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from unipdf_spark.fixtures.gen import make_html_doc
+    from unipdf_spark.html_extract import main_content, text_blocks
+    from unipdf_spark.operators.htmlops import (
+        HTML_MAIN_SQL, html_main_content)
+
+    out = {r["doc_id"]: r for r in html_main_content(spark, SF).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    oracle = con.execute(HTML_MAIN_SQL).fetchall()
+    assert len(oracle) == len(out)
+    for doc_id, main_hash, main_chars, n_tokens in oracle:
+        r = out[doc_id]
+        assert (r["main_hash"], r["main_chars"], r["n_tokens"]) == (
+            main_hash, main_chars, n_tokens), doc_id
+
+    # naive extractor control: dropping only script/style and stripping
+    # tags keeps nav/sidebar/footer words — hash ≠ oracle
+    row = con.execute(
+        "SELECT doc_id, text FROM documents LIMIT 1").fetchone()
+    html = make_html_doc(f"doc_{row[0]:08d}", row[1])
+    naive = " ".join(t for t, _ld in text_blocks(html))
+    naive = re.sub(r"\s+", " ", naive).strip()
+    want = re.sub(r"\s+", " ", row[1]).strip()
+    assert naive != want
+    assert hashlib.md5(naive.encode()).hexdigest() != out[row[0]]["main_hash"]
+    # and the real extractor matches on the same page
+    got = re.sub(r"\s+", " ", main_content(html)).strip()
+    assert got == want
+
+
+def test_html_block_segmenter_features():
+    """Unit: link density and block segmentation on a hand-built page."""
+    from unipdf_spark.html_extract import main_content, text_blocks
+
+    html = ("<html><head><title>T</title><script>x()</script></head><body>"
+            "<nav><ul><li><a href='/'>home</a></li>"
+            "<li><a href='/b'>blog</a></li></ul></nav>"
+            "<p>this paragraph is long enough to be kept as body prose "
+            "with a <a href='/x'>single</a> inline link inside it</p>"
+            "<footer><a href='/t'>terms</a></footer></body></html>")
+    blocks = dict((t, ld) for t, ld in text_blocks(html))
+    assert "T" in blocks and "x()" not in " ".join(blocks)
+    nav = [ld for t, ld in blocks.items() if t in ("home", "blog")]
+    assert nav and all(ld == 1.0 for ld in nav)
+    main = main_content(html)
+    assert main.startswith("this paragraph") and "home" not in main
+    assert "terms" not in main

@@ -2341,6 +2341,84 @@ def make_text_doc(doc_id: str, text: str, seed: int = 42
     return golden, pdf
 
 
+BOILER_WORDS = ("home products pricing blog careers about contact login "
+                "signup privacy terms sitemap help docs api status press "
+                "categories archive tags related trending popular featured"
+                ).split()
+
+
+def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
+    """Wrap a document's text in a realistic boilerplate-laden HTML page
+    (deterministic per (seed, doc_id)): head with title/style/script, a
+    nav of links, breadcrumbs, a link-farm sidebar, the article split into
+    <p> paragraphs (some words wrapped in inline <b>/<i>/<a> markup —
+    link density stays low), a related-links list, and a footer. A naive
+    strip-all-tags extractor would keep the navigation/sidebar/footer
+    text; only the density heuristics recover exactly the article."""
+    import html as _html
+
+    rng = random.Random(f"{seed}:{doc_id}:html")
+    words = text.split()
+    paras: list[list[str]] = []
+    i = 0
+    while i < len(words):
+        take = rng.randint(30, 60)
+        paras.append(words[i:i + take])
+        i += take
+    if not paras:
+        paras = [["empty"]]
+    if len(paras) > 1 and len(" ".join(paras[-1])) < 30:
+        tail = paras.pop()
+        paras[-1].extend(tail)  # tail too short to survive the length gate
+
+    def links(n: int) -> str:
+        return " ".join(
+            f'<li><a href="/{w}">{w}</a></li>'
+            for w in (rng.choice(BOILER_WORDS) for _ in range(n)))
+
+    body_paras = []
+    for p in paras:
+        esc = [_html.escape(w) for w in p]
+        # inline markup on a few words; at most ~8% linked chars
+        n_marks = max(1, len(esc) // 12)
+        for _ in range(n_marks):
+            k = rng.randrange(len(esc))
+            tag = rng.choice(["b", "i", "em"])
+            esc[k] = f"<{tag}>{esc[k]}</{tag}>"
+        if rng.random() < 0.5 and len(esc) >= 20:
+            k = rng.randrange(len(esc))
+            esc[k] = f'<a href="/x">{esc[k]}</a>'
+        body_paras.append("  <p>\n    " + " ".join(esc) + "\n  </p>")
+    ad = " ".join(rng.choice(BOILER_WORDS) for _ in range(2))
+    return f"""<!DOCTYPE html>
+<html>
+<head>
+  <title>Doc {doc_id[-6:]}</title>
+  <style>body {{ margin: 0; }} .x {{ color: red }}</style>
+  <script>var t = "{rng.randrange(10 ** 6)}"; track(t);</script>
+</head>
+<body>
+<header>
+  <nav><ul>{links(rng.randint(5, 9))}</ul></nav>
+  <div class="crumbs"><a href="/">Home</a> &gt; <a href="/c">{
+        rng.choice(BOILER_WORDS)}</a></div>
+</header>
+<aside class="sidebar">
+  <h3>Links</h3>
+  <ul>{links(rng.randint(4, 8))}</ul>
+  <div class="ad">{ad}</div>
+</aside>
+<article>
+{chr(10).join(body_paras)}
+</article>
+<section class="related"><ul>{links(rng.randint(3, 6))}</ul></section>
+<footer>&copy; 2026 Fixture — <a href="/t">terms</a>
+  <a href="/p">privacy</a></footer>
+</body>
+</html>
+"""
+
+
 DEFAULT_MIX = [
     ("simple", 26), ("kerned", 12), ("multicolumn", 12), ("rotated", 8),
     ("cid", 10), ("interleaved", 12), ("form_xobject", 6), ("hyphenated", 5),

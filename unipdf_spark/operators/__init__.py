@@ -6,18 +6,18 @@ column names/values). Aggregates are rounded on BOTH sides to keep the
 driver's value-hash stable across engines' float summation orders.
 """
 
-from . import dedup, extracted, similarity, textops, tpch  # noqa: F401
+from . import dedup, extracted, htmlops, similarity, textops, tpch  # noqa: F401
 
 
 def all_queries():
     out = {}
-    for m in (tpch, textops, dedup, similarity, extracted):
+    for m in (tpch, textops, dedup, similarity, extracted, htmlops):
         out.update(m.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for m in (tpch, textops, dedup, similarity, extracted):
+    for m in (tpch, textops, dedup, similarity, extracted, htmlops):
         out.update(m.ORACLES)
     return out

@@ -1,0 +1,82 @@
+"""HTML main-content pipeline: wrap → DOM-heuristic strip → verify.
+
+The HTML leg of the north rule's main-content extraction ("HTML
+boilerplate strip, PDF/layout parse, DOM heuristics"): each document's
+text is wrapped in a deterministic boilerplate-laden page (nav,
+breadcrumbs, link-farm sidebar, ad, related links, footer, script/style
+— fixtures.gen.make_html_doc, seeded per doc_id), then the engine's
+block-segmenting extractor (html_extract: link-density + block-length
+features over the DOM walk) must recover EXACTLY the article text. The
+DuckDB oracle computes the expected hash straight from documents.text,
+so any boilerplate leaking through (or content dropped) breaks the value
+hash — the same end-to-end oracle shape as the PDF render trip
+(operators.extracted).
+
+Scale shape: one map-only mapInPandas stage (wrap + parse + classify in
+a single worker, no shuffle); the output is per-doc scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import phash
+
+
+def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → boilerplate-wrapped HTML → main-content extraction →
+    (doc_id, main_hash, main_chars, n_tokens) of the EXTRACTED text."""
+    docs = phash.spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+    ).select(
+        F.concat(F.lit("doc_"),
+                 F.lpad(F.col("doc_id").cast("string"), 8, "0")
+                 ).alias("doc_id"),
+        "text",
+    )
+
+    def batches(pdfs):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        from ..fixtures.gen import make_html_doc
+        from ..html_extract import main_content
+
+        ws = re.compile(r"\s+")
+        for b in pdfs:
+            ids, hashes, chars, toks = [], [], [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                html = make_html_doc(doc_id, text or "")
+                main = ws.sub(" ", main_content(html)).strip()
+                ids.append(int(doc_id[4:]))
+                hashes.append(hashlib.md5(main.encode()).hexdigest())
+                chars.append(len(main))
+                toks.append(len([t for t in main.split(" ") if t]))
+            yield pd.DataFrame({
+                "doc_id": ids, "main_hash": hashes,
+                "main_chars": chars, "n_tokens": toks,
+            })
+
+    return docs.mapInPandas(
+        batches,
+        schema="doc_id bigint, main_hash string, main_chars bigint, "
+               "n_tokens bigint",
+    )
+
+
+# expected values straight from the ORIGINAL text: the wrap+strip trip
+# must be the identity on the whitespace-collapsed article
+HTML_MAIN_SQL = r"""
+SELECT doc_id,
+       MD5(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS main_hash,
+       CAST(LENGTH(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS BIGINT)
+           AS main_chars,
+       CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+QUERIES = {"html_main_content": html_main_content}
+ORACLES = {"html_main_content": HTML_MAIN_SQL}

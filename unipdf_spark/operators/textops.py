@@ -273,6 +273,34 @@ FROM g GROUP BY group_size ORDER BY group_size
 """
 
 
+def corpus_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length + duplicate-cluster histograms in ONE long-format frame
+    (kind, bucket, n) — consolidation of the former length_histogram and
+    dedup_cluster_sizes queries (r6: freed a 50-cap slot for the HTML
+    main-content pipeline; both histograms unchanged, just stacked)."""
+    lh = length_histogram(spark, sf_dir).select(
+        F.lit("length").alias("kind"),
+        F.col("bucket_lo").cast("long").alias("bucket"),
+        F.col("n_docs").alias("n"),
+    )
+    dc = dedup_cluster_sizes(spark, sf_dir).select(
+        F.lit("dup_cluster").alias("kind"),
+        F.col("group_size").cast("long").alias("bucket"),
+        F.col("n_groups").alias("n"),
+    )
+    return lh.unionByName(dc)
+
+
+CORPUS_HISTOGRAMS_SQL = rf"""
+SELECT 'length' AS kind, bucket_lo AS bucket, n_docs AS n
+FROM ({LENGTH_HIST_SQL})
+UNION ALL
+SELECT 'dup_cluster' AS kind, CAST(group_size AS BIGINT) AS bucket,
+       n_groups AS n
+FROM ({DEDUP_CLUSTERS_SQL})
+"""
+
+
 def corpus_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship composite cleanup: per doc, the keep/drop verdict a
     pre-training pipeline applies — exact-dup canonicalization + length gate
@@ -387,8 +415,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "term_search": term_search,
     "top_bigrams": top_bigrams,
-    "length_histogram": length_histogram,
-    "dedup_cluster_sizes": dedup_cluster_sizes,
+    "corpus_histograms": corpus_histograms,
     "corpus_cleanup": corpus_cleanup,
 }
 
@@ -399,7 +426,6 @@ ORACLES = {
     "doc_fingerprints": FINGERPRINT_SQL,
     "term_search": TERM_SEARCH_SQL,
     "top_bigrams": TOP_BIGRAMS_SQL,
-    "length_histogram": LENGTH_HIST_SQL,
-    "dedup_cluster_sizes": DEDUP_CLUSTERS_SQL,
+    "corpus_histograms": CORPUS_HISTOGRAMS_SQL,
     "corpus_cleanup": CORPUS_CLEANUP_SQL,
 }
