@@ -83,8 +83,9 @@ def main() -> None:
         "token_counts", "quality_scores", "doc_fingerprints", "dedup_exact",
         "minhash_lsh_pairs", "simhash_fingerprints", "ann_bruteforce_topk",
         "embedding_near_dup_pairs",
-        # r6: the integrated render→extract→reassemble→dedup pipeline
-        "extracted_text_dedup",
+        # r6: the integrated render→extract→reassemble→dedup pipeline and
+        # the HTML boilerplate-strip leg
+        "extracted_text_dedup", "html_main_content",
     ]
     # Per-query timing = steady-state (best of 2 back-to-back runs). The
     # first run of a plan shape pays one-time janino/JIT expression
