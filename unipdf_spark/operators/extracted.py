@@ -109,13 +109,17 @@ def extracted_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"\s+", " ",
         )
     )
-    # token stats on the extracted text (already single-space collapsed):
-    # the count must equal DuckDB's over the ORIGINAL text — an extra
-    # per-doc integrity column beyond the dedup hash
+    # token stats on the extracted text: the count must equal DuckDB's
+    # over the ORIGINAL text — an extra per-doc integrity column beyond
+    # the dedup hash. The reassembled text is single-space collapsed with
+    # no edge spaces, so size(split(' ')) IS the token count — no
+    # interpreted filter() HOF (Catalyst HOF lambdas never codegen; the
+    # first form of this column cost +2 s on the sf0.1 suite)
+    n_tokens = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.size(F.split("text", " ", -1))).cast("long")
     h = extracted.select(
         "doc_id", F.md5(norm).alias("norm_hash"),
-        F.size(F.filter(F.split("text", r"\s+"),
-                        lambda x: x != "")).cast("long").alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
     )
     groups = h.groupBy("norm_hash").agg(
         F.min("doc_id").alias("canonical_doc_id"),
