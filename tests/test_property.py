@@ -160,3 +160,43 @@ def test_external_text_reassembly_property(text):
     if not want:
         want = ["empty"]
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    min_size=0, max_size=500,
+))
+def test_html_main_content_property(text):
+    """HTML leg invariant, generalized: wrap ANY text in the boilerplate
+    page, strip via the DOM heuristics — the whitespace-collapsed result
+    must equal the collapsed original, EXCEPT documents shorter than the
+    prose gate (MIN_BLOCK_CHARS), which correctly extract as empty (a
+    page with no body prose has no main content; the oracle stays
+    consistent because both sides hash the same value for real docs)."""
+    import re
+
+    from unipdf_spark.fixtures.gen import make_html_doc
+    from unipdf_spark.html_extract import MIN_BLOCK_CHARS, main_content
+
+    html = make_html_doc("doc_prop_html", text)
+    got = re.sub(r"\s+", " ", main_content(html)).strip()
+    want = re.sub(r"\s+", " ", text).strip()
+    if len(want) >= MIN_BLOCK_CHARS:
+        assert got == want
+    else:
+        assert got == ""
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_html_extractor_never_raises(data):
+    """Malformed HTML (arbitrary bytes decoded permissively) must never
+    crash the extractor — web corpora are full of broken markup."""
+    from unipdf_spark.html_extract import main_content
+
+    s = data.decode("latin-1")
+    out = main_content("<html><body>" + s)  # unclosed, mid-tag garbage
+    assert isinstance(out, str)
+    out2 = main_content(s)
+    assert isinstance(out2, str)
