@@ -270,6 +270,31 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     areas = pipeline.gen_docs_pdf(
         spark, 8, mix=[("multicolumn", 1)]
     ).select("doc_id", "pdf_bytes").mapInPandas(area_batch, out_schema)
+
+    def stroke_batch(batches):
+        # dedicated stroked-rules corpus so ExtractStrokePaths coverage is
+        # visible beyond the single rules doc in the default-mix floor
+        from unipdf_spark.pdf.extract import extract_stroke_paths
+
+        for b in batches:
+            rows = []
+            for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
+                for i, sp in enumerate(extract_stroke_paths(bytes(pdf_bytes))):
+                    r_, g_, b_ = sp["color"]
+                    px, py = sp["points"][0] if sp["points"] else (0.0, 0.0)
+                    rows.append((
+                        doc_id, sp["page"], "stroke_path",
+                        f"{r_:.2f},{g_:.2f},{b_:.2f}|n={len(sp['points'])}"
+                        f"|{px:.1f},{py:.1f}",
+                        i,
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "kind", "name", "value"]
+            )
+
+    strokes = pipeline.gen_docs_pdf(
+        spark, 10, mix=[("rules", 1)]
+    ).select("doc_id", "pdf_bytes").mapInPandas(stroke_batch, out_schema)
     media = mm.media_table_from_fixtures(spark, n_docs=24)
     feats = mm.extract_features(media).select(
         "doc_id", F.lit(-1).alias("page"), F.lit("media_feat").alias("kind"),
@@ -277,7 +302,7 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         inv.unionByName(vis).unionByName(lst).unionByName(feats)
-        .unionByName(imgs).unionByName(areas)
+        .unionByName(imgs).unionByName(areas).unionByName(strokes)
         .orderBy("doc_id", "page", "kind", "name", "value")
     )
 
