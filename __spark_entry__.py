@@ -137,8 +137,10 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageFonts/PageImages (e:536/:510), invisible-text counts (render mode
     3 / white fill, e:1018), struct-tree list items (e:495), real media
     features (64-dim block-mean + dHash from pixel decode), positional
-    term-search boxes (Editor.Search/Match analog, e:82), and placed
-    image boxes (ExtractPageImages analog, e:345)."""
+    term-search boxes with per-rune refinement (Editor.Search/Match
+    analog, e:82), placed image boxes (ExtractPageImages analog, e:345),
+    stroked-path records (ExtractStrokePaths analog), and area-restricted
+    extraction counts (ApplyArea analog, e:886)."""
     import pandas as pd
 
     from unipdf_spark.operators import multimodal as mm
