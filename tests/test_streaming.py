@@ -280,3 +280,55 @@ def test_streaming_integrated_extract_dedup(spark, tmp_path):
     pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
     assert ("1000007", "7") in pairs  # clone found ACROSS micro-batches
     assert all("42" not in p for p in pairs)
+
+
+def test_streaming_html_main_content(spark, tmp_path):
+    """The HTML boilerplate-strip worker binds to micro-batches unchanged:
+    wrapped pages arriving as a stream yield exactly the article text
+    hash per doc (same map-only stage as the batch query)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 2
+
+    def hbatches(pdfs):
+        from unipdf_spark.fixtures.gen import make_html_doc
+        from unipdf_spark.html_extract import main_content
+
+        ws = re.compile(r"\s+")
+        for b in pdfs:
+            ids, hashes = [], []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                main = ws.sub(" ", main_content(
+                    make_html_doc(doc_id, text))).strip()
+                ids.append(doc_id)
+                hashes.append(hashlib.md5(main.encode()).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "main_hash": hashes})
+
+    src = f"{tmp_path}/in"
+    b1 = pd.DataFrame({"doc_id": ["doc_00000001"], "text": [base]})
+    b2 = pd.DataFrame({"doc_id": ["doc_00000002"], "text": [base + "omega"]})
+    spark.createDataFrame(b1).coalesce(1).write.json(f"{src}/batch=0")
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1).json(f"{src}/batch=*")
+    )
+    out = stream.mapInPandas(hbatches, "doc_id string, main_hash string")
+    q = (out.writeStream.format("memory").queryName("htmlmain_out")
+         .outputMode("append")
+         .option("checkpointLocation", f"{tmp_path}/ckpt").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2).coalesce(1).write.json(f"{src}/batch=1")
+        q.processAllAvailable()
+        rows = {r["doc_id"]: r["main_hash"]
+                for r in spark.sql("SELECT * FROM htmlmain_out").collect()}
+    finally:
+        q.stop()
+    ws = re.compile(r"\s+")
+    for did, text in [("doc_00000001", base), ("doc_00000002", base + "omega")]:
+        want = hashlib.md5(ws.sub(" ", text).strip().encode()).hexdigest()
+        assert rows[did] == want
