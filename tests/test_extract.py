@@ -184,6 +184,33 @@ def test_page_inventory_fonts_and_images():
     assert sum(len(pg["images"]) for pg in inv) >= 1
 
 
+def test_document_profile_keeps_partial_pages_on_failure(monkeypatch):
+    """A doc failing on a LATER page keeps earlier pages' inventory rows
+    (relaxed-mode philosophy; r6 ADVICE — the r6 fused profile dropped
+    everything on mid-document failure)."""
+    from unipdf_spark.pdf import extract as ex
+
+    _, pdf = make_doc("prof_partial", "tagged_pg")  # two-page fixture
+    baseline = ex.extract_document_profile(pdf)
+    assert len(baseline["pages"]) == 2 and baseline["n_chars"] > 0
+
+    real_interp = ex.Interpreter
+    calls = {"n": 0}
+
+    class BoomOnSecondPage:
+        def __new__(cls, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise RuntimeError("page 2 interpreter blew up")
+            return real_interp(*a, **kw)
+
+    monkeypatch.setattr(ex, "Interpreter", BoomOnSecondPage)
+    prof = ex.extract_document_profile(pdf)
+    assert calls["n"] == 2  # the failure actually fired
+    assert prof["pages"] == baseline["pages"][:1]
+    assert 0 < prof["n_chars"] < baseline["n_chars"]
+
+
 def test_tagged_list_structured_api():
     from unipdf_spark.pdf.extract import extract_lists, extract_spans
 

@@ -1021,6 +1021,34 @@ def test_jbig2_symbol_id_runcode32_repeats_zero():
     assert list(table.lookup.keys()) == [(2, 0)]
 
 
+def test_jbig2_symbol_id_runcode32_no_prior_extends_zeros():
+    """Runcode 32 as the FIRST code: the reference's symbolIDCodeLengths
+    tolerates it (repeat value stays 0, the symbol counter still advances)
+    — the decode must extend with zeros, not fail (r6 ADVICE). A stream
+    [32(rep 3), 2] must yield lengths [0, 0, 0, 2]."""
+    from unipdf_spark.pdf.jbig2 import _BitsMSB, _symbol_id_codes
+
+    bits = []
+    for rc in range(35):
+        ln = {0: 1, 2: 2, 32: 2}.get(rc, 0)
+        bits.extend(int(b) for b in f"{ln:04b}")
+    bits.extend([1, 1, 0, 0])  # rc32 + 2 repeat bits (00 → 3 repeats)
+    bits.extend([1, 0])        # rc2 → literal length 2
+    data = bytearray()
+    acc = 0
+    for i, b in enumerate(bits):
+        acc = (acc << 1) | b
+        if i % 8 == 7:
+            data.append(acc)
+            acc = 0
+    if len(bits) % 8:
+        data.append(acc << (8 - len(bits) % 8))
+    table = _symbol_id_codes(_BitsMSB(bytes(data)), 4)
+    # only symbol 3 (length 2) gets a code; symbols 0-2 have length 0
+    assert list(table.lookup.values()) == [("n", 0, 3)]
+    assert list(table.lookup.keys()) == [(2, 0)]
+
+
 def test_jbig2_huffman_refinement_bmsize0_advances_by_consumption():
     """BMSIZE=0 GRR chunks are undelimited: the reader must advance by what
     the MQ decoder actually consumed, not jump to end-of-segment (which

@@ -217,7 +217,10 @@ def extract_document_profile(pdf_bytes: bytes,
     - ``n_chars``/``n_invisible``: invisible-text statistics (render mode
       3 / white fill, e:1018).
 
-    Relaxed per-document: errors yield an empty profile."""
+    Relaxed per-document: a mid-document failure keeps the pages already
+    profiled (consistent with the relaxed-mode philosophy — the replaced
+    extract_page_inventory/extract_text_visibility accumulated partial
+    per-page results the same way; r6 ADVICE)."""
     pages_out: list[dict] = []
     placements: list[dict] = []
     term_boxes: list[dict] = []
@@ -250,9 +253,8 @@ def extract_document_profile(pdf_bytes: bytes,
             if terms:
                 term_boxes.extend(
                     _term_boxes_for_page(interp.marks, terms, page_idx))
-    except Exception:  # noqa: BLE001 — relaxed mode boundary
-        return {"pages": [], "placements": [], "term_boxes": [],
-                "strokes": [], "n_chars": 0, "n_invisible": 0}
+    except Exception:  # noqa: BLE001 — relaxed mode boundary: fall
+        pass  # through with whatever pages completed before the failure
     return {"pages": pages_out, "placements": placements,
             "term_boxes": term_boxes, "strokes": strokes,
             "n_chars": n_chars, "n_invisible": n_invisible}

@@ -1107,10 +1107,11 @@ def _symbol_id_codes(br: "_BitsMSB", n_syms: int) -> "HuffTable":
             # after a literal 0 repeats the zero, not the last nonzero.
             prev = code
         elif code == 32:
+            # runcode 32 with NO prior literal: the reference's
+            # symbolIDCodeLengths tolerates it (repeat value stays 0, the
+            # symbol counter still advances) — extend with zeros instead
+            # of failing the whole decode (r6 ADVICE).
             rep = br.bits(2) + 3
-            if not lengths:
-                raise Jbig2Error(
-                    "runcode 32 (repeat previous) with no prior code")
             lengths.extend([prev] * rep)
         elif code == 33:
             lengths.extend([0] * (br.bits(3) + 3))

@@ -8,9 +8,11 @@ section's ``dup <code> /<glyph> put`` lines (reference: model.go
 ``fontFile.parseASCIIPart`` / ``getASCIISections`` / ``getEncodings``,
 regex set at model.go:3624–3626; wired into simple-font decoding by
 ``addEncoding`` at model.go:2146 — builtin used only when the font dict
-has no /Encoding at all). FontFile3 /Type1C (bare CFF) is intentionally
-NOT parsed: the reference rejects it (``ErrType1CFontNotSupported``,
-model.go:4205 ``newFontFileFromPdfObject``) — parity.
+has no /Encoding at all). FontFile3 /Type1C (bare CFF) takes a separate
+path: the reference rejects it (``ErrType1CFontNotSupported``,
+model.go:4205 ``newFontFileFromPdfObject``) but this engine parses the
+CFF charset/encoding as a documented extension beyond reference parity —
+see :mod:`unipdf_spark.pdf.cff` (wired at fonts.py `_type1_builtin_map`).
 """
 
 from __future__ import annotations
