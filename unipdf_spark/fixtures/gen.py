@@ -632,6 +632,7 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
                 cp.is_table_cell = True
                 plan.blocks.append(cp)
         plan.table_golden = "\n".join(" ".join(row) for row in cellw)
+        plan.table_cell_goldens = {0: [list(row) for row in cellw]}
         return plan
 
     if fixture_class == "gridtable":
@@ -686,6 +687,13 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
                 f"{hdr}\n{span_w} {body[0][0]} {body[0][1]}"
                 f"\n{body[1][0]} {body[1][1]}"
             )
+            # merged cells anchor at their top-left grid position; covered
+            # positions are empty (TableCell w,h>1 semantics, e:899)
+            plan.table_cell_goldens = {0: [
+                [hdr, "", ""],
+                [span_w, body[0][0], body[0][1]],
+                ["", body[1][0], body[1][1]],
+            ]}
             return plan
         # 2x2 ruled grid; cells hold single words; golden = one table span
         # serialized row-major ("c00 c01\nc10 c11")
@@ -710,6 +718,9 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         plan.table_golden = (
             f"{cellw[0]} {cellw[1]}\n{cellw[2]} {cellw[3]}"
         )
+        plan.table_cell_goldens = {
+            0: [[cellw[0], cellw[1]], [cellw[2], cellw[3]]]
+        }
         return plan
 
     if fixture_class == "twotables":
@@ -750,6 +761,10 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         plan.table_goldens = {
             0: f"{cellw[0]} {cellw[1]}\n{cellw[2]} {cellw[3]}",
             1: "\n".join(" ".join(row) for row in cellw2),
+        }
+        plan.table_cell_goldens = {
+            0: [[cellw[0], cellw[1]], [cellw[2], cellw[3]]],
+            1: [list(row) for row in cellw2],
         }
         return plan
 
