@@ -140,54 +140,59 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-search boxes with per-rune refinement (Editor.Search/Match
     analog, e:82), placed image boxes (ExtractPageImages analog, e:345),
     stroked-path records (ExtractStrokePaths analog), and area-restricted
-    extraction counts (ApplyArea analog, e:886)."""
+    extraction counts (ApplyArea analog, e:886).
+
+    Value-checked since r7: every leg's corpus is sized/mixed by
+    fixtures.golden constants and the expected rows are a fixture-side
+    golden sidecar (golden/doc_inventory.parquet). The fonts/images leg
+    covers every fixture class once; the geometry legs (term boxes, area)
+    run on plain-Helvetica classes whose glyph layout the planner itself
+    computes."""
     import pandas as pd
 
+    from unipdf_spark.fixtures import golden as G
     from unipdf_spark.operators import multimodal as mm
 
-    inv_docs = pipeline.gen_docs_pdf(spark, 30)
-    vis_docs = pipeline.gen_docs_pdf(
-        spark, 24, mix=[("invisible", 1), ("simple", 1)]
-    )
-    list_docs = pipeline.gen_docs_pdf(
-        spark, 24, mix=[("tagged_list", 1), ("tagged_pg", 1)]
-    )
+    inv_docs = pipeline.gen_docs_pdf(spark, G.INV_N)
+    term_docs = pipeline.gen_docs_pdf(spark, G.TERM_N, mix=G.TERM_MIX)
+    vis_docs = pipeline.gen_docs_pdf(spark, G.VIS_N, mix=G.VIS_MIX)
+    list_docs = pipeline.gen_docs_pdf(spark, G.LIST_N, mix=G.LIST_MIX)
     out_schema = "doc_id string, page int, kind string, name string, value long"
 
     def inv_batch(batches):
-        # ONE parse per doc feeds fonts/images AND the positional term
-        # boxes (extract_document_profile — the SURVEY §3.2 'one
-        # interpretation' principle; r5 re-parsed per feature family)
+        # ONE parse per doc feeds the font AND image inventories
+        # (extract_document_profile — the SURVEY §3.2 'one interpretation'
+        # principle)
         from unipdf_spark.pdf.extract import extract_document_profile
 
         for b in batches:
             rows = []
             for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
-                prof = extract_document_profile(
-                    bytes(pdf_bytes), terms=["query", "stream"])
+                prof = extract_document_profile(bytes(pdf_bytes))
                 for pg in prof["pages"]:
                     for name, subtype in pg["fonts"]:
                         rows.append((doc_id, pg["page"], "font",
                                      f"{name}/{subtype}", 1))
                     for ref in pg["images"]:
                         rows.append((doc_id, pg["page"], "image", ref, 1))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "kind", "name", "value"]
+            )
+
+    def term_batch(batches):
+        from unipdf_spark.pdf.extract import extract_document_profile
+
+        for b in batches:
+            rows = []
+            for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
+                prof = extract_document_profile(
+                    bytes(pdf_bytes), terms=list(G.TERMS))
                 for m in prof["term_boxes"]:
                     rows.append((
                         doc_id, m["page"], "term_box",
                         f"{m['term']}|{m['x0']:.1f},{m['y0']:.1f},"
                         f"{m['x1']:.1f},{m['y1']:.1f}",
                         m["line_offset"],
-                    ))
-                for i, sp in enumerate(prof["strokes"]):
-                    # ExtractStrokePaths analog rows: color + point count +
-                    # 0.1pt-quantized first point (stable rows-only hash)
-                    r_, g_, b_ = sp["color"]
-                    px, py = sp["points"][0] if sp["points"] else (0.0, 0.0)
-                    rows.append((
-                        doc_id, sp["page"], "stroke_path",
-                        f"{r_:.2f},{g_:.2f},{b_:.2f}|n={len(sp['points'])}"
-                        f"|{px:.1f},{py:.1f}",
-                        i,
                     ))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "page", "kind", "name", "value"]
@@ -243,12 +248,14 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     inv = inv_docs.select("doc_id", "pdf_bytes").mapInPandas(
         inv_batch, out_schema)
+    terms = term_docs.select("doc_id", "pdf_bytes").mapInPandas(
+        term_batch, out_schema)
     vis = vis_docs.select("doc_id", "pdf_bytes").mapInPandas(
         vis_batch, out_schema)
     lst = list_docs.select("doc_id", "pdf_bytes").mapInPandas(
         list_batch, out_schema)
     imgs = pipeline.gen_docs_pdf(
-        spark, 16, mix=[("interleaved", 1)]
+        spark, G.IMG_N, mix=G.IMG_MIX
     ).select("doc_id", "pdf_bytes").mapInPandas(img_batch, out_schema)
 
     def area_batch(batches):
@@ -259,8 +266,7 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, pdf_bytes in zip(b["doc_id"], b["pdf_bytes"]):
                 full = extract_spans(bytes(pdf_bytes))
-                half = extract_spans(bytes(pdf_bytes),
-                                     area=(0.0, 0.0, 306.0, 792.0))
+                half = extract_spans(bytes(pdf_bytes), area=G.AREA_RECT)
                 rows.append((doc_id, -1, "area_chars", "left_half",
                              sum(len(s["text"]) for s in half.spans)))
                 rows.append((doc_id, -1, "full_chars", "",
@@ -270,7 +276,7 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     areas = pipeline.gen_docs_pdf(
-        spark, 8, mix=[("multicolumn", 1)]
+        spark, G.AREA_N, mix=G.AREA_MIX
     ).select("doc_id", "pdf_bytes").mapInPandas(area_batch, out_schema)
 
     def stroke_batch(batches):
@@ -295,16 +301,17 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     strokes = pipeline.gen_docs_pdf(
-        spark, 10, mix=[("rules", 1)]
+        spark, G.STROKE_N, mix=G.STROKE_MIX
     ).select("doc_id", "pdf_bytes").mapInPandas(stroke_batch, out_schema)
-    media = mm.media_table_from_fixtures(spark, n_docs=24)
+    media = mm.media_table_from_fixtures(spark, n_docs=G.MEDIA_N)
     feats = mm.extract_features(media).select(
         "doc_id", F.lit(-1).alias("page"), F.lit("media_feat").alias("kind"),
         F.col("media_ref").alias("name"), F.col("feat_dim").cast("long").alias("value"),
     )
     return (
-        inv.unionByName(vis).unionByName(lst).unionByName(feats)
-        .unionByName(imgs).unionByName(areas).unionByName(strokes)
+        inv.unionByName(terms).unionByName(vis).unionByName(lst)
+        .unionByName(feats).unionByName(imgs).unionByName(areas)
+        .unionByName(strokes)
         .orderBy("doc_id", "page", "kind", "name", "value")
     )
 
@@ -381,5 +388,9 @@ def oracle_sql() -> dict[str, str]:
     o["extract_fixture_roundtrip"] = (
         "SELECT fixture_class, n_docs, n_match, total_misses "
         f"FROM '{GOLDEN_DIR}/extract_fixture_roundtrip.parquet'"
+    )
+    o["doc_inventory"] = (
+        "SELECT doc_id, page, kind, name, value "
+        f"FROM '{GOLDEN_DIR}/doc_inventory.parquet'"
     )
     return o

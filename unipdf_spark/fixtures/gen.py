@@ -1327,6 +1327,77 @@ def _para_content(p: ParaPlan, theta: int) -> bytes:
     return bytes(out)
 
 
+def plan_image_payloads(plan: DocPlan) -> tuple[dict, dict]:
+    """({image key → encoded payload bytes}, {halftone key → (w, h)}) for
+    every image a plan embeds — the EXACT stream bytes render_doc writes
+    (media_ref = schema.media_ref_for(payload)). Shared between render_doc
+    and the golden-sidecar inventory (fixtures.golden), so the intended
+    media_refs can never drift from the rendered ones."""
+    from .render import (ccitt_g4_encode, jbig2_encode,
+                         jbig2_halftone_encode, jbig2_huffman_refagg_encode,
+                         jbig2_huffman_text_encode,
+                         jbig2_huffman_textregion_encode,
+                         jbig2_refinement_encode, jbig2_text_encode,
+                         jpeg_411_encode, jpeg_420_encode, jpeg_color_encode,
+                         jpeg_gray_encode, jpeg_progressive_encode)
+
+    payloads: dict[int, bytes] = {}
+    hdims: dict[int, tuple[int, int]] = {}
+    for key, rgb in plan.images.items():
+        payloads[key] = rgb if key == -1 else zlib.compress(rgb, 6)
+    for key, (rows, cols) in plan.fax_images.items():
+        payloads[key] = ccitt_g4_encode(rows, cols)
+    for key, (rows, cols, mmr) in plan.jbig2_images.items():
+        payloads[key] = jbig2_encode(rows, cols, mmr=mmr)
+    for key, (symbols, placements, t_cols, t_rows, mode,
+              corner) in plan.jbig2_text_images.items():
+        if mode.startswith("arith"):
+            data, _ = jbig2_text_encode(
+                symbols, placements, t_cols, t_rows, ref_corner=corner,
+                transposed=(mode == "arith_t"))
+        elif mode == "huff_tr":
+            data, _ = jbig2_huffman_textregion_encode(
+                symbols, placements, t_cols, t_rows)
+        elif mode == "huff_refagg":
+            seed = sum(len(sy) for sy in symbols)
+            variant = [[bool(v) ^ ((x + y + seed) % 7 == 0)
+                        for x, v in enumerate(row)]
+                       for y, row in enumerate(symbols[0])]
+            data, _ = jbig2_huffman_refagg_encode(
+                symbols, [(0, variant)],
+                placements + [(len(symbols), 2, 2)], t_cols, t_rows)
+        else:
+            data, _ = jbig2_huffman_text_encode(
+                symbols, placements, t_cols, t_rows,
+                mmr=(mode == "huff_mmr"))
+        payloads[key] = data
+    for key, (base, target, r_cols, template,
+              tpgron) in plan.jbig2_refine_images.items():
+        data, _ = jbig2_refinement_encode(
+            base, target, r_cols, template=template, tpgron=tpgron)
+        payloads[key] = data
+    for key, (grayg, patterns, ht_mode) in plan.jbig2_halftone_images.items():
+        data, composed = jbig2_halftone_encode(
+            grayg, patterns, mmr=(ht_mode == "mmr"),
+            skip_cols=(1 if ht_mode == "skip" and len(grayg[0]) > 2 else 0))
+        payloads[key] = data
+        hdims[key] = (len(composed[0]), len(composed))
+    for key, img in plan.jpeg_images.items():
+        mode = plan.jpeg_modes.get(key, "baseline")
+        if mode == "progressive":
+            payloads[key] = jpeg_progressive_encode(img)
+        elif mode.startswith("restart"):
+            payloads[key] = jpeg_gray_encode(img,
+                                             restart_interval=int(mode[7:]))
+        else:
+            payloads[key] = jpeg_gray_encode(img)
+    for key, (rgbimg, subsample) in plan.jpeg_color_images.items():
+        enc = {"411": jpeg_411_encode, "420": jpeg_420_encode,
+               "444": jpeg_color_encode}[subsample]
+        payloads[key] = enc(rgbimg)
+    return payloads, hdims
+
+
 def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
     """Render the plan to PDF bytes and compute golden spans (document order =
     flow/content order)."""
@@ -1587,7 +1658,9 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         )
         font_res += b"/F3 " + str(f3).encode() + b" 0 R "
 
-    # image XObjects
+    # image XObjects — payloads via the shared fixture-side encoder map
+    # (plan_image_payloads: the same bytes feed the golden-sidecar refs)
+    payloads, hdims = plan_image_payloads(plan)
     xobj_res = b""
     img_refs: dict[int, str] = {}
     img_names: dict[int, str] = {}
@@ -1595,7 +1668,7 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         if key == -1:
             img_refs[key] = schema.media_ref_for(rgb)
             continue
-        data = zlib.compress(rgb, 6)
+        data = payloads[key]
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
             b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
@@ -1608,9 +1681,7 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         xobj_res += f"/{name} {num} 0 R ".encode()
 
     for key, (rows, cols) in plan.fax_images.items():
-        from .render import ccitt_g4_encode
-
-        data = ccitt_g4_encode(rows, cols)
+        data = payloads[key]
         # Second image per doc declares /BlackIs1 true: the encoded run
         # stream is identical (runs are color-relative), only the decoded
         # bit convention flips — exercises the blackis1 plumbing end-to-end.
@@ -1630,9 +1701,7 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         xobj_res += f"/{name} {num} 0 R ".encode()
 
     for key, (rows, cols, mmr) in plan.jbig2_images.items():
-        from .render import jbig2_encode
-
-        data = jbig2_encode(rows, cols, mmr=mmr)
+        data = payloads[key]
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width " + str(cols).encode()
             + b" /Height " + str(len(rows)).encode()
@@ -1647,32 +1716,7 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
 
     for key, (symbols, placements, t_cols, t_rows, mode,
               corner) in plan.jbig2_text_images.items():
-        from .render import (jbig2_huffman_refagg_encode,
-                             jbig2_huffman_text_encode,
-                             jbig2_huffman_textregion_encode,
-                             jbig2_text_encode)
-
-        if mode.startswith("arith"):
-            data, _composed = jbig2_text_encode(
-                symbols, placements, t_cols, t_rows, ref_corner=corner,
-                transposed=(mode == "arith_t"))
-        elif mode == "huff_tr":
-            # SBHUFF=1 Huffman text region over an arithmetic dictionary
-            data, _composed = jbig2_huffman_textregion_encode(
-                symbols, placements, t_cols, t_rows)
-        elif mode == "huff_refagg":
-            # SDHUFF+SDREFAGG: symbol 0 gains a refined variant placed once
-            seed = sum(len(sy) for sy in symbols)
-            variant = [[bool(v) ^ ((x + y + seed) % 7 == 0)
-                        for x, v in enumerate(row)]
-                       for y, row in enumerate(symbols[0])]
-            data, _composed = jbig2_huffman_refagg_encode(
-                symbols, [(0, variant)],
-                placements + [(len(symbols), 2, 2)], t_cols, t_rows)
-        else:
-            data, _composed = jbig2_huffman_text_encode(
-                symbols, placements, t_cols, t_rows,
-                mmr=(mode == "huff_mmr"))
+        data = payloads[key]
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width " + str(t_cols).encode()
             + b" /Height " + str(t_rows).encode()
@@ -1687,10 +1731,7 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
 
     for key, (base, target, r_cols, template,
               tpgron) in plan.jbig2_refine_images.items():
-        from .render import jbig2_refinement_encode
-
-        data, _composed = jbig2_refinement_encode(
-            base, target, r_cols, template=template, tpgron=tpgron)
+        data = payloads[key]
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width " + str(r_cols).encode()
             + b" /Height " + str(len(base)).encode()
@@ -1704,12 +1745,8 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         xobj_res += f"/{name} {num} 0 R ".encode()
 
     for key, (grayg, patterns, ht_mode) in plan.jbig2_halftone_images.items():
-        from .render import jbig2_halftone_encode
-
-        data, composed = jbig2_halftone_encode(
-            grayg, patterns, mmr=(ht_mode == "mmr"),
-            skip_cols=(1 if ht_mode == "skip" and len(grayg[0]) > 2 else 0))
-        hw, hh = len(composed[0]), len(composed)
+        data = payloads[key]
+        hw, hh = hdims[key]
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width " + str(hw).encode()
             + b" /Height " + str(hh).encode()
@@ -1723,15 +1760,7 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         xobj_res += f"/{name} {num} 0 R ".encode()
 
     for key, img in plan.jpeg_images.items():
-        from .render import jpeg_gray_encode, jpeg_progressive_encode
-
-        mode = plan.jpeg_modes.get(key, "baseline")
-        if mode == "progressive":
-            data = jpeg_progressive_encode(img)
-        elif mode.startswith("restart"):
-            data = jpeg_gray_encode(img, restart_interval=int(mode[7:]))
-        else:
-            data = jpeg_gray_encode(img)
+        data = payloads[key]
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width "
             + str(len(img[0])).encode()
@@ -1746,12 +1775,7 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         xobj_res += f"/{name} {num} 0 R ".encode()
 
     for key, (rgbimg, subsample) in plan.jpeg_color_images.items():
-        from .render import (jpeg_411_encode, jpeg_420_encode,
-                             jpeg_color_encode)
-
-        enc = {"411": jpeg_411_encode, "420": jpeg_420_encode,
-               "444": jpeg_color_encode}[subsample]
-        data = enc(rgbimg)
+        data = payloads[key]
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width "
             + str(len(rgbimg[0])).encode()
@@ -1919,11 +1943,9 @@ def make_doc(doc_id: str, fixture_class: str, seed: int = 42
     return golden, pdf
 
 
-def _make_tagged_list_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
-    """Tagged list: struct tree L → LI → Lbl + LBody with MCID-marked
-    content (PageText.List, extractor/extractor.go:495). Span stream golden
-    is the usual reading-ordered text; the structured list API must resolve
-    each item's label and body through the struct tree."""
+def tagged_list_items(doc_id: str, seed: int = 42) -> list[tuple[str, str]]:
+    """The (label, body) items a tagged_list doc PLANTS — shared between the
+    writer and the golden-sidecar inventory (fixtures.golden)."""
     rng = random.Random(f"{seed}:{doc_id}")
     items = []
     for i in range(rng.randint(2, 4)):
@@ -1931,6 +1953,31 @@ def _make_tagged_list_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
         body = " ".join(rng.choice(WORDS[:20])
                         for _ in range(rng.randint(2, 5)))
         items.append((label, body))
+    return items
+
+
+def tagged_pg_items(doc_id: str, seed: int = 42
+                    ) -> list[tuple[str, str, str]]:
+    """Per-page (actual_text, label, body) a tagged_pg doc PLANTS — shared
+    between the writer and the golden-sidecar inventory."""
+    rng = random.Random(f"{seed}:{doc_id}")
+    per_page = []
+    for p in range(2):
+        actual = f"replaced-{p} " + " ".join(
+            rng.choice(WORDS[:20]) for _ in range(rng.randint(2, 4)))
+        label = f"{p + 1}."
+        body = " ".join(rng.choice(WORDS[:20])
+                        for _ in range(rng.randint(2, 4)))
+        per_page.append((actual, label, body))
+    return per_page
+
+
+def _make_tagged_list_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
+    """Tagged list: struct tree L → LI → Lbl + LBody with MCID-marked
+    content (PageText.List, extractor/extractor.go:495). Span stream golden
+    is the usual reading-ordered text; the structured list API must resolve
+    each item's label and body through the struct tree."""
+    items = tagged_list_items(doc_id, seed)
 
     w = PdfFileWriter()
     catalog = w.reserve()
@@ -2103,15 +2150,7 @@ def _make_tagged_pg_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
     #5). Each page carries an ActualText paragraph under MCID 0 and a
     one-item tagged list under MCIDs 1/2; a document-wide MCID map would
     cross-wire the pages."""
-    rng = random.Random(f"{seed}:{doc_id}")
-    per_page = []
-    for p in range(2):
-        actual = f"replaced-{p} " + " ".join(
-            rng.choice(WORDS[:20]) for _ in range(rng.randint(2, 4)))
-        label = f"{p + 1}."
-        body = " ".join(rng.choice(WORDS[:20])
-                        for _ in range(rng.randint(2, 4)))
-        per_page.append((actual, label, body))
+    per_page = tagged_pg_items(doc_id, seed)
 
     w = PdfFileWriter()
     catalog = w.reserve()
