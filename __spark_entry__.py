@@ -91,13 +91,16 @@ def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode across every supported media codec in ONE driver
     row set (r3 VERDICT #3: the 50-entry gate must cover each capability):
     CCITT fax G3/G4, JBIG2 (MQ generic + MMR + symbol/text), and JPEG
-    (baseline gray/4:4:4/4:2:0 + DRI restarts + progressive). Unified
+    (baseline gray/4:4:4/4:2:0/4:1:1 + DRI restarts + progressive). Unified
     schema (codec, stat1, stat2): bilevel → (ink_ratio, 0), jpeg →
-    (mean_gray, std_gray)."""
+    (mean_gray, std_gray). Value-checked since r7: the JPEG leg uses the
+    jpeg_blocky class (exact-roundtrip content), so every stat has a
+    fixture-side golden (golden/media_decode.parquet)."""
+    from unipdf_spark.fixtures import golden as G
     from unipdf_spark.operators import multimodal as mm
 
     media = mm.media_table_from_fixtures(
-        spark, n_docs=45, mix=[("fax", 1), ("jbig2", 1), ("jpeg", 1)]
+        spark, n_docs=G.MEDIA_DECODE_N, mix=G.MEDIA_DECODE_MIX
     ).persist()
     bl = mm.bilevel_features(media).select(
         "media_ref", "doc_id", "width", "height",
@@ -324,19 +327,16 @@ def _media_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JBIG2 — which must pair on identical decoded ink maps (the capability
     this operator exists for; random fixture images correctly do NOT
     pair under real features)."""
-    import random
-
     import pandas as pd
 
+    from unipdf_spark.fixtures import golden as G
     from unipdf_spark.fixtures.render import ccitt_g4_encode, jbig2_encode
     from unipdf_spark.operators import multimodal as mm
 
     media = mm.media_table_from_fixtures(spark, n_docs=24)
-    rng = random.Random(17)
-    w, h = 32, 16
+    w, h = G.MEDIA_PLANT_W, G.MEDIA_PLANT_H
     rows = []
-    for i in range(3):
-        bm = [[rng.random() < 0.35 for _ in range(w)] for _ in range(h)]
+    for i, bm in enumerate(G.media_planted_bitmaps()):
         fax = ccitt_g4_encode(bm, w)
         jb2 = jbig2_encode(bm, w)
         rows.append((f"plant_fax_{i}", f"plant_{i}", "image", fax, w, h,
@@ -392,5 +392,13 @@ def oracle_sql() -> dict[str, str]:
     o["doc_inventory"] = (
         "SELECT doc_id, page, kind, name, value "
         f"FROM '{GOLDEN_DIR}/doc_inventory.parquet'"
+    )
+    o["media_feature_dedup"] = (
+        "SELECT ref_a, ref_b, dot, dhash_match "
+        f"FROM '{GOLDEN_DIR}/media_feature_dedup.parquet'"
+    )
+    o["media_decode"] = (
+        "SELECT media_ref, doc_id, codec, width, height, stat1, stat2, "
+        f"decode_ok FROM '{GOLDEN_DIR}/media_decode.parquet'"
     )
     return o

@@ -933,6 +933,50 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         plan.blocks.append(p)
         return plan
 
+    if fixture_class == "jpeg_blocky":
+        # exactly-decodable JPEGs for the media_decode value oracle:
+        # constant 8×8 blocks with EVEN gray values under the K.1 table
+        # (q00 = 16) quantize to DC = (c−128)/2 with all-zero AC, so the
+        # decoded plane equals the source exactly across every coding path
+        # (baseline / progressive / DRI restarts and 444/420/411 color
+        # with R=G=B). AC-content coverage stays with the `jpeg` class and
+        # the test_filters PSNR round trips. Reachable only via explicit
+        # mix (not in FIXTURE_CLASSES — the coverage-floor order and the
+        # roundtrip sidecar counts stay stable).
+        p, v = _para(rng, MARGIN, v, width, (4, 8))
+        plan.blocks.append(p)
+
+        def _blocky(w_px: int, h_px: int):
+            vals = [[2 * rng.randint(10, 117) for _ in range(w_px // 8)]
+                    for _ in range(h_px // 8)]
+            return [[vals[y // 8][x // 8] for x in range(w_px)]
+                    for y in range(h_px)]
+
+        for k in range(rng.randint(1, 2)):
+            w_px, h_px = rng.choice([24, 32]), rng.choice([16, 24])
+            key = 300 + k
+            plan.jpeg_images[key] = _blocky(w_px, h_px)
+            plan.jpeg_modes[key] = rng.choice(
+                ["baseline", "progressive", "restart2", "restart4"])
+            h = 36.0
+            plan.blocks.append(
+                ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h)
+            )
+            v -= h + 10
+        w_px, h_px = 24, 16
+        gray = _blocky(w_px, h_px)
+        rgbimg = [[[gray[y][x]] * 3 for x in range(w_px)]
+                  for y in range(h_px)]
+        key = 310
+        plan.jpeg_color_images[key] = (rgbimg,
+                                       rng.choice(["444", "420", "411"]))
+        h = 30.0
+        plan.blocks.append(ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h))
+        v -= h + 10
+        p, v = _para(rng, MARGIN, v, width, (3, 6))
+        plan.blocks.append(p)
+        return plan
+
     if fixture_class == "std14":
         # Standard-14 metrics: /BaseFont /Times-Bold with NO /Widths — the
         # engine must supply AFM advances (GetCharMetrics model:3340 path)
@@ -1396,6 +1440,57 @@ def plan_image_payloads(plan: DocPlan) -> tuple[dict, dict]:
                "444": jpeg_color_encode}[subsample]
         payloads[key] = enc(rgbimg)
     return payloads, hdims
+
+
+def plan_bilevel_bitmaps(plan: DocPlan) -> dict[int, list[list[bool]]]:
+    """key → intended decoded ink bitmap (True = black) for every bilevel
+    image a plan embeds: fax/generic-region rows verbatim; symbol-text,
+    refinement and halftone images use the fixture encoder's own composed
+    page bitmap. Fixture-side ground truth for the media_decode golden
+    (the codecs are lossless, so decode must reproduce these exactly)."""
+    from .render import (jbig2_halftone_encode, jbig2_huffman_refagg_encode,
+                         jbig2_huffman_text_encode,
+                         jbig2_huffman_textregion_encode,
+                         jbig2_refinement_encode, jbig2_text_encode)
+
+    out: dict[int, list[list[bool]]] = {}
+    for key, (rows, _cols) in plan.fax_images.items():
+        out[key] = rows
+    for key, (rows, _cols, _mmr) in plan.jbig2_images.items():
+        out[key] = rows
+    for key, (symbols, placements, t_cols, t_rows, mode,
+              corner) in plan.jbig2_text_images.items():
+        if mode.startswith("arith"):
+            _, composed = jbig2_text_encode(
+                symbols, placements, t_cols, t_rows, ref_corner=corner,
+                transposed=(mode == "arith_t"))
+        elif mode == "huff_tr":
+            _, composed = jbig2_huffman_textregion_encode(
+                symbols, placements, t_cols, t_rows)
+        elif mode == "huff_refagg":
+            seed = sum(len(sy) for sy in symbols)
+            variant = [[bool(v) ^ ((x + y + seed) % 7 == 0)
+                        for x, v in enumerate(row)]
+                       for y, row in enumerate(symbols[0])]
+            _, composed = jbig2_huffman_refagg_encode(
+                symbols, [(0, variant)],
+                placements + [(len(symbols), 2, 2)], t_cols, t_rows)
+        else:
+            _, composed = jbig2_huffman_text_encode(
+                symbols, placements, t_cols, t_rows,
+                mmr=(mode == "huff_mmr"))
+        out[key] = composed
+    for key, (base, target, r_cols, template,
+              tpgron) in plan.jbig2_refine_images.items():
+        _, composed = jbig2_refinement_encode(
+            base, target, r_cols, template=template, tpgron=tpgron)
+        out[key] = composed
+    for key, (grayg, patterns, ht_mode) in plan.jbig2_halftone_images.items():
+        _, composed = jbig2_halftone_encode(
+            grayg, patterns, mmr=(ht_mode == "mmr"),
+            skip_cols=(1 if ht_mode == "skip" and len(grayg[0]) > 2 else 0))
+        out[key] = composed
+    return out
 
 
 def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
