@@ -625,3 +625,79 @@ def test_html_block_segmenter_features():
     main = main_content(html)
     assert main.startswith("this paragraph") and "home" not in main
     assert "terms" not in main
+
+
+def test_html_adversarial_fixture_defeats_bare_gate():
+    """r6 VERDICT #2: the fixture no longer compensates for the
+    classifier's thresholds. The wrapped page now plants (a) short
+    dialogue paragraphs inside the article (below MIN_BLOCK_CHARS — only
+    neighbor smoothing keeps them) and (b) long low-link boilerplate
+    prose (cookie consent, about-the-author) that a bare length+density
+    gate would keep. The full heuristic set must recover the article
+    exactly; the bare gate must fail on pages exhibiting either class."""
+    import re
+
+    import duckdb
+
+    from unipdf_spark.fixtures.gen import make_html_doc
+    from unipdf_spark.html_extract import (MAX_LINK_DENSITY,
+                                           MIN_BLOCK_CHARS, main_content,
+                                           text_blocks)
+
+    ws = re.compile(r"\s+")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' LIMIT 120"
+    ).fetchall()
+    n_gate_fail = n_dialogue_pages = 0
+    for did, text in rows:
+        doc_id = f"doc_{did:08d}"
+        html = make_html_doc(doc_id, text or "")
+        want = ws.sub(" ", text or "").strip()
+        if len(want) < MIN_BLOCK_CHARS:
+            want = ""
+        got = ws.sub(" ", main_content(html)).strip()
+        assert got == want, doc_id
+        # bare length+density gate (the r6 classifier)
+        bare = ws.sub(" ", " ".join(
+            t for t, ld in text_blocks(html)
+            if len(t) >= MIN_BLOCK_CHARS and ld <= MAX_LINK_DENSITY
+        )).strip()
+        assert "cookies" in bare and "About the author:" in bare
+        if bare != want:
+            n_gate_fail += 1
+        # count pages whose article actually planted a short paragraph
+        art = html.split("<article>")[1].split("</article>")[0]
+        paras = [ws.sub(" ", re.sub(r"<[^>]+>", "", p)).strip()
+                 for p in re.findall(r"<p>(.*?)</p>", art, re.S)]
+        if any(len(p) < MIN_BLOCK_CHARS for p in paras):
+            n_dialogue_pages += 1
+    assert n_gate_fail == len(rows)  # cookie/author prose leaks every time
+    assert n_dialogue_pages > 10  # the short-paragraph class is exercised
+
+
+def test_html_class_hint_and_smoothing_units():
+    """Units for the r7 heuristics: class-hint boilerplate context and
+    bidirectional neighbor smoothing."""
+    from unipdf_spark.html_extract import main_content
+
+    long_a = "alpha " * 10 + "closes the first paragraph of prose here"
+    long_b = "beta " * 10 + "closes the second paragraph of prose here"
+    html = (
+        "<body>"
+        "<div class='cookie-consent'>We use cookies to improve your "
+        "experience and to measure traffic across all our pages.</div>"
+        f"<p>{long_a}</p>"
+        "<p>No.</p>"
+        f"<p>{long_b}</p>"
+        "<p>Yes.</p>"
+        "<div class='author-byline'>About the author: a correspondent "
+        "writing about things since 2011.</div>"
+        "</body>"
+    )
+    main = main_content(html)
+    assert "cookies" not in main and "About the author" not in main
+    assert "No." in main and "Yes." in main  # smoothing keeps dialogue
+    # an isolated short block with no content neighbor stays dropped
+    html2 = ("<body><nav><a href='/'>home</a></nav><p>hi</p>"
+             "<footer>f</footer></body>")
+    assert main_content(html2) == ""

@@ -2499,26 +2499,37 @@ BOILER_WORDS = ("home products pricing blog careers about contact login "
 def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
     """Wrap a document's text in a realistic boilerplate-laden HTML page
     (deterministic per (seed, doc_id)): head with title/style/script, a
-    nav of links, breadcrumbs, a link-farm sidebar, the article split into
-    <p> paragraphs (some words wrapped in inline <b>/<i>/<a> markup —
-    link density stays low), a related-links list, and a footer. A naive
-    strip-all-tags extractor would keep the navigation/sidebar/footer
-    text; only the density heuristics recover exactly the article."""
+    nav of links, breadcrumbs, a cookie-consent banner (long low-link
+    PROSE — only the class hint identifies it), a link-farm sidebar with a
+    long ad blurb, the article split into <p> paragraphs INCLUDING short
+    dialogue-style lines under the prose length gate (only neighbor
+    smoothing keeps them), an about-the-author blurb, a related-links
+    list, and a footer. A naive strip-all-tags extractor keeps the chrome
+    text; a bare length+density gate drops the dialogue lines and keeps
+    the cookie/author prose — only the full heuristic set (density +
+    length + container/class context + neighbor smoothing) recovers
+    exactly the article."""
     import html as _html
 
     rng = random.Random(f"{seed}:{doc_id}:html")
     words = text.split()
     paras: list[list[str]] = []
     i = 0
+    prev_long = False
     while i < len(words):
-        take = rng.randint(30, 60)
+        # occasional short dialogue-style paragraph (< the prose gate),
+        # only after a long paragraph so smoothing has a content anchor
+        # on at least one side even at document edges
+        if prev_long and rng.random() < 0.3:
+            take = rng.randint(2, 3)
+            prev_long = False
+        else:
+            take = rng.randint(30, 60)
+            prev_long = True
         paras.append(words[i:i + take])
         i += take
     if not paras:
         paras = [["empty"]]
-    if len(paras) > 1 and len(" ".join(paras[-1])) < 30:
-        tail = paras.pop()
-        paras[-1].extend(tail)  # tail too short to survive the length gate
 
     def links(n: int) -> str:
         return " ".join(
@@ -2528,6 +2539,7 @@ def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
     body_paras = []
     for p in paras:
         esc = [_html.escape(w) for w in p]
+        para_chars = len(" ".join(p))
         # inline markup on a few words; at most ~8% linked chars
         n_marks = max(1, len(esc) // 12)
         for _ in range(n_marks):
@@ -2536,9 +2548,23 @@ def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
             esc[k] = f"<{tag}>{esc[k]}</{tag}>"
         if rng.random() < 0.5 and len(esc) >= 20:
             k = rng.randrange(len(esc))
-            esc[k] = f'<a href="/x">{esc[k]}</a>'
+            # only link a word that stays safely under the density gate
+            # even on skewed token lengths (one dominant word among short
+            # ones must not push the block over MAX_LINK_DENSITY)
+            if len(p[k]) / max(para_chars, 1) <= 0.15:
+                esc[k] = f'<a href="/x">{esc[k]}</a>'
         body_paras.append("  <p>\n    " + " ".join(esc) + "\n  </p>")
-    ad = " ".join(rng.choice(BOILER_WORDS) for _ in range(2))
+    ad = " ".join(rng.choice(BOILER_WORDS) for _ in range(rng.randint(4, 10)))
+    cookie = (
+        "We use cookies to personalise content, measure "
+        f"{rng.choice(BOILER_WORDS)} and improve your experience across "
+        f"{rng.choice(BOILER_WORDS)} pages."
+    )
+    author = (
+        f"About the author: a {rng.choice(BOILER_WORDS)} correspondent "
+        f"writing about {rng.choice(BOILER_WORDS)} and "
+        f"{rng.choice(BOILER_WORDS)} since 20{rng.randint(10, 25)}."
+    )
     return f"""<!DOCTYPE html>
 <html>
 <head>
@@ -2547,6 +2573,8 @@ def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
   <script>var t = "{rng.randrange(10 ** 6)}"; track(t);</script>
 </head>
 <body>
+<div class="cookie-consent">{cookie}
+  <a href="/cookies">Learn more</a>.</div>
 <header>
   <nav><ul>{links(rng.randint(5, 9))}</ul></nav>
   <div class="crumbs"><a href="/">Home</a> &gt; <a href="/c">{
@@ -2560,6 +2588,7 @@ def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
 <article>
 {chr(10).join(body_paras)}
 </article>
+<div class="author-byline">{author}</div>
 <section class="related"><ul>{links(rng.randint(3, 6))}</ul></section>
 <footer>&copy; 2026 Fixture — <a href="/t">terms</a>
   <a href="/p">privacy</a></footer>

@@ -2,20 +2,29 @@
 
 The north rule's main-content pipeline spans "HTML boilerplate strip,
 PDF/layout parse, DOM heuristics" — this module is the HTML leg, built
-from scratch on public technique: text blocks are segmented at
-block-level tag boundaries (the DOM walk) and classified by the two
-classic boilerplate-detection features — link density and block length —
-per the shallow-text-features literature (Kohlschütter et al.,
-"Boilerplate Detection using Shallow Text Features", WSDM 2010). Content
-inside <script>/<style>/<noscript>/<template> is discarded outright;
-blocks that are mostly anchor text (navigation, breadcrumbs, link farms)
-or too short to be body prose (titles, timestamps, copyright lines) are
-dropped; what remains, in document order, is the main content.
+from scratch on public technique:
 
-Deterministic by construction (stdlib html.parser, no randomness), so a
-synthetic wrapped corpus round-trips exactly: extracted main text ==
-original article text — the same oracle shape as the PDF render trip
-(operators.extracted)."""
+- text blocks are segmented at block-level tag boundaries (the DOM walk);
+- each block carries the two classic shallow text features — link density
+  and block length (Kohlschütter et al., "Boilerplate Detection using
+  Shallow Text Features", WSDM 2010) — plus a DOM-context flag: inside a
+  semantic boilerplate container (<nav>/<aside>/<header>/<footer>) or an
+  element whose class/id matches the unlikely-candidates lexicon
+  (cookie/consent/byline/sidebar/related/… — the Readability-style
+  class-hint heuristic);
+- hard labels first: boiler-context or link-dominated blocks are
+  boilerplate; long low-link blocks outside boiler context are content;
+- short low-link blocks outside boiler context are decided by NEIGHBOR
+  SMOOTHING (Kohlschütter's context classification): a forward then a
+  backward pass keeps a short block iff an adjacent block is content —
+  dialogue lines and short closing paragraphs inside an article survive,
+  while isolated chrome snippets (titles, timestamps) do not.
+
+Content inside <script>/<style>/<noscript>/<template> is discarded
+outright. Deterministic by construction (stdlib html.parser, no
+randomness), so a synthetic wrapped corpus round-trips exactly: extracted
+main text == original article text — the same oracle shape as the PDF
+render trip (operators.extracted)."""
 
 from __future__ import annotations
 
@@ -31,29 +40,46 @@ BLOCK_TAGS = {
     "h3", "h4", "h5", "h6", "blockquote", "pre", "figure", "figcaption",
     "br", "title", "body",
 }
-MIN_BLOCK_CHARS = 25   # shorter blocks are headlines/timestamps/chrome
+# semantic containers whose subtree is boilerplate context
+BOILER_TAGS = {"nav", "aside", "footer", "header"}
+# Readability-style unlikely-candidates lexicon over class/id attributes
+UNLIKELY_RE = re.compile(
+    r"banner|breadcrumb|\bcrumb|byline|combx|comment|community|cookie|"
+    r"consent|disclaimer|disqus|legal|menu|related|remark|rss|share|"
+    r"shoutbox|sidebar|social|sponsor|\bad\b|advert|agegate|pagination|"
+    r"pager|popup|promo",
+    re.I,
+)
+MIN_BLOCK_CHARS = 25   # shorter blocks need a content neighbor to survive
 MAX_LINK_DENSITY = 0.33  # mostly-anchor blocks are navigation
 
 _WS = re.compile(r"\s+")
 
 
 class _BlockSegmenter(HTMLParser):
-    """Flat DOM walk → text blocks with per-block link-character counts."""
+    """Flat DOM walk → text blocks with per-block link-character counts
+    and boilerplate-context flags (semantic containers + class/id
+    hints). Context uses a tag-name stack so well-formed subtrees scope
+    exactly; malformed markup degrades gracefully (mismatched closers
+    pop only a matching open scope)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.blocks: list[tuple[str, int]] = []  # (text, link_chars)
+        self.blocks: list[tuple[str, int, bool]] = []
         self._text: list[str] = []
         self._link_chars = 0
         self._drop_depth = 0
         self._a_depth = 0
+        self._boiler_stack: list[str] = []
+        self._in_boiler = False  # context of the text accumulated so far
 
     def _flush(self) -> None:
         text = _WS.sub(" ", "".join(self._text)).strip()
         if text:
-            self.blocks.append((text, self._link_chars))
+            self.blocks.append((text, self._link_chars, self._in_boiler))
         self._text = []
         self._link_chars = 0
+        self._in_boiler = bool(self._boiler_stack)
 
     def handle_starttag(self, tag, attrs):
         if tag in DROP_TAGS:
@@ -63,6 +89,11 @@ class _BlockSegmenter(HTMLParser):
             self._a_depth += 1
         if tag in BLOCK_TAGS:
             self._flush()
+        hints = " ".join(
+            v for k, v in attrs if k in ("class", "id") and v)
+        if tag in BOILER_TAGS or (hints and UNLIKELY_RE.search(hints)):
+            self._boiler_stack.append(tag)
+            self._in_boiler = True
 
     def handle_endtag(self, tag):
         if tag in DROP_TAGS:
@@ -72,6 +103,9 @@ class _BlockSegmenter(HTMLParser):
             self._a_depth = max(0, self._a_depth - 1)
         if tag in BLOCK_TAGS:
             self._flush()
+        if self._boiler_stack and self._boiler_stack[-1] == tag:
+            self._boiler_stack.pop()
+            self._in_boiler = bool(self._boiler_stack)
 
     def handle_data(self, data):
         if self._drop_depth:
@@ -85,23 +119,46 @@ class _BlockSegmenter(HTMLParser):
         self._flush()
 
 
-def text_blocks(html: str) -> list[tuple[str, float]]:
-    """(block text, link density) in document order."""
+def blocks_with_context(html: str) -> list[tuple[str, float, bool]]:
+    """(block text, link density, boiler context) in document order."""
     seg = _BlockSegmenter()
     seg.feed(html)
     seg.close()
     out = []
-    for text, link_chars in seg.blocks:
+    for text, link_chars, in_boiler in seg.blocks:
         n = len(text)
-        out.append((text, (link_chars / n) if n else 1.0))
+        out.append((text, (link_chars / n) if n else 1.0, in_boiler))
     return out
 
 
+def text_blocks(html: str) -> list[tuple[str, float]]:
+    """(block text, link density) in document order."""
+    return [(t, ld) for t, ld, _ctx in blocks_with_context(html)]
+
+
 def main_content(html: str) -> str:
-    """Boilerplate-stripped main text: blocks that are long enough to be
-    prose AND not dominated by anchor text, joined in document order."""
-    kept = [
-        text for text, ld in text_blocks(html)
-        if len(text) >= MIN_BLOCK_CHARS and ld <= MAX_LINK_DENSITY
-    ]
-    return " ".join(kept)
+    """Boilerplate-stripped main text in document order.
+
+    Hard labels: boiler-context or link-dominated → drop; long low-link
+    outside boiler context → keep. Short low-link blocks outside boiler
+    context are kept iff an adjacent block is kept (forward then backward
+    smoothing pass, so chains of short blocks anchored to content on
+    either side survive)."""
+    blocks = blocks_with_context(html)
+    # 1 = content, 0 = boilerplate, None = short/undecided
+    labels: list[int | None] = []
+    for text, ld, in_boiler in blocks:
+        if in_boiler or ld > MAX_LINK_DENSITY:
+            labels.append(0)
+        elif len(text) >= MIN_BLOCK_CHARS:
+            labels.append(1)
+        else:
+            labels.append(None)
+    for i in range(len(labels)):  # forward: inherit from the left
+        if labels[i] is None and i > 0 and labels[i - 1] == 1:
+            labels[i] = 1
+    for i in range(len(labels) - 1, -1, -1):  # backward: from the right
+        if labels[i] is None and i + 1 < len(labels) and labels[i + 1] == 1:
+            labels[i] = 1
+    return " ".join(t for (t, _ld, _c), lab in zip(blocks, labels)
+                    if lab == 1)

@@ -3,14 +3,20 @@
 The HTML leg of the north rule's main-content extraction ("HTML
 boilerplate strip, PDF/layout parse, DOM heuristics"): each document's
 text is wrapped in a deterministic boilerplate-laden page (nav,
-breadcrumbs, link-farm sidebar, ad, related links, footer, script/style
-— fixtures.gen.make_html_doc, seeded per doc_id), then the engine's
-block-segmenting extractor (html_extract: link-density + block-length
-features over the DOM walk) must recover EXACTLY the article text. The
-DuckDB oracle computes the expected hash straight from documents.text,
-so any boilerplate leaking through (or content dropped) breaks the value
-hash — the same end-to-end oracle shape as the PDF render trip
-(operators.extracted).
+breadcrumbs, cookie-consent prose, link-farm sidebar, long ad blurb,
+about-the-author blurb, related links, footer, script/style — and the
+article itself contains short dialogue-style paragraphs under the prose
+length gate; fixtures.gen.make_html_doc, seeded per doc_id), then the
+engine's block-segmenting extractor (html_extract: link-density +
+block-length + container/class-hint context + neighbor smoothing over
+the DOM walk) must recover EXACTLY the article text. The DuckDB oracle
+computes the expected hash straight from documents.text, so any
+boilerplate leaking through (or content dropped) breaks the value hash —
+the same end-to-end oracle shape as the PDF render trip
+(operators.extracted). Adversarial by construction since r7: a bare
+length+density gate would drop the dialogue lines and keep the
+cookie/author prose (the r6 fixture-side tail-merge compensation is
+deleted).
 
 Scale shape: one map-only mapInPandas stage (wrap + parse + classify in
 a single worker, no shuffle); the output is per-doc scalars.
@@ -67,15 +73,25 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # expected values straight from the ORIGINAL text: the wrap+strip trip
-# must be the identity on the whitespace-collapsed article
+# must be the identity on the whitespace-collapsed article — EXCEPT a
+# document whose entire text is shorter than the prose gate
+# (MIN_BLOCK_CHARS = 25): it renders as a single short block with no
+# content neighbor, so the extractor correctly emits '' and the oracle
+# mirrors the gate (closes the latent short-doc divergence, r6 ADVICE)
 HTML_MAIN_SQL = r"""
+WITH collapsed AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) >= 25
+              THEN TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))
+              ELSE '' END AS main
+  FROM documents
+)
 SELECT doc_id,
-       MD5(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS main_hash,
-       CAST(LENGTH(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS BIGINT)
-           AS main_chars,
-       CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+       MD5(main) AS main_hash,
+       CAST(LENGTH(main) AS BIGINT) AS main_chars,
+       CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(main, '\s+'),
                             x -> x <> '')) AS BIGINT) AS n_tokens
-FROM documents
+FROM collapsed
 """
 
 QUERIES = {"html_main_content": html_main_content}
