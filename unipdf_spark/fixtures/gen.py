@@ -306,9 +306,23 @@ def _kerned_para(rng: random.Random, x: float, v_cursor: float, width: float
     tw = rng.choice([0.0, 0.0, 1.5])  # word spacing applies to byte-32 only
     th = tz / 100.0
     lines = _wrap(words, FS, width, tc, th, cid=False, tw=tw)
+    seg_lines = _kern_segs(rng, lines)
     baselines = []
-    seg_lines: list[list[Seg]] = []
     v = v_cursor - FS
+    for _ in lines:
+        baselines.append(v)
+        v -= FS * 1.2
+    plan = ParaPlan(lines=seg_lines, x=x, baselines=baselines, fs=FS,
+                    tc=tc, tz=tz, tw=tw)
+    return plan, v + FS * 1.2 - PARA_SKIP
+
+
+def _kern_segs(rng: random.Random, lines: list[str]) -> list[list[Seg]]:
+    """Wrapped lines → TJ seg lists with intra-word kerns (small) and
+    kern-driven word gaps (-278 units ≡ a space width, no space char
+    shown). Shared between the kerned fixture class and the kerned
+    make_text_doc style."""
+    seg_lines: list[list[Seg]] = []
     for ln in lines:
         segs: list[Seg] = []
         ws = ln.split(" ")
@@ -329,11 +343,7 @@ def _kerned_para(rng: random.Random, x: float, v_cursor: float, width: float
                     segs[-1].kern_after = -(278.0 + rng.choice([0.0, 80.0]))
                     segs.append(Seg("", golden=" "))
         seg_lines.append(segs)
-        baselines.append(v)
-        v -= FS * 1.2
-    plan = ParaPlan(lines=seg_lines, x=x, baselines=baselines, fs=FS,
-                    tc=tc, tz=tz, tw=tw)
-    return plan, v + FS * 1.2 - PARA_SKIP
+    return seg_lines
 
 
 def _bidi_para(rng: random.Random, x: float, v_cursor: float, width: float
@@ -2448,11 +2458,25 @@ def make_spans_doc(doc_id: str, spans: list[dict], seed: int = 42
     return golden, pdf
 
 
+# external-text render styles: hard layout/font classes the span engine
+# must survive WITHOUT changing the token stream, so the integrated
+# render→extract→dedup oracle (operators.extracted) also gates layout and
+# font regressions end to end (r6 VERDICT #6). Weighted toward plain.
+TEXT_STYLES = ("plain", "plain", "plain", "plain", "multicolumn",
+               "rotated", "hyphenated", "cid", "std14", "kerned")
+
+
 def make_text_doc(doc_id: str, text: str, seed: int = 42
                   ) -> tuple[list[dict], bytes]:
     """Render arbitrary external text (e.g. the `documents` table) into a
     deterministic multi-page PDF + golden spans. Text is sanitized to the
-    printable-ASCII subset the fixture font covers."""
+    printable-ASCII subset the fixture fonts cover. Each doc draws a
+    render STYLE from TEXT_STYLES (seeded per doc_id): plain paragraphs,
+    two-column layout, rotated pages, a forced hyphen line break
+    (dehyphenation must restore the word), CID (Type0/Identity-H) or
+    Standard-14 fonts, or TJ-kerned lines with kern-driven word gaps.
+    Every style preserves the word sequence exactly, so the reassembled
+    extraction equals the original tokens regardless of layout."""
     clean = "".join(ch if 32 <= ord(ch) <= 126 else " " for ch in text)
     words = []
     for w in clean.split():
@@ -2463,29 +2487,90 @@ def make_text_doc(doc_id: str, text: str, seed: int = 42
             words.append(w)
     if not words:
         words = ["empty"]
+    rng = random.Random(f"{seed}:{doc_id}:ext")
+    style = rng.choice(TEXT_STYLES)
+    maxw = max(len(w) for w in words)
+    if style == "multicolumn" and maxw > 19:
+        style = "plain"  # an overlong lone-word line would invade column 2
+    if style == "hyphenated" and not any(
+            len(w) >= 8 and w.isalpha() and w.islower() for w in words):
+        style = "plain"
+
+    font, cid = "F1", False
+    if style == "cid":
+        font, cid = "F2", True
+    elif style == "std14":
+        font = "F6"
+    tc = tz = tw = None
+    if style == "kerned":
+        tc = rng.choice([0.0, 0.0, 0.25])
+        tz = rng.choice([100.0, 100.0, 110.0])
+        tw = rng.choice([0.0, 0.0, 1.5])
+
     plan = DocPlan()
     width = PAGE_W - 2 * MARGIN
-    v = PAGE_H - MARGIN
-    page = 0
-    rng = random.Random(f"{seed}:{doc_id}:ext")
+    v_top = PAGE_H - MARGIN
+    via_cm = False
+    if style == "rotated":
+        plan.theta = rng.choice([90, 180, 270])
+        via_cm = rng.random() < 0.5
+        if plan.theta in (90, 270):
+            width = PAGE_H - 2 * MARGIN
+            v_top = PAGE_W - MARGIN
+    cols_x = [MARGIN]
+    if style == "multicolumn":
+        gutter = 42.0
+        width = (width - gutter) / 2
+        cols_x = [MARGIN, MARGIN + width + gutter]
+    floor = MARGIN + 140  # headroom for a worst-case next paragraph
+
+    page, col, v = 0, 0, v_top
+    hyph_done = False
     i = 0
     while i < len(words):
         take = rng.randint(30, 60)
         chunk = words[i : i + take]
         i += take
-        lines = _wrap(chunk, FS, width, 0.0, 1.0, cid=False)
+        th = (tz / 100.0) if tz else 1.0
+        lines = _wrap(chunk, FS, width, tc or 0.0, th, cid=cid,
+                      tw=tw or 0.0, font=font)
+        if style == "hyphenated" and not hyph_done and len(lines) >= 2:
+            # force a hyphen break: move the head of line 2's first word
+            # up as 'head-' iff it fits and dehyphenation can restore it
+            l2words = lines[1].split(" ")
+            w2 = l2words[0]
+            for k in (3, 2):
+                cand = lines[0] + " " + w2[:k] + "-"
+                if (len(w2) > k + 1 and w2.isalpha() and w2.islower()
+                        and _text_w(cand, FS) <= width):
+                    lines = ([cand, " ".join([w2[k:]] + l2words[1:])]
+                             + lines[2:])
+                    hyph_done = True
+                    break
+        if style == "kerned":
+            seg_lines = _kern_segs(rng, lines)
+        else:
+            seg_lines = [[Seg(t)] for t in lines]
         baselines = []
         vv = v - FS
         for _ in lines:
             baselines.append(vv)
             vv -= LEADING
-        p = ParaPlan(lines=[[Seg(t)] for t in lines], x=MARGIN,
-                     baselines=baselines, page=page)
+        p = ParaPlan(lines=seg_lines, x=cols_x[col], baselines=baselines,
+                     page=page, font=font)
+        if tc is not None:
+            p.tc, p.tz, p.tw = tc, tz, tw
+        if via_cm:
+            p.rot_via_cm = True
         plan.blocks.append(p)
         v = vv + LEADING - PARA_SKIP
-        if v < MARGIN + 140:  # headroom for a worst-case next paragraph
-            page += 1
-            v = PAGE_H - MARGIN
+        if v < floor:
+            if style == "multicolumn" and col == 0:
+                col = 1
+            else:
+                page += 1
+                col = 0
+            v = v_top
     pdf, golden = render_doc(plan)
     return golden, pdf
 
