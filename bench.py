@@ -160,6 +160,95 @@ def main() -> None:
             "noisy": load_start[0] > 4.0,
         }
 
+    # --- integrated-pipeline soak (r6 VERDICT #3): render → extract →
+    # reassemble → MinHash/LSH at 100k docs with a planted ≥1 MB mega-doc.
+    # The mega-doc exercises the oversized-doc split (bounded task atoms,
+    # operators.extracted.render_extract_parts): as ONE task it would cost
+    # ~15 s and push the straggler ratio past 2; as ~17 parallel parts the
+    # per-partition work distribution stays flat. BENCH_INTEGRATED_DOCS
+    # overrides (0 disables).
+    int_default = 100000 if sf >= 0.1 else 0
+    int_n = int(os.environ.get("BENCH_INTEGRATED_DOCS", int_default))
+    integrated = None
+    if int_n > 0:
+        from unipdf_spark.operators.dedup import (
+            MAX_BUCKET, band_table, minhash_signatures_pandas)
+        from unipdf_spark.operators.extracted import (
+            reassemble_parts, render_extract_parts)
+
+        int_load = os.getloadavg()
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("bid"), "text")
+        n_base = base.count()
+        corpus = (
+            spark.range(0, int_n, numPartitions=cpus * 2)
+            .withColumn("bid", F.col("id") % n_base)
+            .join(F.broadcast(base), "bid")
+            .select(
+                F.concat(F.lit("doc_"),
+                         F.lpad(F.col("id").cast("string"), 8, "0")
+                         ).alias("doc_id"),
+                "text",
+            )
+        )
+        btxt = base.limit(1).collect()[0]["text"]
+        mega = (btxt + " ") * (1_100_000 // (len(btxt) + 1) + 1)
+        mega_df = spark.createDataFrame(
+            [(f"doc_{int_n:08d}", mega)], "doc_id string, text string")
+        corpus = corpus.unionByName(mega_df)
+
+        t0 = time.perf_counter()
+        pe = render_extract_parts(corpus).persist()
+        n_err = pe.filter(F.col("error").isNotNull()).count()
+        t_int_extract = time.perf_counter() - t0
+        per_part = (
+            pe.groupBy("partition_id")
+            .agg(F.sum("elapsed_ms").alias("ms"))
+            .collect()
+        )
+        times = sorted(r["ms"] for r in per_part)
+        med = times[len(times) // 2] if times else 0
+        mx = times[-1] if times else 0
+
+        t0 = time.perf_counter()
+        ext = reassemble_parts(pe)
+        bt = band_table(minhash_signatures_pandas(ext)).persist()
+        ok = (
+            bt.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter((F.col("n") >= 2) & (F.col("n") <= MAX_BUCKET))
+            .select("band", "band_hash")
+        )
+        cand = (
+            bt.join(ok, ["band", "band_hash"], "left_semi")
+            .groupBy("band", "band_hash")
+            .agg(F.collect_list("doc_id").alias("members"))
+            .select(F.explode("members").alias("doc_a"), "members")
+            .select("doc_a", F.explode("members").alias("doc_b"))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .distinct()
+        )
+        n_pairs = cand.count()
+        t_lsh = time.perf_counter() - t0
+        bt.unpersist()
+        pe.unpersist()
+        integrated = {
+            "n_docs": int_n + 1,
+            "mega_doc_chars": len(mega),
+            "extract_sec": round(t_int_extract, 3),
+            "docs_per_sec": round((int_n + 1) / t_int_extract, 1)
+            if t_int_extract > 0 else 0.0,
+            "errors": n_err,
+            "partitions": len(times),
+            "median_partition_ms": int(med),
+            "max_partition_ms": int(mx),
+            "straggler_ratio": round((mx / med) if med else 0.0, 3),
+            "lsh_sec": round(t_lsh, 3),
+            "n_candidate_pairs": n_pairs,
+            "loadavg_start": [round(x, 2) for x in int_load],
+            "noisy": load_start[0] > 4.0,
+        }
+
     load_end = os.getloadavg()
     # the host is "noisy" when load beyond this process's own footprint is
     # present at start (fresh runs start near-idle; a 1-min loadavg much
@@ -190,6 +279,7 @@ def main() -> None:
                 "loadavg_end": [round(x, 2) for x in load_end],
                 "noisy": noisy,
                 "soak": soak,
+                "integrated_soak": integrated,
             }
         )
     )

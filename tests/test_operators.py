@@ -701,3 +701,42 @@ def test_html_class_hint_and_smoothing_units():
     html2 = ("<body><nav><a href='/'>home</a></nav><p>hi</p>"
              "<footer>f</footer></body>")
     assert main_content(html2) == ""
+
+
+def test_oversized_doc_split_roundtrip(spark):
+    """Scale path for heavy-tailed corpora (r6 VERDICT #3): a text beyond
+    PART_CHARS splits into bounded word-boundary parts that extract as
+    independent tasks and reassemble to the identical token stream; small
+    docs stay single-part on the shuffle-free path."""
+    import re
+
+    import duckdb
+    import pandas as pd
+
+    from unipdf_spark.operators.extracted import (
+        PART_CHARS, reassemble_parts, render_extract_parts)
+
+    base = duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet' LIMIT 1").fetchone()[0]
+    mega = (base + " ") * (3 * PART_CHARS // (len(base) + 1) + 1)
+    named = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["doc_00000001", "doc_00000002"],
+        "text": [base, mega],
+    }))
+    pe = render_extract_parts(named).persist()
+    rows = pe.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and not by_doc[1][0]["multi"]
+    assert len(by_doc[2]) >= 3 and all(r["multi"] for r in by_doc[2])
+    # every part atom is bounded (the whole point)
+    assert all(len(r["text"]) <= PART_CHARS + 50 for r in by_doc[2])
+    assert all(r["error"] is None for r in rows)
+    assert all(r["elapsed_ms"] >= 0 for r in rows)
+
+    ws = re.compile(r"\s+")
+    out = {r["doc_id"]: r["text"] for r in reassemble_parts(pe).collect()}
+    pe.unpersist()
+    assert out[1] == ws.sub(" ", base).strip()
+    assert out[2] == ws.sub(" ", mega).strip()

@@ -87,6 +87,119 @@ def render_extract_reassemble(named: DataFrame) -> DataFrame:
         render_extract, schema="doc_id bigint, text string")
 
 
+PART_CHARS = 65536  # oversized-doc task atom: ~0.6 s render+extract each
+
+
+def render_extract_parts(named: DataFrame, part_chars: int = PART_CHARS
+                         ) -> DataFrame:
+    """Scale path for heavy-tailed corpora: texts longer than
+    ``part_chars`` are split at word boundaries into bounded parts that
+    render+extract as INDEPENDENT tasks, so one 1 MB document can no
+    longer hold a partition hostage (the 48k skew drill bounds doc-count
+    skew; this bounds the per-DOC atom — a planted mega-doc costs ~15 s
+    as one task but ~0.6 s × N fully parallel parts). Small docs (the
+    overwhelming majority) stay on the map-only path with NO shuffle;
+    only the oversized slice pays a parts shuffle.
+
+    Returns one row per part: (doc_id bigint, part_idx int, text,
+    multi boolean, partition_id int, elapsed_ms bigint, error string) —
+    the lineage columns feed per-partition straggler metrics (north-rule
+    per-partition lineage, same convention as pipeline.run_extraction)."""
+    out_ddl = ("doc_id bigint, part_idx int, text string, multi boolean, "
+               "partition_id int, elapsed_ms bigint, error string")
+
+    def rex(batches):
+        import re
+        import time
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from ..fixtures.gen import make_text_doc
+        from ..pdf.extract import extract_spans
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        ws = re.compile(r"\s+")
+        for b in batches:
+            rows = []
+            has_part = "part_idx" in b.columns
+            parts = b["part_idx"] if has_part else [0] * len(b)
+            for doc_id, text, part in zip(b["doc_id"], b["text"], parts):
+                t0 = time.perf_counter()
+                _golden, pdf = make_text_doc(doc_id, text or "")
+                res = extract_spans(pdf)
+                joined = " ".join(
+                    s["text"] for s in res.spans if s["kind"] == "text")
+                rows.append((
+                    int(doc_id[4:]), int(part),
+                    ws.sub(" ", joined).strip(), has_part, pid,
+                    int((time.perf_counter() - t0) * 1000), res.error,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "part_idx", "text", "multi", "partition_id",
+                "elapsed_ms", "error"])
+
+    small = named.filter(
+        F.length(F.coalesce("text", F.lit(""))) <= part_chars)
+    big = named.filter(F.length(F.coalesce("text", F.lit(""))) > part_chars)
+
+    def split_batches(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                cur: list[str] = []
+                n = 0
+                idx = 0
+                for w in (text or "").split():
+                    if n + len(w) + 1 > part_chars and cur:
+                        rows.append((doc_id, idx, " ".join(cur)))
+                        idx += 1
+                        cur, n = [], 0
+                    cur.append(w)
+                    n += len(w) + 1
+                rows.append((doc_id, idx, " ".join(cur)))
+            yield pd.DataFrame(rows, columns=["doc_id", "part_idx", "text"])
+
+    parts = big.mapInPandas(
+        split_batches, "doc_id string, part_idx int, text string"
+    ).repartitionByRange(F.col("doc_id"), F.col("part_idx"))
+    # range- (not hash-) partitioned: the part count is small, and hash
+    # buckets birthday-collide (2-3 atoms in one task defeats the split);
+    # ranges give ~one atom per partition
+    return (
+        small.select("doc_id", "text").mapInPandas(rex, out_ddl)
+        .unionByName(parts.mapInPandas(rex, out_ddl))
+    )
+
+
+def reassemble_parts(parts_ext: DataFrame) -> DataFrame:
+    """Part rows → (doc_id bigint, text): single-part docs pass through
+    shuffle-free; only the oversized slice aggregates (part_idx-ordered
+    space join — token stream identical to the unsplit text)."""
+    singles = parts_ext.filter(~F.col("multi")).select("doc_id", "text")
+    joined = (
+        parts_ext.filter(F.col("multi"))
+        .groupBy("doc_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("part_idx", "text"))),
+                lambda s: s["text"],
+            ), " ").alias("text"))
+    )
+    return singles.unionByName(joined)
+
+
+def render_extract_reassemble_scalable(named: DataFrame,
+                                       part_chars: int = PART_CHARS
+                                       ) -> DataFrame:
+    """Batch-mode render→extract→reassembly with the oversized-doc split
+    (streaming keeps :func:`render_extract_reassemble` — the reassembly
+    aggregate would need stateful semantics there)."""
+    return reassemble_parts(render_extract_parts(named, part_chars))
+
+
 def extracted_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(+planted clones) → PDFs → span extraction → reassembled
     text → normalized dedup groups + MinHash LSH candidate-partner counts,
@@ -99,7 +212,7 @@ def extracted_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ).alias("doc_id"),
         "text",
     )
-    extracted = render_extract_reassemble(named).persist()
+    extracted = render_extract_reassemble_scalable(named).persist()
 
     # normalized dedup ON EXTRACTED TEXT (same normalization as
     # dedup_normalized: lowercase, strip punctuation, collapse whitespace)
