@@ -666,9 +666,9 @@ def test_html_adversarial_fixture_defeats_bare_gate():
         if bare != want:
             n_gate_fail += 1
         # count pages whose article actually planted a short paragraph
-        art = html.split("<article>")[1].split("</article>")[0]
+        # (<p> is used only for article paragraphs in every template)
         paras = [ws.sub(" ", re.sub(r"<[^>]+>", "", p)).strip()
-                 for p in re.findall(r"<p>(.*?)</p>", art, re.S)]
+                 for p in re.findall(r"<p>(.*?)</p>", html, re.S)]
         if any(len(p) < MIN_BLOCK_CHARS for p in paras):
             n_dialogue_pages += 1
     assert n_gate_fail == len(rows)  # cookie/author prose leaks every time

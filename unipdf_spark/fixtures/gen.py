@@ -2650,14 +2650,66 @@ def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
         f"writing about {rng.choice(BOILER_WORDS)} and "
         f"{rng.choice(BOILER_WORDS)} since 20{rng.randint(10, 25)}."
     )
-    return f"""<!DOCTYPE html>
+    head = f"""<!DOCTYPE html>
 <html>
 <head>
   <title>Doc {doc_id[-6:]}</title>
   <style>body {{ margin: 0; }} .x {{ color: red }}</style>
   <script>var t = "{rng.randrange(10 ** 6)}"; track(t);</script>
 </head>
-<body>
+<body>"""
+    article = chr(10).join(body_paras)
+    template = rng.choice(["semantic", "semantic", "divsoup", "tabular"])
+    if template == "divsoup":
+        # no semantic HTML5 containers at all — the class/id hint lexicon
+        # alone must scope the chrome (pre-HTML5 real-world shape)
+        return f"""{head}
+<div class="cookie-consent">{cookie}
+  <a href="/cookies">Learn more</a>.</div>
+<div class="menu"><ul>{links(rng.randint(5, 9))}</ul></div>
+<div class="crumbs"><a href="/">Home</a> &gt; <a href="/c">{
+        rng.choice(BOILER_WORDS)}</a></div>
+<div class="sidebar">
+  <h3>Links</h3>
+  <ul>{links(rng.randint(4, 8))}</ul>
+  <div class="ad">{ad}</div>
+</div>
+<div id="content">
+{article}
+</div>
+<div class="author-byline">{author}</div>
+<div class="related"><ul>{links(rng.randint(3, 6))}</ul></div>
+<div id="footer-legal">&copy; 2026 Fixture — <a href="/t">terms</a>
+  <a href="/p">privacy</a></div>
+</body>
+</html>
+"""
+    if template == "tabular":
+        # 1999-style table-for-layout page: chrome and article live in
+        # table cells; td/tr segment blocks, hints scope the chrome cells
+        return f"""{head}
+<div class="cookie-consent">{cookie}
+  <a href="/cookies">Learn more</a>.</div>
+<table width="100%"><tr>
+  <td class="menu">{links(rng.randint(5, 9))}</td>
+  <td class="crumbs"><a href="/">Home</a> &gt; <a href="/c">{
+        rng.choice(BOILER_WORDS)}</a></td>
+</tr><tr>
+  <td class="sidebar"><h3>Links</h3><ul>{links(rng.randint(4, 8))}</ul>
+    <div class="ad">{ad}</div></td>
+  <td>
+{article}
+  </td>
+</tr><tr>
+  <td class="author-byline" colspan="2">{author}</td>
+</tr></table>
+<div class="related"><ul>{links(rng.randint(3, 6))}</ul></div>
+<div id="footer-legal">&copy; 2026 Fixture — <a href="/t">terms</a>
+  <a href="/p">privacy</a></div>
+</body>
+</html>
+"""
+    return f"""{head}
 <div class="cookie-consent">{cookie}
   <a href="/cookies">Learn more</a>.</div>
 <header>
