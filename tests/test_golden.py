@@ -59,3 +59,51 @@ def test_spans_flat_golden_covers_all_docs():
         for _d, _i, kind, text_len, _m, offset in rs:
             assert offset == pos, doc_id
             pos += text_len
+
+
+def test_every_sidecar_oracle_is_wired_and_exists():
+    """Consistency guard: each golden sidecar has a committed parquet AND
+    an oracle_sql entry referencing it; every referenced path exists."""
+    import os
+    import re
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as em
+
+    oracles = em.oracle_sql()
+    for name in golden.SIDECARS:
+        assert os.path.exists(f"golden/{name}.parquet"), name
+        assert name in oracles, f"{name} sidecar has no oracle entry"
+        assert f"golden/{name}.parquet" in oracles[name], name
+    # and every golden path any oracle references exists on disk
+    for name, sql in oracles.items():
+        for path in re.findall(r"'(/root/repo/golden/[^']+)'", sql):
+            assert os.path.exists(path), (name, path)
+
+
+def test_table_cell_goldens_property_random_ids():
+    """Property: for ANY doc id, the planted cell matrix (including the
+    merged-cell variant's top-left anchoring) equals what the engine
+    extracts — the sidecar's guarantee is not specific to the committed
+    40-doc corpus."""
+    from unipdf_spark.pdf.extract import extract_tables
+
+    for i in range(25):
+        doc_id = f"prop_cells_{i:04d}"
+        for cls in ("gridtable", "wstable", "twotables"):
+            plan = gen._plan_doc(doc_id, cls, 42)
+            want = [
+                (tid, r, c, cell)
+                for tid in sorted(plan.table_cell_goldens)
+                for r, row in enumerate(plan.table_cell_goldens[tid])
+                for c, cell in enumerate(row)
+            ]
+            _, pdf = gen.make_doc(doc_id, cls, 42)
+            got = [
+                (ti, r, c, cell)
+                for ti, t in enumerate(extract_tables(pdf))
+                for r, row in enumerate(t["cells"])
+                for c, cell in enumerate(row)
+            ]
+            assert got == want, (doc_id, cls)
