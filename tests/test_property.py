@@ -62,6 +62,7 @@ def test_corrupted_pdfs_never_raise():
 
     from unipdf_spark.fixtures import FIXTURE_CLASSES, make_doc
     from unipdf_spark.pdf.extract import (
+        extract_document_profile,
         extract_lists,
         extract_page_inventory,
         extract_spans,
@@ -69,10 +70,22 @@ def test_corrupted_pdfs_never_raise():
         extract_text_visibility,
     )
 
+    from unipdf_spark.fixtures.gen import make_text_doc
+
     rng = random.Random(5)
-    for trial in range(60):
-        cls = rng.choice(FIXTURE_CLASSES)
-        _, pdf = make_doc(f"fz{trial}", cls, seed=trial % 5)
+    for trial in range(72):
+        # every fixture class, the explicit-mix-only jpeg_blocky class,
+        # and styled external-text renders all serve as corruption seeds
+        roll = rng.randrange(6)
+        if roll == 4:
+            _, pdf = make_doc(f"fz{trial}", "jpeg_blocky", seed=trial % 5)
+        elif roll == 5:
+            _, pdf = make_text_doc(f"doc_{trial:08d}",
+                                   "alpha beta gamma delta " * 40,
+                                   seed=trial % 5)
+        else:
+            cls = rng.choice(FIXTURE_CLASSES)
+            _, pdf = make_doc(f"fz{trial}", cls, seed=trial % 5)
         b = bytearray(pdf)
         mode = rng.randrange(4)
         if mode == 0:
@@ -94,6 +107,7 @@ def test_corrupted_pdfs_never_raise():
         extract_lists(blob)
         extract_text_visibility(blob)
         extract_page_inventory(blob)
+        extract_document_profile(blob, terms=["query"])
 
 
 # logical-word vocabulary for the joint Arabic-shaping × bidi property:
