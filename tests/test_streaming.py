@@ -332,3 +332,56 @@ def test_streaming_html_main_content(spark, tmp_path):
     for did, text in [("doc_00000001", base), ("doc_00000002", base + "omega")]:
         want = hashlib.md5(ws.sub(" ", text).strip().encode()).hexdigest()
         assert rows[did] == want
+
+
+def test_streaming_oversized_doc_split(spark, tmp_path):
+    """The oversized-doc scale path under Structured Streaming: a text
+    beyond PART_CHARS splits into bounded atoms inside its micro-batch
+    and reassembles per doc (stateless group step) to the identical
+    token stream as the batch scalable path; small docs in the same
+    stream take the map-only branch."""
+    import re
+
+    import pandas as pd
+
+    from unipdf_spark.operators.extracted import (
+        render_extract_reassemble_scalable)
+    from unipdf_spark.streaming.ops import streaming_render_extract_reassemble
+
+    ws = re.compile(r"\s+")
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    part_chars = 160  # tiny atom size so the test splits without megabytes
+    big = ("word" + " streaming scale path tokens preserved exactly ") * 30
+    b1 = pd.DataFrame({"doc_id": ["doc_00000001", "doc_00000002"],
+                       "text": [base, big]})
+    src = f"{tmp_path}/in"
+    spark.createDataFrame(b1).coalesce(1).write.json(f"{src}/batch=0")
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{src}/batch=*")
+    )
+    out = streaming_render_extract_reassemble(stream, part_chars=part_chars)
+    q = (
+        out.writeStream.format("memory").queryName("ovsz_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ovsz_out").collect()
+    finally:
+        q.stop()
+    got = {r["doc_id"]: r["text"] for r in rows}
+    assert got[1] == ws.sub(" ", base).strip()
+    assert got[2] == ws.sub(" ", big).strip()
+    # batch scalable path produces the identical result
+    named = spark.createDataFrame(b1)
+    batch = {
+        r["doc_id"]: r["text"]
+        for r in render_extract_reassemble_scalable(
+            named, part_chars=part_chars).collect()
+    }
+    assert batch == got

@@ -88,60 +88,47 @@ def render_extract_reassemble(named: DataFrame) -> DataFrame:
 
 
 PART_CHARS = 65536  # oversized-doc task atom: ~0.6 s render+extract each
+PARTS_DDL = "doc_id string, part_idx int, text string"
+REX_DDL = ("doc_id bigint, part_idx int, text string, multi boolean, "
+           "partition_id int, elapsed_ms bigint, error string")
 
 
-def render_extract_parts(named: DataFrame, part_chars: int = PART_CHARS
-                         ) -> DataFrame:
-    """Scale path for heavy-tailed corpora: texts longer than
-    ``part_chars`` are split at word boundaries into bounded parts that
-    render+extract as INDEPENDENT tasks, so one 1 MB document can no
-    longer hold a partition hostage (the 48k skew drill bounds doc-count
-    skew; this bounds the per-DOC atom — a planted mega-doc costs ~15 s
-    as one task but ~0.6 s × N fully parallel parts). Small docs (the
-    overwhelming majority) stay on the map-only path with NO shuffle;
-    only the oversized slice pays a parts shuffle.
+def _rex_worker(batches):
+    """Fused render→extract→reassemble worker over (doc_id, text[,
+    part_idx]) rows — shared by the batch and streaming scale paths."""
+    import re
+    import time
 
-    Returns one row per part: (doc_id bigint, part_idx int, text,
-    multi boolean, partition_id int, elapsed_ms bigint, error string) —
-    the lineage columns feed per-partition straggler metrics (north-rule
-    per-partition lineage, same convention as pipeline.run_extraction)."""
-    out_ddl = ("doc_id bigint, part_idx int, text string, multi boolean, "
-               "partition_id int, elapsed_ms bigint, error string")
+    import pandas as pd
+    from pyspark import TaskContext
 
-    def rex(batches):
-        import re
-        import time
+    from ..fixtures.gen import make_text_doc
+    from ..pdf.extract import extract_spans
 
-        import pandas as pd
-        from pyspark import TaskContext
+    pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+    ws = re.compile(r"\s+")
+    for b in batches:
+        rows = []
+        has_part = "part_idx" in b.columns
+        parts = b["part_idx"] if has_part else [0] * len(b)
+        for doc_id, text, part in zip(b["doc_id"], b["text"], parts):
+            t0 = time.perf_counter()
+            _golden, pdf = make_text_doc(doc_id, text or "")
+            res = extract_spans(pdf)
+            joined = " ".join(
+                s["text"] for s in res.spans if s["kind"] == "text")
+            rows.append((
+                int(doc_id[4:]), int(part),
+                ws.sub(" ", joined).strip(), has_part, pid,
+                int((time.perf_counter() - t0) * 1000), res.error,
+            ))
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "part_idx", "text", "multi", "partition_id",
+            "elapsed_ms", "error"])
 
-        from ..fixtures.gen import make_text_doc
-        from ..pdf.extract import extract_spans
 
-        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        ws = re.compile(r"\s+")
-        for b in batches:
-            rows = []
-            has_part = "part_idx" in b.columns
-            parts = b["part_idx"] if has_part else [0] * len(b)
-            for doc_id, text, part in zip(b["doc_id"], b["text"], parts):
-                t0 = time.perf_counter()
-                _golden, pdf = make_text_doc(doc_id, text or "")
-                res = extract_spans(pdf)
-                joined = " ".join(
-                    s["text"] for s in res.spans if s["kind"] == "text")
-                rows.append((
-                    int(doc_id[4:]), int(part),
-                    ws.sub(" ", joined).strip(), has_part, pid,
-                    int((time.perf_counter() - t0) * 1000), res.error,
-                ))
-            yield pd.DataFrame(rows, columns=[
-                "doc_id", "part_idx", "text", "multi", "partition_id",
-                "elapsed_ms", "error"])
-
-    small = named.filter(
-        F.length(F.coalesce("text", F.lit(""))) <= part_chars)
-    big = named.filter(F.length(F.coalesce("text", F.lit(""))) > part_chars)
+def _make_splitter(part_chars: int):
+    """Word-boundary splitter worker: (doc_id, text) → bounded parts."""
 
     def split_batches(batches):
         import pandas as pd
@@ -162,15 +149,36 @@ def render_extract_parts(named: DataFrame, part_chars: int = PART_CHARS
                 rows.append((doc_id, idx, " ".join(cur)))
             yield pd.DataFrame(rows, columns=["doc_id", "part_idx", "text"])
 
+    return split_batches
+
+
+def render_extract_parts(named: DataFrame, part_chars: int = PART_CHARS
+                         ) -> DataFrame:
+    """Scale path for heavy-tailed corpora: texts longer than
+    ``part_chars`` are split at word boundaries into bounded parts that
+    render+extract as INDEPENDENT tasks, so one 1 MB document can no
+    longer hold a partition hostage (the 48k skew drill bounds doc-count
+    skew; this bounds the per-DOC atom — a planted mega-doc costs ~15 s
+    as one task but ~0.6 s × N fully parallel parts). Small docs (the
+    overwhelming majority) stay on the map-only path with NO shuffle;
+    only the oversized slice pays a parts shuffle.
+
+    Returns one row per part: (doc_id bigint, part_idx int, text,
+    multi boolean, partition_id int, elapsed_ms bigint, error string) —
+    the lineage columns feed per-partition straggler metrics (north-rule
+    per-partition lineage, same convention as pipeline.run_extraction)."""
+    small = named.filter(
+        F.length(F.coalesce("text", F.lit(""))) <= part_chars)
+    big = named.filter(F.length(F.coalesce("text", F.lit(""))) > part_chars)
     parts = big.mapInPandas(
-        split_batches, "doc_id string, part_idx int, text string"
+        _make_splitter(part_chars), PARTS_DDL
     ).repartitionByRange(F.col("doc_id"), F.col("part_idx"))
     # range- (not hash-) partitioned: the part count is small, and hash
     # buckets birthday-collide (2-3 atoms in one task defeats the split);
     # ranges give ~one atom per partition
     return (
-        small.select("doc_id", "text").mapInPandas(rex, out_ddl)
-        .unionByName(parts.mapInPandas(rex, out_ddl))
+        small.select("doc_id", "text").mapInPandas(_rex_worker, REX_DDL)
+        .unionByName(parts.mapInPandas(_rex_worker, REX_DDL))
     )
 
 

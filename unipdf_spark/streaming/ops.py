@@ -212,3 +212,61 @@ def streaming_minhash_candidates(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+REASSEMBLE_OUT_SCHEMA = "doc_id bigint, text string"
+_REASSEMBLE_STATE_SCHEMA = "n int"
+
+
+def _reassemble_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-doc part reassembly. All parts of a document are born inside
+    its own micro-batch (the splitter derives them from one input row),
+    so no state survives calls — the group step exists only because a
+    plain groupBy aggregate is not available mid-stream."""
+    parts: list[tuple[int, str]] = []
+    for pdf in pdfs:
+        parts.extend(zip(pdf["part_idx"], pdf["text"]))
+    parts.sort()
+    yield pd.DataFrame(
+        {"doc_id": [key[0]], "text": [" ".join(t for _, t in parts)]}
+    )
+    # bounded-state guarantee: nothing is ever stored
+    if state.exists:
+        state.remove()
+
+
+def streaming_render_extract_reassemble(docs: DataFrame,
+                                        part_chars: int | None = None
+                                        ) -> DataFrame:
+    """Streaming variant of the oversized-doc scale path (the batch side
+    is operators.extracted.render_extract_reassemble_scalable): texts
+    beyond PART_CHARS split into bounded word-boundary atoms that extract
+    as independent tasks (hash-spread — range partitioning needs a
+    sampling pass a stream cannot do), then reassemble per doc via a
+    stateless applyInPandasWithState group step. Small docs take the
+    map-only branch; a 1 MB document in a micro-batch no longer holds the
+    trigger hostage on one core."""
+    from ..operators.extracted import (PART_CHARS, PARTS_DDL, REX_DDL,
+                                       _make_splitter, _rex_worker)
+
+    pc = part_chars or PART_CHARS
+    small = docs.filter(F.length(F.coalesce("text", F.lit(""))) <= pc)
+    big = docs.filter(F.length(F.coalesce("text", F.lit(""))) > pc)
+    parts = big.mapInPandas(_make_splitter(pc), PARTS_DDL).repartition(
+        F.col("doc_id"), F.col("part_idx"))
+    ext_small = small.select("doc_id", "text").mapInPandas(
+        _rex_worker, REX_DDL).select("doc_id", "text")
+    ext_big = (
+        parts.mapInPandas(_rex_worker, REX_DDL)
+        .groupBy("doc_id")
+        .applyInPandasWithState(
+            _reassemble_fn,
+            outputStructType=REASSEMBLE_OUT_SCHEMA,
+            stateStructType=_REASSEMBLE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return ext_small.unionByName(ext_big)
