@@ -168,6 +168,7 @@ class Seg:
     text: str
     kern_after: float | None = None
     golden: str | None = None
+    actual_text: str | None = None  # /Span ActualText wrapping this seg
 
     @property
     def gold(self) -> str:
@@ -1349,7 +1350,8 @@ def _para_content(p: ParaPlan, theta: int) -> bytes:
         def _esc(t: str) -> bytes:
             return _esc_t1(t) if p.font == "F9" else esc_string(t, enc)
 
-        simple = len(segs) == 1 and segs[0].kern_after is None and i != p.lig_line
+        simple = (len(segs) == 1 and segs[0].kern_after is None
+                  and segs[0].actual_text is None and i != p.lig_line)
         if simple:
             out += b"(" + _esc(segs[0].text) + b") Tj\n"
         else:
@@ -1357,6 +1359,14 @@ def _para_content(p: ParaPlan, theta: int) -> bytes:
                 if seg.text == "ﬁ" and i == p.lig_line:
                     out += b"/Span << /ActualText (fi) >> BDC\n"
                     out += b"(" + bytes([LIG_CODE]) + b") Tj\n"
+                    out += b"EMC\n"
+                    continue
+                if seg.actual_text is not None:
+                    # generic ActualText region: shown glyphs are a
+                    # placeholder; the struct text replaces them (e:977)
+                    out += (b"/Span << /ActualText ("
+                            + esc_string(seg.actual_text) + b") >> BDC\n")
+                    out += b"(" + _esc(seg.text) + b") Tj\n"
                     out += b"EMC\n"
                     continue
                 arr = bytearray(b"[")
@@ -2463,7 +2473,7 @@ def make_spans_doc(doc_id: str, spans: list[dict], seed: int = 42
 # render→extract→dedup oracle (operators.extracted) also gates layout and
 # font regressions end to end (r6 VERDICT #6). Weighted toward plain.
 TEXT_STYLES = ("plain", "plain", "plain", "plain", "multicolumn",
-               "rotated", "hyphenated", "cid", "std14", "kerned")
+               "rotated", "hyphenated", "cid", "std14", "kerned", "tagged")
 
 
 def make_text_doc(doc_id: str, text: str, seed: int = 42
@@ -2549,6 +2559,26 @@ def make_text_doc(doc_id: str, text: str, seed: int = 42
                     break
         if style == "kerned":
             seg_lines = _kern_segs(rng, lines)
+        elif style == "tagged":
+            # some words render as placeholder glyphs inside a /Span
+            # ActualText region — the struct text must replace them
+            seg_lines = []
+            for ln in lines:
+                wsx = ln.split(" ")
+                if len(wsx) >= 3 and rng.random() < 0.6:
+                    j = rng.randrange(1, len(wsx) - 1)
+                    word = wsx[j]
+                    # ONE shown glyph carries the whole replacement text:
+                    # a multi-glyph placeholder would leave a mark hole
+                    # (later glyphs of an ActualText region decode empty)
+                    # wide enough to split the line at the word gap
+                    seg_lines.append([
+                        Seg(" ".join(wsx[:j]) + " "),
+                        Seg("#", actual_text=word, golden=word),
+                        Seg(" " + " ".join(wsx[j + 1:])),
+                    ])
+                else:
+                    seg_lines.append([Seg(ln)])
         else:
             seg_lines = [[Seg(t)] for t in lines]
         baselines = []
