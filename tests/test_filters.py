@@ -1063,3 +1063,68 @@ def test_jbig2_huffman_refinement_bmsize0_advances_by_consumption():
     assert len(out) == 1 and len(out[0]) == 1
     assert br.pos < len(seg)  # did NOT exhaust the segment
     assert br.bitpos == 0
+
+
+def test_jpeg_12bit_extended_sequential():
+    """12-bit extended sequential (SOF1, precision 12): a documented
+    extension beyond reference parity (Go image/jpeg rejects 12-bit).
+    Gradient content round-trips at high PSNR with uint16 output; blocky
+    even-offset content survives exactly (qDC=16 argument at the 2048
+    level shift); DRI restarts work; the 8-bit path is unchanged."""
+    import math
+    import random
+
+    import numpy as np
+
+    from unipdf_spark.fixtures.render import jpeg_gray_encode
+    from unipdf_spark.pdf.jpeg import decode_baseline_gray
+
+    rng = random.Random(7)
+    img = [
+        [max(0, min(4095, int(2048 + 1600 * math.sin(x / 5.0)
+                              * math.cos(y / 4.0))))
+         for x in range(32)]
+        for y in range(24)
+    ]
+    dec = decode_baseline_gray(jpeg_gray_encode(img, precision=12))
+    assert dec.dtype == np.uint16
+    src = np.asarray(img, dtype="f8")
+    mse = float(np.mean((dec.astype("f8") - src) ** 2))
+    psnr = 10 * math.log10(4095.0 ** 2 / mse)
+    assert psnr > 45.0, psnr
+
+    vals = [[2048 + 2 * rng.randint(-900, 900) for _ in range(4)]
+            for _ in range(3)]
+    blocky = [[vals[y // 8][x // 8] for x in range(32)] for y in range(24)]
+    for kwargs in ({}, {"restart_interval": 2}):
+        got = decode_baseline_gray(
+            jpeg_gray_encode(blocky, precision=12, **kwargs))
+        assert np.array_equal(got, np.asarray(blocky, "u2"))
+
+    img8 = [[(x * 7 + y * 3) % 256 for x in range(24)] for y in range(16)]
+    assert decode_baseline_gray(jpeg_gray_encode(img8)).dtype == np.uint8
+
+
+def test_jpeg_12bit_16bit_quant_tables():
+    """Pq=1 DQT segments (16-bit quantizer entries, §B.2.4.1) parse and
+    decode — swap the 8-bit DQT of a 12-bit stream for an equivalent
+    16-bit one and the output must be identical."""
+    import numpy as np
+
+    from unipdf_spark.fixtures.render import _JPG_Q, jpeg_gray_encode
+    from unipdf_spark.pdf.jpeg import decode_baseline_gray
+
+    img = [[(2048 + 16 * ((x + y) % 64)) for x in range(16)]
+           for y in range(16)]
+    data = jpeg_gray_encode(img, precision=12)
+    # locate the 8-bit DQT payload and rewrite it as Pq=1 (same values)
+    i = data.index(b"\xff\xdb")
+    seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+    assert seg_len == 67  # 2 + 1 + 64 (Pq=0)
+    q16 = bytes([0x10]) + b"".join(
+        int(v).to_bytes(2, "big") for v in _JPG_Q)
+    data16 = (data[:i + 2] + (len(q16) + 2).to_bytes(2, "big") + q16
+              + data[i + 2 + seg_len:])
+    a = decode_baseline_gray(data)
+    b = decode_baseline_gray(data16)
+    assert np.array_equal(a, b)

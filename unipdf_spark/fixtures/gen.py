@@ -974,6 +974,18 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
                 ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h)
             )
             v -= h + 10
+        # one 12-bit extended-sequential image (SOF1 precision 12 — the
+        # beyond-parity leg): constant blocks at even offsets from the
+        # 2048 level shift survive the same qDC=16 exactness argument
+        key = 305
+        vals12 = [[2048 + 2 * rng.randint(-900, 900) for _ in range(3)]
+                  for _ in range(2)]
+        plan.jpeg_images[key] = [[vals12[y // 8][x // 8]
+                                  for x in range(24)] for y in range(16)]
+        plan.jpeg_modes[key] = "ext12"
+        h = 24.0
+        plan.blocks.append(ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h))
+        v -= h + 10
         w_px, h_px = 24, 16
         gray = _blocky(w_px, h_px)
         rgbimg = [[[gray[y][x]] * 3 for x in range(w_px)]
@@ -1450,6 +1462,8 @@ def plan_image_payloads(plan: DocPlan) -> tuple[dict, dict]:
         mode = plan.jpeg_modes.get(key, "baseline")
         if mode == "progressive":
             payloads[key] = jpeg_progressive_encode(img)
+        elif mode == "ext12":
+            payloads[key] = jpeg_gray_encode(img, precision=12)
         elif mode.startswith("restart"):
             payloads[key] = jpeg_gray_encode(img,
                                              restart_interval=int(mode[7:]))
@@ -1876,12 +1890,14 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
 
     for key, img in plan.jpeg_images.items():
         data = payloads[key]
+        bpc = 12 if plan.jpeg_modes.get(key) == "ext12" else 8
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width "
             + str(len(img[0])).encode()
             + b" /Height " + str(len(img)).encode()
-            + b" /ColorSpace /DeviceGray /BitsPerComponent 8 "
-            b"/Filter /DCTDecode /Length " + str(len(data)).encode()
+            + b" /ColorSpace /DeviceGray /BitsPerComponent "
+            + str(bpc).encode()
+            + b" /Filter /DCTDecode /Length " + str(len(data)).encode()
             + b" >>\nstream\n" + data + b"\nendstream"
         )
         name = f"Im{key}"

@@ -1278,10 +1278,26 @@ class _JpgBitWriter:
         self.out += bytes([0xFF, m])
 
 
-def jpeg_gray_encode(img, restart_interval: int = 0) -> bytes:
-    """Baseline grayscale JPEG encoder (T.81; Annex K tables). With
-    restart_interval > 0, emits a DRI segment and RSTn markers every that
-    many MCUs (DC predictor reset + byte realignment)."""
+# extended-precision Huffman tables (12-bit sequential, T.81 §F.1.2): DC
+# categories reach 15 and AC sizes 14, beyond the Annex K baseline tables
+# — fixture-local canonical tables (all-DC length 5, all-AC length 8;
+# both stay clear of the reserved all-ones code)
+_JPG12_DC_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPG12_DC_VALS = list(range(16))
+_JPG12_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
+]
+_JPG12_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_JPG12_AC_VALS), 0, 0, 0, 0, 0,
+                  0, 0, 0]
+
+
+def jpeg_gray_encode(img, restart_interval: int = 0,
+                     precision: int = 8) -> bytes:
+    """Grayscale JPEG encoder (T.81; Annex K tables): baseline sequential
+    at precision 8, EXTENDED sequential (SOF1) at precision 12 (2048
+    level shift, 16-category DC table). With restart_interval > 0, emits
+    a DRI segment and RSTn markers every that many MCUs (DC predictor
+    reset + byte realignment)."""
     import numpy as np
 
     c = np.zeros((8, 8))
@@ -1299,8 +1315,14 @@ def jpeg_gray_encode(img, restart_interval: int = 0) -> bytes:
     q = np.zeros(64)
     q[_JPG_ZZ] = _JPG_Q  # K.1 table is given in zigzag order
     q = q.reshape(8, 8)
-    dc_codes = _jpg_codes(_JPG_DC_BITS, _JPG_DC_VALS)
-    ac_codes = _jpg_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    if precision == 12:
+        dc_bits, dc_vals = _JPG12_DC_BITS, _JPG12_DC_VALS
+        ac_bits, ac_vals = _JPG12_AC_BITS, _JPG12_AC_VALS
+    else:
+        dc_bits, dc_vals = _JPG_DC_BITS, _JPG_DC_VALS
+        ac_bits, ac_vals = _JPG_AC_BITS, _JPG_AC_VALS
+    dc_codes = _jpg_codes(dc_bits, dc_vals)
+    ac_codes = _jpg_codes(ac_bits, ac_vals)
     bwr = _JpgBitWriter()
     pred = 0
 
@@ -1317,7 +1339,8 @@ def jpeg_gray_encode(img, restart_interval: int = 0) -> bytes:
                 rst = (rst + 1) & 7
                 pred = 0
             mcu += 1
-            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            blk = (padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                   - float(1 << (precision - 1)))
             coef = c @ blk @ c.T
             quant = np.rint(coef / q).astype("i8")
             zz = quant.reshape(64)[_JPG_ZZ]
@@ -1349,10 +1372,11 @@ def jpeg_gray_encode(img, restart_interval: int = 0) -> bytes:
             + payload
 
     dqt = seg(0xDB, bytes([0]) + bytes(_JPG_Q))
-    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-              + bytes([1, 1, 0x11, 0]))
-    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)) \
-        + seg(0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS))
+    sof = seg(0xC0 if precision == 8 else 0xC1,
+              bytes([precision]) + h.to_bytes(2, "big")
+              + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)) \
+        + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
     dri = seg(0xDD, restart_interval.to_bytes(2, "big")) \
         if restart_interval else b""
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))

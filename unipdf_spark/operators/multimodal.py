@@ -121,7 +121,8 @@ def _decode_pixels(payload: bytes, width: int, height: int, codec: str,
         from ..pdf.jpeg import decode_baseline_gray
 
         img = decode_baseline_gray(payload)
-        return np.asarray(img, dtype=np.float64) / 255.0
+        full = 255.0 if img.dtype == np.uint8 else 4095.0
+        return np.asarray(img, dtype=np.float64) / full
     raise NotImplementedError(f"no decoder for codec {codec!r}")
 
 

@@ -11,9 +11,11 @@ upsample, JFIF YCbCr→RGB.
 
 Scope: 8-bit Huffman streams, 1 or 3 components, integer-ratio sampling
 factors in {1,2,4} (covers 4:4:4, 4:2:2, 4:2:0, 4:4:0, 4:1:1 — the Go
-image/jpeg set the reference decodes). Arithmetic-coded,
-12-bit, hierarchical and lossless streams raise a typed error (the span
-path keeps byte-identity media_ref either way).
+image/jpeg set the reference decodes), PLUS 12-bit extended sequential /
+progressive (SOF1/SOF2 precision 12, 16-bit DQT) — a documented
+extension beyond reference parity (Go image/jpeg rejects 12-bit).
+Arithmetic-coded, hierarchical and lossless streams raise a typed error
+(the span path keeps byte-identity media_ref either way).
 """
 
 from __future__ import annotations
@@ -318,6 +320,7 @@ def decode_baseline(data: bytes) -> np.ndarray:
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _Huff] = {}
+    precision = 8
     w = h = 0
     comps: list[_Component] = []
     progressive = False
@@ -344,14 +347,28 @@ def decode_baseline(data: bytes) -> np.ndarray:
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 15
-                if pq != 0:
-                    raise JpegError("16-bit quant tables unsupported")
-                qtables[tq] = np.array(list(seg[i + 1 : i + 65]), dtype="f8")
-                i += 65
+                if pq == 0:
+                    qtables[tq] = np.array(list(seg[i + 1 : i + 65]),
+                                           dtype="f8")
+                    i += 65
+                else:  # Pq=1: 16-bit entries (extended precision, §B.2.4.1)
+                    qtables[tq] = np.array(
+                        [int.from_bytes(seg[i + 1 + 2 * k : i + 3 + 2 * k],
+                                        "big") for k in range(64)],
+                        dtype="f8")
+                    i += 129
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progr.
             progressive = marker == 0xC2
-            if seg[0] != 8:
-                raise JpegError("only 8-bit precision supported")
+            precision = seg[0]
+            # baseline (SOF0) is 8-bit by definition; extended sequential
+            # (SOF1) and progressive (SOF2) allow 12-bit (T.81 Table B.2).
+            # The reference cannot decode 12-bit at all (Go image/jpeg) —
+            # documented extension beyond parity.
+            if precision not in (8, 12) or (marker == 0xC0
+                                            and precision != 8):
+                raise JpegError(
+                    "unsupported precision %d for SOF 0x%02X"
+                    % (precision, marker))
             nc = seg[5]
             if nc not in (1, 3):
                 raise JpegError("1 or 3 components supported")
@@ -421,6 +438,9 @@ def decode_baseline(data: bytes) -> np.ndarray:
     if not w or not h or not comps:
         raise JpegError("no SOF")
 
+    half = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
+    dtype = "u1" if precision == 8 else "u2"
     planes = []
     for c in comps:
         q = qtables[c.qsel]
@@ -428,7 +448,7 @@ def decode_baseline(data: bytes) -> np.ndarray:
         nat = np.zeros_like(zz)
         nat[:, ZIGZAG] = zz * q
         blk = nat.reshape(-1, 8, 8)
-        spatial = (_C.T @ blk) @ _C + 128.0  # batched IDCT
+        spatial = (_C.T @ blk) @ _C + half  # batched IDCT + level shift
         plane = (spatial.reshape(c.bh, c.bw, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(c.bh * 8, c.bw * 8))
         cw = -(-w * c.h // hmax)
@@ -439,20 +459,22 @@ def decode_baseline(data: bytes) -> np.ndarray:
                               hmax // c.h, 1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
-        return np.clip(np.rint(planes[0]), 0, 255).astype("u1")
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        return np.clip(np.rint(planes[0]), 0, maxval).astype(dtype)
+    y, cb, cr = planes[0], planes[1] - half, planes[2] - half
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
         axis=2,
     )
-    return np.clip(np.rint(rgb), 0, 255).astype("u1")
+    return np.clip(np.rint(rgb), 0, maxval).astype(dtype)
 
 
 def decode_baseline_gray(data: bytes) -> np.ndarray:
     """Decode to a single grayscale plane: native for 1-component streams,
-    the luma-weighted average for color ones."""
+    the luma-weighted average for color ones. Dtype follows the stream
+    precision (u1 for 8-bit, u2 for 12-bit extended)."""
     out = decode_baseline(data)
     if out.ndim == 2:
         return out
+    maxval = 255 if out.dtype == np.uint8 else 4095
     y = (0.299 * out[:, :, 0] + 0.587 * out[:, :, 1] + 0.114 * out[:, :, 2])
-    return np.clip(np.rint(y), 0, 255).astype("u1")
+    return np.clip(np.rint(y), 0, maxval).astype(out.dtype)
