@@ -1128,3 +1128,37 @@ def test_jpeg_12bit_16bit_quant_tables():
     a = decode_baseline_gray(data)
     b = decode_baseline_gray(data16)
     assert np.array_equal(a, b)
+
+
+def test_jpeg_lossless_sof3_roundtrip():
+    """Lossless JPEG (SOF3, Annex H): exact reconstruction across all
+    seven predictors and 8/12/16-bit precision — the second
+    beyond-parity JPEG extension (Go image/jpeg has no lossless)."""
+    import random
+
+    import numpy as np
+
+    from unipdf_spark.fixtures.render import jpeg_lossless_encode
+    from unipdf_spark.pdf.jpeg import JpegError, decode_baseline_gray
+
+    rng = random.Random(3)
+    for precision, lim in ((8, 255), (12, 4095), (16, 65535)):
+        for predictor in range(1, 8):
+            img = [[rng.randint(0, lim) for _ in range(17)]
+                   for _ in range(9)]
+            dec = decode_baseline_gray(
+                jpeg_lossless_encode(img, precision=precision,
+                                     predictor=predictor))
+            assert np.array_equal(dec.astype("i8"),
+                                  np.asarray(img, "i8")), (precision,
+                                                           predictor)
+            assert dec.dtype == (np.uint8 if precision <= 8
+                                 else np.uint16)
+    # invalid predictor byte must fail fast, not misdecode
+    data = bytearray(jpeg_lossless_encode([[7, 9], [1, 3]]))
+    i = data.index(b"\xff\xda")
+    data[i + 7] = 0  # the Ss byte (predictor selector): 0 is invalid
+    import pytest
+
+    with pytest.raises(JpegError):
+        decode_baseline_gray(bytes(data))

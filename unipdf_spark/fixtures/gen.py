@@ -986,6 +986,16 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
         h = 24.0
         plan.blocks.append(ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h))
         v -= h + 10
+        # one LOSSLESS image (SOF3, also beyond parity): content can be
+        # fully random — losslessness IS the exactness argument. 12-bit
+        # with a rotating predictor so all seven see driver coverage.
+        key = 306
+        plan.jpeg_images[key] = [
+            [rng.randint(0, 4095) for _ in range(16)] for _ in range(12)]
+        plan.jpeg_modes[key] = f"lossless{rng.randint(1, 7)}"
+        h = 20.0
+        plan.blocks.append(ImagePlan(key=key, x=MARGIN, y=v - h, w=h * 1.5, h=h))
+        v -= h + 10
         w_px, h_px = 24, 16
         gray = _blocky(w_px, h_px)
         rgbimg = [[[gray[y][x]] * 3 for x in range(w_px)]
@@ -1415,7 +1425,8 @@ def plan_image_payloads(plan: DocPlan) -> tuple[dict, dict]:
                          jbig2_huffman_textregion_encode,
                          jbig2_refinement_encode, jbig2_text_encode,
                          jpeg_411_encode, jpeg_420_encode, jpeg_color_encode,
-                         jpeg_gray_encode, jpeg_progressive_encode)
+                         jpeg_gray_encode, jpeg_lossless_encode,
+                         jpeg_progressive_encode)
 
     payloads: dict[int, bytes] = {}
     hdims: dict[int, tuple[int, int]] = {}
@@ -1464,6 +1475,9 @@ def plan_image_payloads(plan: DocPlan) -> tuple[dict, dict]:
             payloads[key] = jpeg_progressive_encode(img)
         elif mode == "ext12":
             payloads[key] = jpeg_gray_encode(img, precision=12)
+        elif mode.startswith("lossless"):
+            payloads[key] = jpeg_lossless_encode(
+                img, precision=12, predictor=int(mode[8:]))
         elif mode.startswith("restart"):
             payloads[key] = jpeg_gray_encode(img,
                                              restart_interval=int(mode[7:]))
@@ -1890,7 +1904,8 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
 
     for key, img in plan.jpeg_images.items():
         data = payloads[key]
-        bpc = 12 if plan.jpeg_modes.get(key) == "ext12" else 8
+        mode_ = plan.jpeg_modes.get(key, "baseline")
+        bpc = 12 if (mode_ == "ext12" or mode_.startswith("lossless")) else 8
         num = w.add(
             b"<< /Type /XObject /Subtype /Image /Width "
             + str(len(img[0])).encode()

@@ -1650,6 +1650,66 @@ def jpeg_411_encode(rgb) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + body + b"\xff\xd9"
 
 
+# lossless categories reach 16 (the special diff=32768 symbol carries no
+# extra bits): 16 codes at length 5 + category 16 at length 6 (canonical)
+_JPGL_DC_BITS = [0, 0, 0, 0, 16, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPGL_DC_VALS = list(range(17))
+
+
+def jpeg_lossless_encode(img, precision: int = 8,
+                         predictor: int = 1) -> bytes:
+    """Lossless JPEG encoder (SOF3, T.81 Annex H; single component): each
+    sample's difference from the selected predictor is coded as a Huffman
+    category + magnitude bits in mod-2^16 arithmetic. Exact by
+    construction — the decoder must reproduce the plane bit for bit."""
+    rows = [[int(v) for v in r] for r in img]
+    h, w = len(rows), len(rows[0])
+    codes = _jpg_codes(_JPGL_DC_BITS, _JPGL_DC_VALS)
+    bwr = _JpgBitWriter()
+    default = 1 << (precision - 1)
+
+    def mag(v: int) -> tuple[int, int]:
+        t = abs(v).bit_length()
+        return (v if v >= 0 else v + (1 << t) - 1, t)
+
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = default
+            elif y == 0:
+                pred = rows[0][x - 1]
+            elif x == 0:
+                pred = rows[y - 1][0]
+            else:
+                ra, rb, rc = rows[y][x - 1], rows[y - 1][x], rows[y - 1][x - 1]
+                pred = {
+                    1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                    5: ra + ((rb - rc) >> 1), 6: rb + ((ra - rc) >> 1),
+                    7: (ra + rb) >> 1,
+                }[predictor]
+            d = (rows[y][x] - pred) & 0xFFFF
+            if d == 32768:
+                bwr.write(*codes[16])
+                continue
+            signed = d - 65536 if d > 32768 else d
+            v, t = mag(signed)
+            bwr.write(*codes[t])
+            if t:
+                bwr.write(v & ((1 << t) - 1), t)
+    body = bwr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    sof = seg(0xC3, bytes([precision]) + h.to_bytes(2, "big")
+              + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPGL_DC_BITS)
+              + bytes(_JPGL_DC_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, predictor, 0, 0x00]))
+    return b"\xff\xd8" + sof + dht + sos + body + b"\xff\xd9"
+
+
 def jpeg_progressive_encode(img) -> bytes:
     """Progressive grayscale JPEG encoder (T.81 §G, spectral selection +
     one level of successive approximation). Scan script: DC first (Al=1),

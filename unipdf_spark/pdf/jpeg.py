@@ -11,11 +11,13 @@ upsample, JFIF YCbCr→RGB.
 
 Scope: 8-bit Huffman streams, 1 or 3 components, integer-ratio sampling
 factors in {1,2,4} (covers 4:4:4, 4:2:2, 4:2:0, 4:4:0, 4:1:1 — the Go
-image/jpeg set the reference decodes), PLUS 12-bit extended sequential /
-progressive (SOF1/SOF2 precision 12, 16-bit DQT) — a documented
-extension beyond reference parity (Go image/jpeg rejects 12-bit).
-Arithmetic-coded, hierarchical and lossless streams raise a typed error
-(the span path keeps byte-identity media_ref either way).
+image/jpeg set the reference decodes), PLUS two documented extensions
+beyond reference parity (Go image/jpeg rejects both): 12-bit extended
+sequential / progressive (SOF1/SOF2 precision 12, 16-bit DQT) and
+LOSSLESS (SOF3, Annex H: single component, predictors 1-7, precision
+2-16, point transform 0). Arithmetic-coded and hierarchical streams
+raise a typed error (the span path keeps byte-identity media_ref either
+way).
 """
 
 from __future__ import annotations
@@ -312,6 +314,45 @@ def _decode_scan(data: bytes, pos: int, comps: list[_Component],
     return br.pos
 
 
+def _decode_lossless_scan(data: bytes, pos: int, w: int, h: int,
+                          precision: int, predictor: int,
+                          pt: int, huff: _Huff) -> tuple[np.ndarray, int]:
+    """Lossless-process scan (T.81 Annex H, single component): per-sample
+    Huffman category + difference bits, predictor reconstruction in mod-
+    2^16 arithmetic. Returns (plane int32 (h, w), stream position)."""
+    br = _BitReader(data, pos)
+    plane = np.zeros((h, w), dtype=np.int32)
+    default = 1 << (precision - 1 - pt)
+    for y in range(h):
+        for x in range(w):
+            t = br.decode(huff)
+            if t == 16:  # special category: diff = 32768, no extra bits
+                diff = 32768
+            else:
+                diff = _extend(br.bits(t), t)
+            if y == 0 and x == 0:
+                pred = default
+            elif y == 0:
+                pred = int(plane[0, x - 1])
+            elif x == 0:
+                pred = int(plane[y - 1, 0])
+            else:
+                ra = int(plane[y, x - 1])
+                rb = int(plane[y - 1, x])
+                rc = int(plane[y - 1, x - 1])
+                pred = {
+                    1: ra,
+                    2: rb,
+                    3: rc,
+                    4: ra + rb - rc,
+                    5: ra + ((rb - rc) >> 1),
+                    6: rb + ((ra - rc) >> 1),
+                    7: (ra + rb) >> 1,
+                }[predictor]
+            plane[y, x] = (pred + diff) & 0xFFFF
+    return plane, br.pos
+
+
 def decode_baseline(data: bytes) -> np.ndarray:
     """Decode a JPEG (baseline sequential or progressive): grayscale →
     (h, w) uint8; YCbCr → (h, w, 3) uint8 RGB (JFIF color transform)."""
@@ -324,6 +365,8 @@ def decode_baseline(data: bytes) -> np.ndarray:
     w = h = 0
     comps: list[_Component] = []
     progressive = False
+    lossless = False
+    lossless_plane = None
     restart_interval = 0
     mcux = mcuy = 0
     hmax = vmax = 1
@@ -357,21 +400,28 @@ def decode_baseline(data: bytes) -> np.ndarray:
                                         "big") for k in range(64)],
                         dtype="f8")
                     i += 129
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progr.
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, SOF2
+            # progressive, SOF3 lossless
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             precision = seg[0]
             # baseline (SOF0) is 8-bit by definition; extended sequential
-            # (SOF1) and progressive (SOF2) allow 12-bit (T.81 Table B.2).
-            # The reference cannot decode 12-bit at all (Go image/jpeg) —
-            # documented extension beyond parity.
-            if precision not in (8, 12) or (marker == 0xC0
-                                            and precision != 8):
+            # (SOF1) and progressive (SOF2) allow 12-bit (T.81 Table B.2);
+            # lossless (SOF3) allows 2..16. The reference decodes none of
+            # 12-bit/lossless (Go image/jpeg) — documented extensions
+            # beyond parity.
+            if lossless:
+                if not 2 <= precision <= 16:
+                    raise JpegError(
+                        "lossless precision %d out of range" % precision)
+            elif precision not in (8, 12) or (marker == 0xC0
+                                              and precision != 8):
                 raise JpegError(
                     "unsupported precision %d for SOF 0x%02X"
                     % (precision, marker))
             nc = seg[5]
-            if nc not in (1, 3):
-                raise JpegError("1 or 3 components supported")
+            if nc not in (1, 3) or (lossless and nc != 1):
+                raise JpegError("unsupported component count")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             if w == 0 or h == 0 or w * h > MAX_PIXELS:
@@ -382,24 +432,25 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 hv = seg[off + 1]
                 comps.append(_Component(seg[off], hv >> 4, hv & 15,
                                         seg[off + 2]))
-            for c in comps:
-                if c.h not in (1, 2, 4) or c.v not in (1, 2, 4):
-                    raise JpegError("unsupported sampling factors")
-            hmax = max(c.h for c in comps)
-            vmax = max(c.v for c in comps)
-            # integer chroma ratios only (Go image/jpeg parity: 4:4:4,
-            # 4:4:0, 4:2:2, 4:2:0, 4:1:1, 4:1:0 all satisfy this) and the
-            # T.81 §B.2.2 ten-blocks-per-MCU bound
-            for c in comps:
-                if hmax % c.h or vmax % c.v:
-                    raise JpegError("non-integer sampling ratios")
-            if sum(c.h * c.v for c in comps) > 10:
-                raise JpegError("blocks per MCU exceed spec limit")
-            mcux = -(-w // (8 * hmax))
-            mcuy = -(-h // (8 * vmax))
-            for c in comps:
-                c.alloc(mcux, mcuy, w, h, hmax, vmax)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if not lossless:
+                for c in comps:
+                    if c.h not in (1, 2, 4) or c.v not in (1, 2, 4):
+                        raise JpegError("unsupported sampling factors")
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                # integer chroma ratios only (Go image/jpeg parity: 4:4:4,
+                # 4:4:0, 4:2:2, 4:2:0, 4:1:1, 4:1:0 all satisfy this) and
+                # the T.81 §B.2.2 ten-blocks-per-MCU bound
+                for c in comps:
+                    if hmax % c.h or vmax % c.v:
+                        raise JpegError("non-integer sampling ratios")
+                if sum(c.h * c.v for c in comps) > 10:
+                    raise JpegError("blocks per MCU exceed spec limit")
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                for c in comps:
+                    c.alloc(mcux, mcuy, w, h, hmax, vmax)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegError("unsupported SOF type 0x%02X" % marker)
         elif marker == 0xC4:  # DHT
@@ -429,6 +480,18 @@ def decode_baseline(data: bytes) -> np.ndarray:
             ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
             a = seg[3 + 2 * ns]
             ah_, al_ = a >> 4, a & 15
+            if lossless:
+                if restart_interval:
+                    raise JpegError("restart in lossless scan unsupported")
+                if not 1 <= ss_ <= 7:
+                    raise JpegError("invalid lossless predictor %d" % ss_)
+                c = scan_comps[0]
+                huff = htables.get((0, c.dc_sel))
+                if huff is None:
+                    raise JpegError("lossless scan without DC table")
+                lossless_plane, pos = _decode_lossless_scan(
+                    data, pos + seg_len, w, h, precision, ss_, al_, huff)
+                continue
             pos = _decode_scan(
                 data, pos + seg_len, comps, scan_comps, htables,
                 ss_, se_, ah_, al_, mcux, mcuy, restart_interval,
@@ -437,6 +500,13 @@ def decode_baseline(data: bytes) -> np.ndarray:
         pos += seg_len
     if not w or not h or not comps:
         raise JpegError("no SOF")
+
+    if lossless:
+        if lossless_plane is None:
+            raise JpegError("lossless frame without scan")
+        maxval = (1 << precision) - 1
+        return np.clip(lossless_plane, 0, maxval).astype(
+            "u1" if precision <= 8 else "u2")
 
     half = float(1 << (precision - 1))
     maxval = (1 << precision) - 1
