@@ -107,3 +107,26 @@ def test_table_cell_goldens_property_random_ids():
                 for c, cell in enumerate(row)
             ]
             assert got == want, (doc_id, cls)
+
+
+def test_media_decode_corpus_covers_every_jpeg_coding_path():
+    """Coverage guard: the media_decode corpus must keep exercising every
+    JPEG coding path (baseline, progressive, DRI restarts, 12-bit
+    extended, lossless, and all three color subsamplings) — a mix change
+    that silently drops one would weaken the value oracle."""
+    modes: set[str] = set()
+    subs: set[str] = set()
+    for doc_id, cls in golden.corpus_classes(
+            golden.MEDIA_DECODE_N, golden.MEDIA_DECODE_MIX):
+        if cls != "jpeg_blocky":
+            continue
+        plan = gen._plan_doc(doc_id, cls, 42)
+        for key in plan.jpeg_images:
+            m = plan.jpeg_modes.get(key, "baseline")
+            modes.add("restart" if m.startswith("restart")
+                      else ("lossless" if m.startswith("lossless") else m))
+        for _k, (_img, sub) in plan.jpeg_color_images.items():
+            subs.add(sub)
+    assert modes >= {"baseline", "progressive", "restart", "ext12",
+                     "lossless"}, modes
+    assert subs == {"444", "420", "411"}, subs
