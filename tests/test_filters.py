@@ -1162,3 +1162,62 @@ def test_jpeg_lossless_sof3_roundtrip():
 
     with pytest.raises(JpegError):
         decode_baseline_gray(bytes(data))
+
+
+def test_jpeg_stream_precision_and_lossless_cap():
+    """stream_precision reads the SOF sample precision for every coding
+    path (ADVICE r7: feature normalization must use the STREAM full
+    scale, not a dtype guess), and oversized SOF3 frames fail fast
+    instead of entering the per-sample Python loop."""
+    import numpy as np
+    import pytest
+
+    from unipdf_spark.fixtures.render import (
+        jpeg_gray_encode, jpeg_lossless_encode, jpeg_progressive_encode)
+    from unipdf_spark.pdf.jpeg import (
+        MAX_PIXELS_LOSSLESS, JpegError, decode_baseline_gray,
+        stream_precision)
+
+    img8 = [[(x * 7 + y * 3) % 256 for x in range(16)] for y in range(8)]
+    assert stream_precision(jpeg_gray_encode(img8)) == 8
+    assert stream_precision(jpeg_progressive_encode(img8)) == 8
+    for p in (2, 8, 10, 12, 16):
+        lim = (1 << p) - 1
+        img = [[(x + y) % (lim + 1) for x in range(5)] for y in range(4)]
+        data = jpeg_lossless_encode(img, precision=p)
+        assert stream_precision(data) == p
+        # normalized decode stays in [0, 1] at EVERY precision: the
+        # full-scale sample must land exactly on 1.0
+        top = jpeg_lossless_encode([[lim, 0], [0, lim]], precision=p)
+        plane = decode_baseline_gray(top).astype("f8")
+        norm = plane / float((1 << stream_precision(top)) - 1)
+        assert norm.max() == 1.0 and norm.min() == 0.0
+    with pytest.raises(JpegError):
+        stream_precision(b"\xff\xd8\xff\xd9")
+    # a crafted SOF3 header over the per-sample budget fails fast
+    big = bytearray(jpeg_lossless_encode([[1, 2], [3, 4]]))
+    i = big.index(b"\xff\xc3")
+    side = int(MAX_PIXELS_LOSSLESS ** 0.5) + 1
+    big[i + 5:i + 7] = side.to_bytes(2, "big")
+    big[i + 7:i + 9] = side.to_bytes(2, "big")
+    with pytest.raises(JpegError):
+        decode_baseline_gray(bytes(big))
+
+
+def test_image_features_fullscale_normalization():
+    """_decode_pixels divides by the stream full scale: a 16-bit lossless
+    plane at value 65535 must normalize to 1.0, not ~16.0 (r7 ADVICE)."""
+    import numpy as np
+
+    from unipdf_spark.fixtures.render import jpeg_lossless_encode
+    from unipdf_spark.operators.multimodal import _decode_pixels
+
+    img = [[65535 if (x + y) % 2 else 0 for x in range(8)]
+           for y in range(8)]
+    arr = _decode_pixels(jpeg_lossless_encode(img, precision=16),
+                         8, 8, "DCTDecode", 0, False)
+    assert arr.max() == 1.0 and arr.min() == 0.0
+    img10 = [[1023 for _ in range(4)] for _ in range(4)]
+    arr10 = _decode_pixels(jpeg_lossless_encode(img10, precision=10),
+                           4, 4, "DCTDecode", 0, False)
+    assert np.allclose(arr10, 1.0)

@@ -627,6 +627,35 @@ def test_html_block_segmenter_features():
     assert "terms" not in main
 
 
+def test_html_boiler_scope_survives_nested_same_name_tags():
+    """r7 ADVICE (medium): a nested same-name element inside a class-
+    hinted boiler container must not close the scope early — the inner
+    </div> here previously popped the sidebar frame and leaked the promo
+    paragraph into main content."""
+    from unipdf_spark.html_extract import blocks_with_context, main_content
+
+    promo = ("this is a long promotional paragraph of boilerplate text "
+             "planted inside the sidebar after a nested plain div")
+    body = ("the real article body is this long paragraph of honest "
+            "prose that must be kept as extracted main content")
+    html = (f"<html><body><div class='sidebar'><div>widget</div>"
+            f"<p>{promo}</p></div><p>{body}</p></body></html>")
+    ctx = {t: b for t, _ld, b in blocks_with_context(html)}
+    assert ctx["widget"] is True
+    assert ctx[promo] is True, "nested </div> closed the sidebar early"
+    assert ctx[body] is False
+    m = main_content(html)
+    assert promo not in m and body in m
+    # two levels deep + a sibling scope reopening afterwards
+    html2 = (f"<body><nav><div><div><a href='/'>x</a></div></div></nav>"
+             f"<p>{body}</p>"
+             f"<div id='related-posts'><div><div>deep</div></div>"
+             f"<p>{promo}</p></div></body>")
+    ctx2 = {t: b for t, _ld, b in blocks_with_context(html2)}
+    assert ctx2[body] is False and ctx2[promo] is True
+    assert ctx2["deep"] is True
+
+
 def test_html_adversarial_fixture_defeats_bare_gate():
     """r6 VERDICT #2: the fixture no longer compensates for the
     classifier's thresholds. The wrapped page now plants (a) short

@@ -59,9 +59,15 @@ _WS = re.compile(r"\s+")
 class _BlockSegmenter(HTMLParser):
     """Flat DOM walk → text blocks with per-block link-character counts
     and boilerplate-context flags (semantic containers + class/id
-    hints). Context uses a tag-name stack so well-formed subtrees scope
-    exactly; malformed markup degrades gracefully (mismatched closers
-    pop only a matching open scope)."""
+    hints). Context uses a stack of [tag, extra_depth] frames: a nested
+    same-name tag inside an open scope increments the top frame's depth
+    counter instead of being ignored, so its end tag decrements rather
+    than closing the scope early (<div class=sidebar><div>x</div><p>promo
+    </p></div> keeps the promo inside the sidebar scope). Well-formed
+    subtrees scope exactly; malformed markup degrades gracefully
+    (mismatched closers pop only a matching open scope). Void elements
+    (br, img, …) never match a scope tag name, so they cannot desync the
+    counters."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -70,7 +76,7 @@ class _BlockSegmenter(HTMLParser):
         self._link_chars = 0
         self._drop_depth = 0
         self._a_depth = 0
-        self._boiler_stack: list[str] = []
+        self._boiler_stack: list[list] = []  # [tag, extra_depth] frames
         self._in_boiler = False  # context of the text accumulated so far
 
     def _flush(self) -> None:
@@ -92,8 +98,12 @@ class _BlockSegmenter(HTMLParser):
         hints = " ".join(
             v for k, v in attrs if k in ("class", "id") and v)
         if tag in BOILER_TAGS or (hints and UNLIKELY_RE.search(hints)):
-            self._boiler_stack.append(tag)
+            self._boiler_stack.append([tag, 0])
             self._in_boiler = True
+        elif self._boiler_stack and tag == self._boiler_stack[-1][0]:
+            # nested same-name element inside the open scope: its end tag
+            # must not close the scope — count it
+            self._boiler_stack[-1][1] += 1
 
     def handle_endtag(self, tag):
         if tag in DROP_TAGS:
@@ -103,9 +113,12 @@ class _BlockSegmenter(HTMLParser):
             self._a_depth = max(0, self._a_depth - 1)
         if tag in BLOCK_TAGS:
             self._flush()
-        if self._boiler_stack and self._boiler_stack[-1] == tag:
-            self._boiler_stack.pop()
-            self._in_boiler = bool(self._boiler_stack)
+        if self._boiler_stack and self._boiler_stack[-1][0] == tag:
+            if self._boiler_stack[-1][1] > 0:
+                self._boiler_stack[-1][1] -= 1
+            else:
+                self._boiler_stack.pop()
+                self._in_boiler = bool(self._boiler_stack)
 
     def handle_data(self, data):
         if self._drop_depth:

@@ -118,10 +118,14 @@ def _decode_pixels(payload: bytes, width: int, height: int, codec: str,
         # PDF CCITT default: 0 = black; /BlackIs1 inverts
         return arr.astype(np.float64) if blackis1 else 1.0 - arr
     if codec == "DCTDecode":
-        from ..pdf.jpeg import decode_baseline_gray
+        from ..pdf.jpeg import decode_baseline_gray, stream_precision
 
         img = decode_baseline_gray(payload)
-        full = 255.0 if img.dtype == np.uint8 else 4095.0
+        # Full scale from the STREAM precision, not the numpy dtype: a
+        # uint16 plane may be 12-bit extended DCT (4095) or lossless at
+        # any precision 9–16 (511…65535); dividing by a hardcoded 4095
+        # would push e.g. 16-bit images to ~16.0 instead of [0, 1].
+        full = float((1 << stream_precision(payload)) - 1)
         return np.asarray(img, dtype=np.float64) / full
     raise NotImplementedError(f"no decoder for codec {codec!r}")
 

@@ -46,6 +46,12 @@ class JpegError(Exception):
 # corrupt web-corpus guard: a garbage SOF must not allocate multi-GB
 # coefficient stores or spin the scan loop (relaxed-mode contract)
 MAX_PIXELS = 1 << 26  # 64M
+# The lossless scan (Annex H) is a per-sample pure-Python loop — Huffman
+# category decode + predictor per pixel — so a crafted SOF3 header must
+# fail fast rather than pin a worker for minutes. 1M pixels ≈ 1–2 s
+# worst case; real PDF lossless-JPEG assets (scanned masks, medical
+# thumbnails) sit far below this.
+MAX_PIXELS_LOSSLESS = 1 << 20  # 1M
 
 
 class _Huff:
@@ -426,6 +432,10 @@ def decode_baseline(data: bytes) -> np.ndarray:
             w = int.from_bytes(seg[3:5], "big")
             if w == 0 or h == 0 or w * h > MAX_PIXELS:
                 raise JpegError(f"implausible frame dimensions {w}x{h}")
+            if lossless and w * h > MAX_PIXELS_LOSSLESS:
+                raise JpegError(
+                    f"lossless frame {w}x{h} exceeds the per-sample "
+                    f"decode budget ({MAX_PIXELS_LOSSLESS} px)")
             comps = []
             for ci in range(nc):
                 off = 6 + 3 * ci
@@ -538,13 +548,41 @@ def decode_baseline(data: bytes) -> np.ndarray:
     return np.clip(np.rint(rgb), 0, maxval).astype(dtype)
 
 
+def stream_precision(data: bytes) -> int:
+    """Sample precision (bits) from the stream's SOF marker — the full
+    scale of the decoded plane is (1 << precision) - 1. Walks segment
+    lengths so a stray 0xFFCx byte inside entropy data cannot be
+    misread; raises JpegError when no SOF is present."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("no SOI")
+    pos = 2
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xFF, 0x00) or 0xD0 <= marker <= 0xD9:
+            pos += 2 if marker != 0xFF else 1
+            continue
+        if pos + 4 > n:
+            break
+        seg_len = int.from_bytes(data[pos + 2:pos + 4], "big")
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return data[pos + 4]
+        pos += 2 + seg_len
+    raise JpegError("no SOF")
+
+
 def decode_baseline_gray(data: bytes) -> np.ndarray:
     """Decode to a single grayscale plane: native for 1-component streams,
     the luma-weighted average for color ones. Dtype follows the stream
-    precision (u1 for 8-bit, u2 for 12-bit extended)."""
+    precision (u1 for 8-bit, u2 for 12-bit extended or lossless 9–16);
+    callers needing the exact full scale read stream_precision()."""
     out = decode_baseline(data)
     if out.ndim == 2:
         return out
-    maxval = 255 if out.dtype == np.uint8 else 4095
+    maxval = (1 << stream_precision(data)) - 1
     y = (0.299 * out[:, :, 0] + 0.587 * out[:, :, 1] + 0.114 * out[:, :, 2])
     return np.clip(np.rint(y), 0, maxval).astype(out.dtype)
