@@ -1,0 +1,150 @@
+"""Foreign-layout emitter tests: span equality against PDFs the canonical
+fixture renderer did NOT lay out (r7 VERDICT missing #2 / next-round #1+#8).
+
+The foreign serializer (unipdf_spark.fixtures.foreign) re-serializes the
+same object graph through exotic-but-legal file conventions; these tests
+assert (a) the engine extracts identical spans from every permutation,
+(b) the corpus actually exercises every convention knob (no silent
+degeneration to vanilla layout), and (c) the conventions are really in
+the bytes, not just claimed by the profile stamp."""
+
+import re
+
+import pytest
+
+from unipdf_spark.fixtures.foreign import profile_of, safe_split_points, tokenize
+from unipdf_spark.fixtures.gen import make_doc
+from unipdf_spark.pdf.cos import PdfDocument
+from unipdf_spark.pdf.extract import extract_spans
+
+N_DOCS = 40  # per class; profiles are doc_id-seeded so this spans knobs
+
+
+def _docs(cls):
+    for i in range(N_DOCS):
+        did = f"doc_{i:08d}"
+        golden, pdf = make_doc(did, cls)
+        yield did, golden, pdf
+
+
+@pytest.mark.parametrize("cls", ["foreign_layout", "foreign_encrypted"])
+def test_foreign_span_equality_strict(cls):
+    """Every foreign doc parses in STRICT mode (no repair fallback) and
+    round-trips its golden spans exactly."""
+    for did, golden, pdf in _docs(cls):
+        PdfDocument(pdf, relaxed=False)
+        got = extract_spans(pdf).spans
+        assert got == golden, (cls, did)
+
+
+def test_foreign_corpus_covers_every_convention():
+    """Across the two class corpora, every serialization knob fires:
+    both containers, comments, name escapes, indirect /Length, split
+    /Contents (including a mid-operator split), shuffled object order,
+    multi-subsection classic tables, multi-pair /Index xref streams,
+    several /W widths, multiple ObjStms, direct non-stream leftovers,
+    encrypted streams AND strings, and every filter chain."""
+    profiles = [profile_of(pdf)
+                for cls in ("foreign_layout", "foreign_encrypted")
+                for _d, _g, pdf in _docs(cls)]
+    containers = {p["container"] for p in profiles}
+    assert containers == {"table", "modern"}
+    for flag in ("comments", "shuffled", "split_mid_operator", "free_entry"):
+        assert any(p.get(flag) for p in profiles), flag
+    for counter in ("indirect_lengths", "name_escapes", "content_segments",
+                    "n_objstms", "direct_nonstream", "encrypted_streams",
+                    "encrypted_strings"):
+        assert any(p.get(counter, 0) > 0 for p in profiles), counter
+    assert any(p.get("xref_subsections", 0) > 1 for p in profiles)
+    assert any(p.get("xref_index_pairs", 0) > 1 for p in profiles)
+    assert any(p.get("content_segments", 0) >= 2 for p in profiles)
+    ws = {tuple(p["xref_w"]) for p in profiles if p.get("xref_w")}
+    assert len(ws) >= 3, ws
+    chains = {c for p in profiles for c in p.get("chains", [])}
+    assert "FlateDecode+FlateDecode" in chains  # redundant member
+    assert any("LZWDecode" in c for c in chains)
+    assert any("ASCII85Decode" in c for c in chains)
+    assert any("RunLengthDecode" in c for c in chains)
+
+
+def test_foreign_conventions_present_in_bytes():
+    """Classic-container docs: the exotic conventions are visible in the
+    raw bytes (the stamp alone proves nothing)."""
+    seen_indirect = seen_array = seen_comment = seen_multisect = False
+    for _d, _g, pdf in _docs("foreign_layout"):
+        p = profile_of(pdf)
+        if p["container"] != "table":
+            continue
+        if re.search(rb"/Length\s*(%[^\r\n]*[\r\n]\s*)?\d+\s+0\s+R", pdf):
+            seen_indirect = True
+        if re.search(rb"/Contents[\s%]", pdf) and b"/Contents [" in re.sub(
+                rb"%[^\r\n]*", b"", pdf).replace(b"\r", b" ").replace(
+                b"\n", b" ").replace(b"  ", b" "):
+            seen_array = True
+        if b"% " in pdf:
+            seen_comment = True
+        m = re.search(rb"\nxref\n(.*?)trailer", pdf, re.S)
+        if m and len(re.findall(rb"^\d+ \d+$", m.group(1), re.M)) > 1:
+            seen_multisect = True
+    assert seen_indirect and seen_comment and seen_multisect
+    assert seen_array
+
+
+def test_foreign_encrypted_is_modern_and_ciphertext():
+    """foreign_encrypted docs use the modern container (AES-256 + object
+    streams) and the content bytes really are ciphertext: no plaintext
+    Flate content stream should decode from the raw file."""
+    import zlib
+
+    for did, golden, pdf in _docs("foreign_encrypted"):
+        p = profile_of(pdf)
+        assert p["container"] == "modern" and p["encrypted"], did
+        assert p.get("encrypted_streams", 0) > 0, did
+        text = b"".join(s["text"].encode("latin-1", "replace")
+                        for s in golden if s["kind"] == "text")
+        # golden text must not be recoverable from any raw deflate island
+        for m in re.finditer(rb"stream\r?\n", pdf):
+            start = m.end()
+            try:
+                plain = zlib.decompress(pdf[start:start + 4096])
+            except zlib.error:
+                continue
+            for word in text.split()[:5]:
+                if len(word) >= 4:
+                    assert word not in plain, (did, word)
+
+
+def test_tokenizer_roundtrip_and_split_points():
+    """Unit: the foreign COS tokenizer preserves token content, and
+    safe_split_points never lands inside strings or inline images."""
+    body = (b"<< /Type /Page /Contents 5 0 R /Annots [ 1 0 R ] "
+            b"/T (par(en)s \\( esc) /H <414243> /N -3.5 >>")
+    toks = tokenize(body)
+    assert b"(par(en)s \\( esc)" in toks and b"<414243>" in toks
+    assert toks.count(b"<<") == 1 and toks.count(b">>") == 1
+    content = (b"BT (a b c) Tj ET\n"
+               b"BI /W 4 /H 4 ID " + bytes(range(48)) + b" EI\n"
+               b"1 0 0 1 5 5 cm\n")
+    pts = safe_split_points(content)
+    assert pts, "no split candidates found"
+    sidx = content.index(b"(a b c)")
+    eidx = sidx + len(b"(a b c)")
+    bi = content.index(b"BI ")
+    ei = content.index(b" EI") + 3
+    for p in pts:
+        assert not (sidx < p <= eidx), "split inside literal string"
+        assert not (bi < p <= ei), "split inside inline image"
+    # splits between operands and their operator are allowed and present
+    assert any(content[p - 2:p - 1].isdigit() or content[p:p + 2] == b"cm"
+               for p in pts)
+
+
+def test_ref_lookahead_skips_comments():
+    """Engine lexer: '2 0 % note\\n R' is one indirect reference —
+    comments are whitespace-equivalent outside strings/streams
+    (ISO 32000 §7.2.4); found by the foreign emitter."""
+    from unipdf_spark.pdf.cos import Lexer, Ref
+
+    lx = Lexer(b"<< /Pages 2 0 % forward\r\nR /X 7 % c\n0 R >>", 0)
+    d = lx.parse_dict()
+    assert d["Pages"] == Ref(2, 0) and d["X"] == Ref(7, 0)

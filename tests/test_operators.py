@@ -656,6 +656,90 @@ def test_html_boiler_scope_survives_nested_same_name_tags():
     assert ctx2["deep"] is True
 
 
+def test_html_near_gate_boundary_pairs():
+    """r7 VERDICT #4: each classifier threshold is INDIVIDUALLY
+    falsifiable by a planted near-gate probe —
+    - an exactly-24-char unhinted chrome block with no content neighbor
+      (leaks iff MIN_BLOCK_CHARS drifts ≤ 24);
+    - an unhinted chrome block with link density just over 1/3 (leaks iff
+      MAX_LINK_DENSITY drifts up);
+    - an article paragraph isolated between hinted ads, kept by the
+      length gate ALONE (drops iff the gate drifts past its length);
+    - an article paragraph linked to just UNDER the density gate (drops
+      iff the gate drifts down);
+    - document-leading short dialogue (kept via backward smoothing — the
+      r7 anchor-only-after-long fixture restriction is removed);
+    - sidebar promo prose after a nested same-name <div> (leaks iff the
+      boiler scope pops early)."""
+    import random
+    import re
+
+    from unipdf_spark.fixtures.gen import make_html_doc
+    from unipdf_spark.html_extract import (MAX_LINK_DENSITY,
+                                           MIN_BLOCK_CHARS,
+                                           blocks_with_context,
+                                           main_content)
+
+    assert MIN_BLOCK_CHARS == 25 and abs(MAX_LINK_DENSITY - 1 / 3) < 0.01
+    rng = random.Random(11)
+    words = [rng.choice("alpha beta gamma delta epsilon zeta eta theta"
+                        " iota kappa lambdaword mu".split())
+             for _ in range(400)]
+    seen = {"gate24": 0, "dense_above": 0, "iso": 0, "dense_below": 0,
+            "lead_short": 0, "promo": 0}
+    ws = re.compile(r"\s+")
+    for i in range(40):
+        did = f"doc_{i:08d}"
+        text = " ".join(words[: 40 + i * 9])
+        html = make_html_doc(did, text)
+        main = ws.sub(" ", main_content(html)).strip()
+        assert main == ws.sub(" ", text).strip(), did
+        blocks = blocks_with_context(html)
+        texts = [t for t, _ld, _b in blocks]
+        # (a) the 24-char probe exists, is out of main, densities honest
+        g24 = [k for k, t in enumerate(texts) if t == "Posted 12 May 2026 14:02"]
+        if g24:
+            seen["gate24"] += 1
+            assert len(texts[g24[0]]) == MIN_BLOCK_CHARS - 1
+            assert "Posted 12 May 2026 14:02" not in main
+        # (b) a long unhinted block with density in (1/3, 0.42]
+        for t, ld, inb in blocks:
+            if not inb and len(t) >= MIN_BLOCK_CHARS \
+                    and MAX_LINK_DENSITY < ld <= 0.42:
+                seen["dense_above"] += 1
+                assert t not in main
+                break
+        # (c) isolated near-gate paragraph: between two ad blocks in the
+        # html, ≥25 chars, present in main
+        m = re.search(r'<div class="ad">[^<]*</div>\n  <p>([^<]+)</p>\n'
+                      r'  <div class="ad">', html)
+        if m:
+            iso = ws.sub(" ", m.group(1)).strip()
+            assert len(iso) >= MIN_BLOCK_CHARS and len(iso) <= 40
+            assert iso in main
+            seen["iso"] += 1
+        # (d) article paragraph just under the density gate
+        for t, ld, inb in blocks:
+            if not inb and 0.28 < ld <= 0.33 and t in main:
+                seen["dense_below"] += 1
+                break
+        # (e) document-leading dialogue: first article <p> short
+        first_p = re.search(r"<p>\n    (.*?)\n  </p>", html, re.S)
+        if first_p:
+            t0 = ws.sub(" ", re.sub(r"<[^>]+>", "", first_p.group(1))).strip()
+            if len(t0) < MIN_BLOCK_CHARS and text.startswith(t0.split()[0]):
+                if main.startswith(t0):
+                    seen["lead_short"] += 1
+        # (f) sidebar promo prose never leaks
+        assert "Subscribe to our" not in main
+        if "Subscribe to our" in html:
+            seen["promo"] += 1
+    assert seen["gate24"] == 40 and seen["promo"] == 40
+    assert seen["dense_above"] == 40
+    assert seen["iso"] >= 20 and seen["dense_below"] >= 5
+    assert seen["lead_short"] >= 1, seen
+
+
 def test_html_adversarial_fixture_defeats_bare_gate():
     """r6 VERDICT #2: the fixture no longer compensates for the
     classifier's thresholds. The wrapped page now plants (a) short

@@ -1,0 +1,732 @@
+"""Foreign-layout PDF emitter: a SECOND serializer for the fixture
+writer's object graph, deliberately using different file conventions
+than render.py's canonical `build`/`build_modern` paths.
+
+Every fixture PDF in rounds 1-7 was laid out by one writer, so file-level
+conventions that writer never varies were untested even though the
+reference's parser handles them (core/core.go:129 lexer generality,
+:1181 indirect-/Length stream tracing, model/model.go:2640 multi-segment
+Contents concatenation). This module re-serializes the SAME objects —
+golden spans are untouched — through a seeded grab-bag of real-world
+producer quirks:
+
+- comments and exotic whitespace (CR, CRLF, FF, TAB, NUL runs) between
+  lexical tokens inside dictionaries;
+- `#XX` hex escapes inside name tokens (/T#79pe for /Type);
+- indirect /Length objects emitted AFTER their stream (forward
+  reference: the reader must two-phase the stream extent);
+- page /Contents split into an ARRAY of stream segments, cut between
+  lexical tokens but freely across operand/operator boundaries (readers
+  concatenate all segments before lexing — reference GetAllContentStreams
+  joins with a space, the engine with a newline);
+- per-segment /Filter chains re-drawn from the full decode set,
+  including redundant multi-member chains (double Flate);
+- classic xref tables with MULTIPLE subsections, shuffled object order
+  in the file, and planted free entries — or modern containers with
+  varied xref-stream /W widths, multi-pair /Index, and object-stream
+  packing permutations (several /ObjStm objects, shuffled membership,
+  some non-stream objects left direct);
+- optional AES-256 (R6) encryption over the modern container: stream
+  payloads and direct-object strings encrypted, objects packed in object
+  streams NOT individually encrypted (the containing ObjStm already is),
+  xref stream and /Encrypt dict exempt — the interop trap of
+  ISO 32000-2 §7.6.3.
+
+The chosen knobs are stamped into a `%%foreign-profile:` comment line
+after the header so tests can assert corpus-level coverage of every
+convention from the bytes alone (comments are lexically invisible to
+any conforming reader).
+
+Fixture-independence: imports only render.py's writer-side helpers
+(encoders + encryption parameter math); nothing from unipdf_spark.pdf.
+"""
+
+from __future__ import annotations
+
+import binascii
+import hashlib
+import json
+import random
+import re
+import zlib
+
+from .render import (_ENCODERS, PdfFileWriter, _aes256_stream,
+                     aes256_encrypt_params, encode_chain)
+
+_WS_BYTES = b"\x00\t\n\x0c\r "
+_DELIMS = b"()<>[]{}/%"
+
+# separators drawn between tokens (always ≥1 whitespace byte so the
+# re-emitted object parses regardless of token adjacency rules)
+_WS_CHOICES = [b" ", b"  ", b"\n", b"\r\n", b"\r", b"\t", b"\x0c",
+               b" \r\n ", b"\x00 "]
+
+_FILTER_CHAINS = [
+    ["FlateDecode"],
+    ["FlateDecode", "FlateDecode"],           # redundant double Flate
+    ["ASCIIHexDecode", "FlateDecode"],
+    ["ASCII85Decode", "FlateDecode"],
+    ["RunLengthDecode"],
+    ["ASCIIHexDecode", "LZWDecode"],
+    ["LZWDecode"],
+    ["ASCII85Decode", "RunLengthDecode", "FlateDecode"],
+]
+
+_XREF_W_CHOICES = [[1, 3, 2], [1, 4, 2], [2, 4, 2], [1, 4, 1], [1, 5, 2]]
+
+_STAMP_PAD = 768  # reserved bytes for the %%foreign-profile comment
+
+
+# --- COS tokenizer -----------------------------------------------------------
+
+
+def tokenize(body: bytes) -> list[bytes]:
+    """Split a (non-stream-payload) COS object body into lexical tokens.
+    Token classes: '<<' '>>' '[' ']' names literal-strings hex-strings
+    numbers keywords. The input is our own writer's regular output, so
+    '{', '}' and comments never occur."""
+    toks: list[bytes] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c in _WS_BYTES:
+            i += 1
+            continue
+        if body.startswith(b"<<", i):
+            toks.append(b"<<")
+            i += 2
+        elif body.startswith(b">>", i):
+            toks.append(b">>")
+            i += 2
+        elif c == 0x5B:
+            toks.append(b"[")
+            i += 1
+        elif c == 0x5D:
+            toks.append(b"]")
+            i += 1
+        elif c == 0x2F:  # name
+            j = i + 1
+            while j < n and body[j] not in _WS_BYTES and body[j] not in _DELIMS:
+                j += 1
+            toks.append(body[i:j])
+            i = j
+        elif c == 0x28:  # literal string, balanced parens + backslash esc
+            depth = 0
+            j = i
+            while j < n:
+                b = body[j]
+                if b == 0x5C:
+                    j += 2
+                    continue
+                if b == 0x28:
+                    depth += 1
+                elif b == 0x29:
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                j += 1
+            toks.append(body[i:j])
+            i = j
+        elif c == 0x3C:  # hex string
+            j = body.index(b">", i) + 1
+            toks.append(body[i:j])
+            i = j
+        else:  # number or keyword
+            j = i
+            while j < n and body[j] not in _WS_BYTES and body[j] not in _DELIMS:
+                j += 1
+            toks.append(body[i:j])
+            i = j
+    return toks
+
+
+_NUM_TOK = re.compile(rb"^[+-]?\d+$")
+
+
+def _value_span(toks: list[bytes], i: int) -> int:
+    """Length (token count) of the value starting at toks[i]: a balanced
+    << >> / [ ] group, an `N G R` indirect reference, or one token."""
+    t = toks[i]
+    if t in (b"<<", b"["):
+        close = b">>" if t == b"<<" else b"]"
+        openr = t
+        depth = 0
+        j = i
+        while j < len(toks):
+            if toks[j] == openr:
+                depth += 1
+            elif toks[j] == close:
+                depth -= 1
+                if depth == 0:
+                    return j - i + 1
+            j += 1
+        raise ValueError("unbalanced group")
+    if (_NUM_TOK.match(t) and i + 2 < len(toks)
+            and _NUM_TOK.match(toks[i + 1]) and toks[i + 2] == b"R"):
+        return 3
+    return 1
+
+
+def dict_entry(toks: list[bytes], key: bytes) -> tuple[int, int] | None:
+    """(value_start, value_len) of /key at the TOP level of the outermost
+    << >> group, else None."""
+    depth = 0
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == b"<<":
+            depth += 1
+            i += 1
+            continue
+        if t == b">>":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 1 and t == key:
+            span = _value_span(toks, i + 1)
+            return i + 1, span
+        if depth >= 1 and t.startswith(b"/"):
+            # skip this key's value wholesale so nested dict keys at
+            # depth>1 can't shadow the top-level lookup
+            span = _value_span(toks, i + 1)
+            i += 1 + span
+            continue
+        i += 1
+    return None
+
+
+def replace_entry(toks: list[bytes], key: bytes,
+                  new_value: list[bytes]) -> list[bytes]:
+    ent = dict_entry(toks, key)
+    if ent is None:
+        # insert before the closing '>>' of the outer dict
+        return toks[:-1] + [key] + new_value + toks[-1:]
+    s, ln = ent
+    return toks[:s] + new_value + toks[s + ln:]
+
+
+def _unescape_literal(tok: bytes) -> bytes:
+    """Value bytes of a literal-string token produced by esc_string
+    (escapes limited to \\\\ \\( \\))."""
+    body = tok[1:-1]
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        if body[i] == 0x5C and i + 1 < len(body):
+            out.append(body[i + 1])
+            i += 2
+        else:
+            out.append(body[i])
+            i += 1
+    return bytes(out)
+
+
+# --- object model ------------------------------------------------------------
+
+
+class _Obj:
+    __slots__ = ("toks", "payload", "src", "keep_direct")
+
+    def __init__(self, toks, payload=None, src=None):
+        self.toks = toks            # dict/body tokens
+        self.payload = payload      # encoded stream payload or None
+        self.src = src              # (data, filters) pre-encode source
+        self.keep_direct = False    # must stay outside any ObjStm
+
+
+def _split_stream_body(body: bytes) -> tuple[bytes, bytes]:
+    """(dict_bytes, payload) for a stored `<<...>>\\nstream\\n...` body,
+    slicing the payload by the dict's own direct /Length."""
+    idx = body.index(b">>\nstream\n")
+    dict_bytes = body[: idx + 2]
+    m = re.search(rb"/Length (\d+)", dict_bytes)
+    start = idx + len(b">>\nstream\n")
+    return dict_bytes, body[start : start + int(m.group(1))]
+
+
+def _load_objects(w: PdfFileWriter) -> dict[int, _Obj]:
+    objs: dict[int, _Obj] = {}
+    src_map = getattr(w, "stream_src", {})
+    for num in range(1, len(w._objs)):
+        body = w._objs[num]
+        if body is None:
+            raise ValueError(f"object {num} reserved but never set")
+        if b">>\nstream\n" in body:
+            dict_bytes, payload = _split_stream_body(body)
+            objs[num] = _Obj(tokenize(dict_bytes), payload,
+                             src_map.get(num))
+        else:
+            objs[num] = _Obj(tokenize(body))
+    return objs
+
+
+# --- content splitting -------------------------------------------------------
+
+
+def safe_split_points(content: bytes) -> list[int]:
+    """Offsets where the content stream may be cut between lexical tokens:
+    right after a whitespace byte that is outside literal strings and
+    outside BI..ID..EI inline-image sections. Cutting between an
+    operator's operands and its name IS allowed (readers concatenate
+    segments before tokenizing)."""
+    pts: list[int] = []
+    i, n = 0, len(content)
+    paren = 0
+    while i < n:
+        c = content[i]
+        if paren:
+            if c == 0x5C:
+                i += 2
+                continue
+            if c == 0x28:
+                paren += 1
+            elif c == 0x29:
+                paren -= 1
+            i += 1
+            continue
+        if c == 0x28:
+            paren += 1
+            i += 1
+            continue
+        if content.startswith(b"BI ", i) or content.startswith(b"BI\n", i):
+            e = content.index(b" EI", i)  # fixture data never contains EI
+            i = e + 3
+            continue
+        if c in b" \n" and 0 < i < n - 1:
+            pts.append(i + 1)
+        i += 1
+    return pts
+
+
+def _split_content(data: bytes, rng: random.Random,
+                   k: int) -> tuple[list[bytes], bool]:
+    """Split into ≤k non-empty segments at safe points; returns (segments,
+    any split landed between an operand and its operator)."""
+    pts = safe_split_points(data)
+    if not pts or k <= 1:
+        return [data], False
+    cuts = sorted(rng.sample(pts, min(k - 1, len(pts))))
+    segs = []
+    prev = 0
+    for c in cuts:
+        if c > prev:
+            segs.append(data[prev:c])
+            prev = c
+    segs.append(data[prev:])
+    mid_op = False
+    for s in segs[:-1]:
+        tail = s.rstrip(b"\x00\t\n\x0c\r ")
+        if tail and tail[-1:].isdigit():
+            mid_op = True
+    return [s for s in segs if s], mid_op
+
+
+# --- serialization -----------------------------------------------------------
+
+
+class _ForeignSerializer:
+    def __init__(self, rng: random.Random, encrypt_seed: bytes | None):
+        self.rng = rng
+        self.encrypt_seed = encrypt_seed
+        self.aes_key = None
+        self.profile: dict = {}
+        self._str_ctr = 0
+
+    # -- token-level cosmetics ------------------------------------------
+
+    def _sep(self) -> bytes:
+        r = self.rng
+        if r.random() < 0.08:
+            self.profile["comments"] = True
+            junk = "".join(r.choice("abcdefg (<[/%") for _ in range(r.randint(0, 8)))
+            return b" % " + junk.encode() + r.choice([b"\n", b"\r\n", b"\r"])
+        if r.random() < 0.25:
+            return r.choice(_WS_CHOICES)
+        return b" "
+
+    def _maybe_escape_name(self, tok: bytes) -> bytes:
+        r = self.rng
+        if len(tok) < 3 or r.random() > 0.15:
+            return tok
+        # hex-escape one regular character (never the leading '/')
+        idx = r.randrange(1, len(tok))
+        c = tok[idx]
+        if c == 0x23 or bytes([c]) in b"0123456789abcdefABCDEF" and tok[idx - 1] == 0x23:
+            return tok
+        self.profile["name_escapes"] = self.profile.get("name_escapes", 0) + 1
+        return tok[:idx] + b"#%02X" % c + tok[idx + 1:]
+
+    def _encrypt_string_tok(self, tok: bytes, num: int) -> bytes:
+        """Literal/hex string → encrypted hex string (direct objects only)."""
+        if self.aes_key is None:
+            return tok
+        if tok.startswith(b"("):
+            plain = _unescape_literal(tok)
+        else:
+            plain = binascii.unhexlify(
+                re.sub(rb"[^0-9a-fA-F]", b"", tok[1:-1]))
+        self._str_ctr += 1
+        ct = _aes256_stream(self.aes_key, self.encrypt_seed,
+                            num * 1000 + self._str_ctr, plain)
+        self.profile["encrypted_strings"] = (
+            self.profile.get("encrypted_strings", 0) + 1)
+        return b"<" + binascii.hexlify(ct) + b">"
+
+    def emit_tokens(self, toks: list[bytes], num: int = 0,
+                    encrypt_strings: bool = False) -> bytes:
+        out = bytearray()
+        for i, t in enumerate(toks):
+            if t.startswith(b"/"):
+                t = self._maybe_escape_name(t)
+            elif encrypt_strings and (t.startswith(b"(") or (
+                    t.startswith(b"<") and t != b"<<")):
+                t = self._encrypt_string_tok(t, num)
+            if i:
+                out += self._sep()
+            out += t
+        return bytes(out)
+
+    # -- stream emission --------------------------------------------------
+
+    def emit_stream(self, num: int, toks: list[bytes], payload: bytes,
+                    pending: dict[int, int], next_num: list[int],
+                    indirect_len: bool, encrypt: bool,
+                    encrypt_strings: bool = True) -> bytes:
+        """Object body bytes for a stream; when indirect_len, allocates a
+        forward /Length object recorded in `pending` (num -> value)."""
+        if encrypt and self.aes_key is not None:
+            payload = _aes256_stream(self.aes_key, self.encrypt_seed, num,
+                                     payload)
+            self.profile["encrypted_streams"] = (
+                self.profile.get("encrypted_streams", 0) + 1)
+        if indirect_len:
+            ln_num = next_num[0]
+            next_num[0] += 1
+            pending[ln_num] = len(payload)
+            len_toks = [str(ln_num).encode(), b"0", b"R"]
+            self.profile["indirect_lengths"] = (
+                self.profile.get("indirect_lengths", 0) + 1)
+        else:
+            len_toks = [str(len(payload)).encode()]
+        toks = replace_entry(toks, b"/Length", len_toks)
+        head = self.emit_tokens(toks, num,
+                                encrypt_strings=encrypt_strings
+                                and self.aes_key is not None)
+        eol = self.rng.choice([b"\n", b"\r\n"])
+        return head + self.rng.choice([b"", b" ", b"\r\n", b"\n"]) \
+            + b"stream" + eol + payload + b"\nendstream"
+
+
+def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
+                  encrypt_aes256: bytes | None = None) -> bytes:
+    """Serialize the writer's object graph with foreign conventions.
+    Deterministic in (seed, encrypt_aes256). Encryption forces the modern
+    container (AES-256 + object streams, judge r7 #8)."""
+    rng = random.Random(f"foreign:{seed}")
+    ser = _ForeignSerializer(rng, encrypt_aes256)
+    objs = _load_objects(w)
+    profile = ser.profile
+    profile["encrypted"] = encrypt_aes256 is not None
+
+    next_num = [len(w._objs)]
+
+    # --- object-space transformations ---------------------------------
+    # 1. re-draw filter chains for re-encodable streams (never image
+    #    XObjects: their media refs hash the stored payload bytes)
+    for num, o in objs.items():
+        if o.src is None or rng.random() < 0.3:
+            continue
+        data, _old = o.src[1], o.src[2]
+        chain = rng.choice(_FILTER_CHAINS)
+        o.payload = encode_chain(data, chain)
+        if len(chain) == 1:
+            ftoks = [b"/" + chain[0].encode()]
+        else:
+            ftoks = [b"["] + [b"/" + f.encode() for f in chain] + [b"]"]
+        o.toks = replace_entry(o.toks, b"/Filter", ftoks)
+        profile.setdefault("chains", []).append("+".join(chain))
+
+    # 2. split every page's content stream into a /Contents array
+    n_seg_target = rng.randint(2, 4)
+    for num in list(objs):
+        o = objs.get(num)
+        if o is None:  # a content stream deleted by an earlier page
+            continue
+        ent = dict_entry(o.toks, b"/Type")
+        if ent is None or o.toks[ent[0]] != b"/Page":
+            continue
+        cent = dict_entry(o.toks, b"/Contents")
+        if cent is None or cent[1] != 3:
+            continue
+        cnum = int(o.toks[cent[0]])
+        csrc = objs[cnum].src
+        if csrc is None:
+            continue
+        segs, mid_op = _split_content(csrc[1], rng, n_seg_target)
+        profile["content_segments"] = len(segs)
+        profile["split_mid_operator"] = profile.get(
+            "split_mid_operator", False) or mid_op
+        seg_nums = []
+        for sdata in segs:
+            chain = rng.choice(_FILTER_CHAINS)
+            sn = next_num[0]
+            next_num[0] += 1
+            if len(chain) == 1:
+                ftoks = [b"/" + chain[0].encode()]
+            else:
+                ftoks = [b"["] + [b"/" + f.encode() for f in chain] + [b"]"]
+            so = _Obj([b"<<", b"/Filter"] + ftoks
+                      + [b"/Length", b"0", b">>"],
+                      encode_chain(sdata, chain), (b"", sdata, chain))
+            objs[sn] = so
+            seg_nums.append(sn)
+        arr = [b"["]
+        for sn in seg_nums:
+            arr += [str(sn).encode(), b"0", b"R"]
+        arr.append(b"]")
+        objs[num].toks = replace_entry(o.toks, b"/Contents", arr)
+        del objs[cnum]  # original single stream no longer referenced
+        # renumber gap: keep the number allocated but emit a free entry
+        profile["freed_original_content"] = True
+
+    stream_nums = [n for n, o in objs.items() if o.payload is not None]
+
+    # 3. choose indirect /Length victims (≥1 stream when any exist)
+    indirect: set[int] = set()
+    if stream_nums:
+        k = max(1, rng.randint(1, max(1, len(stream_nums) // 3)))
+        indirect = set(rng.sample(stream_nums, min(k, len(stream_nums))))
+
+    # --- container choice ----------------------------------------------
+    modern = encrypt_aes256 is not None or rng.random() < 0.5
+    profile["container"] = "modern" if modern else "table"
+
+    # encryption objects
+    enc_num = None
+    enc_id = None
+    if encrypt_aes256 is not None:
+        enc_id = encrypt_aes256[:16]
+        o6, u6, oe6, ue6, perms6, aes_key = aes256_encrypt_params(
+            encrypt_aes256)
+        ser.aes_key = aes_key
+        enc_num = next_num[0]
+        next_num[0] += 1
+        objs[enc_num] = _Obj(tokenize(
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44 "
+            b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF /O <" + binascii.hexlify(o6)
+            + b"> /U <" + binascii.hexlify(u6) + b"> /OE <"
+            + binascii.hexlify(oe6) + b"> /UE <" + binascii.hexlify(ue6)
+            + b"> /Perms <" + binascii.hexlify(perms6) + b"> >>"))
+        objs[enc_num].keep_direct = True
+
+    out = bytearray()
+    header_eol = rng.choice([b"\n", b"\r\n"])
+    out += b"%PDF-1." + str(rng.choice([4, 5, 6, 7])).encode() + header_eol
+    if rng.random() < 0.7:
+        out += b"%\xe2\xe3\xcf\xd3" + header_eol
+    # fixed-width profile stamp, patched in place at the end (inserting it
+    # later would shift every xref offset)
+    stamp_pos = len(out)
+    out += b"%%foreign-profile: " + b" " * _STAMP_PAD + b"\n"
+
+    offsets: dict[int, int] = {}
+    pending_lengths: dict[int, int] = {}
+
+    def emit_obj(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(str(num).encode() + b" 0 obj" + ser._sep() + body)
+        out.extend(rng.choice([b"\nendobj\n", b"\r\nendobj\r\n",
+                               b"\nendobj\r\n"]))
+
+    def body_for(num: int, o: _Obj, in_objstm: bool = False) -> bytes:
+        if o.payload is not None:
+            return ser.emit_stream(
+                num, o.toks, o.payload, pending_lengths, next_num,
+                indirect_len=num in indirect,
+                encrypt=ser.aes_key is not None and num != enc_num)
+        return ser.emit_tokens(
+            o.toks, num,
+            encrypt_strings=ser.aes_key is not None and not in_objstm
+            and num != enc_num)
+
+    # a planted dead object number: appears only as a free xref entry
+    free_num = next_num[0]
+    next_num[0] += 1
+    profile["free_entry"] = True
+
+    if not modern:
+        order = sorted(objs)
+        if rng.random() < 0.7:
+            rng.shuffle(order)
+            profile["shuffled"] = True
+        for num in order:
+            emit_obj(num, body_for(num, objs[num]))
+            # forward /Length objects: emit any pending immediately after
+            # a later random object (always after their stream)
+            while pending_lengths and rng.random() < 0.6:
+                ln, val = next(iter(pending_lengths.items()))
+                del pending_lengths[ln]
+                emit_obj(ln, str(val).encode())
+        for ln, val in list(pending_lengths.items()):
+            del pending_lengths[ln]
+            emit_obj(ln, str(val).encode())
+
+        size = next_num[0]
+        xref_pos = len(out)
+        rows = {0: b"0000000000 65535 f \n"}
+        for num, off in offsets.items():
+            rows[num] = ("%010d 00000 n \n" % off).encode()
+        rows[free_num] = b"0000000000 00001 f \n"
+        # multiple subsections: contiguous runs over the present numbers,
+        # randomly fragmented
+        nums = sorted(rows)
+        sections: list[list[int]] = [[]]
+        for i, num in enumerate(nums):
+            if sections[-1] and (num != sections[-1][-1] + 1
+                                 or rng.random() < 0.25):
+                sections.append([])
+            sections[-1].append(num)
+        profile["xref_subsections"] = len(sections)
+        out += b"xref\n"
+        for sec in sections:
+            out += b"%d %d\n" % (sec[0], len(sec))
+            for num in sec:
+                out += rows[num]
+        out += (b"trailer" + ser._sep()
+                + ser.emit_tokens(tokenize(
+                    b"<< /Size " + str(size).encode() + b" /Root "
+                    + str(root_num).encode() + b" 0 R >>")))
+        out += b"\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    else:
+        # modern container: pack most non-stream objects into 1-3 ObjStms
+        packables = [n for n, o in objs.items()
+                     if o.payload is None and not o.keep_direct]
+        direct_extra = set()
+        for n in packables:
+            if rng.random() < 0.2:
+                direct_extra.add(n)  # packing permutation: leave direct
+        packed = [n for n in packables if n not in direct_extra]
+        rng.shuffle(packed)
+        n_stms = min(len(packed), rng.randint(1, 3)) or 1
+        groups = [packed[i::n_stms] for i in range(n_stms)] if packed else []
+        groups = [g for g in groups if g]
+        profile["n_objstms"] = len(groups)
+        profile["direct_nonstream"] = len(direct_extra)
+
+        objstm_entries: dict[int, tuple[int, int]] = {}
+        objstm_nums: list[int] = []
+        for g in groups:
+            stm_num = next_num[0]
+            next_num[0] += 1
+            header = bytearray()
+            bodies = bytearray()
+            for idx, num in enumerate(g):
+                body = ser.emit_tokens(objs[num].toks, num,
+                                       encrypt_strings=False)
+                header += b"%d %d " % (num, len(bodies))
+                bodies += body + b"\n"
+                objstm_entries[num] = (stm_num, idx)
+            payload = bytes(header) + bytes(bodies)
+            chain = rng.choice(_FILTER_CHAINS)
+            toks = tokenize(
+                b"<< /Type /ObjStm /N " + str(len(g)).encode()
+                + b" /First " + str(len(header)).encode()
+                + b" /Length 0 >>")
+            if len(chain) == 1:
+                ftoks = [b"/" + chain[0].encode()]
+            else:
+                ftoks = [b"["] + [b"/" + f.encode() for f in chain] + [b"]"]
+            toks = replace_entry(toks, b"/Filter", ftoks)
+            stm_obj = _Obj(toks, encode_chain(payload, chain))
+            objs[stm_num] = stm_obj
+            objstm_nums.append(stm_num)
+
+        emit_order = ([n for n, o in objs.items()
+                       if o.payload is not None and n not in objstm_nums]
+                      + list(direct_extra)
+                      + ([enc_num] if enc_num is not None else [])
+                      + objstm_nums)
+        emit_order = list(dict.fromkeys(emit_order))
+        if rng.random() < 0.7:
+            rng.shuffle(emit_order)
+            profile["shuffled"] = True
+        for num in emit_order:
+            emit_obj(num, body_for(num, objs[num]))
+            while pending_lengths and rng.random() < 0.6:
+                ln, val = next(iter(pending_lengths.items()))
+                del pending_lengths[ln]
+                emit_obj(ln, str(val).encode())
+        for ln, val in list(pending_lengths.items()):
+            del pending_lengths[ln]
+            emit_obj(ln, str(val).encode())
+
+        # xref stream
+        xref_num = next_num[0]
+        next_num[0] += 1
+        size = next_num[0]
+        xref_pos = len(out)
+        wsel = rng.choice([wv for wv in _XREF_W_CHOICES
+                           if (1 << (8 * wv[1])) > xref_pos + 4096])
+        profile["xref_w"] = wsel
+
+        def row(typ: int, f2: int, f3: int) -> bytes:
+            return (typ.to_bytes(wsel[0], "big")
+                    + f2.to_bytes(wsel[1], "big")
+                    + f3.to_bytes(wsel[2], "big"))
+
+        entries: dict[int, bytes] = {0: row(0, 0, min(65535, (1 << (8 * wsel[2])) - 1))}
+        for num, off in offsets.items():
+            entries[num] = row(1, off, 0)
+        for num, (stm, idx) in objstm_entries.items():
+            entries[num] = row(2, stm, idx)
+        entries[free_num] = row(0, 0, 1)
+        entries[xref_num] = row(1, xref_pos, 0)
+        nums = sorted(entries)
+        sections = [[nums[0]]]
+        for num in nums[1:]:
+            if num != sections[-1][-1] + 1 or rng.random() < 0.25:
+                sections.append([])
+            sections[-1].append(num)
+        profile["xref_index_pairs"] = len(sections)
+        rows_b = bytearray()
+        index: list[bytes] = []
+        for sec in sections:
+            index += [str(sec[0]).encode(), str(len(sec)).encode()]
+            for num in sec:
+                rows_b += entries[num]
+        xcomp = zlib.compress(bytes(rows_b), 6)
+        xd = (b"<< /Type /XRef /W [ "
+              + b" ".join(str(x).encode() for x in wsel)
+              + b" ] /Index [ " + b" ".join(index) + b" ] /Size "
+              + str(size).encode() + b" /Root " + str(root_num).encode()
+              + b" 0 R /Filter /FlateDecode /Length "
+              + str(len(xcomp)).encode())
+        if enc_num is not None:
+            hid = binascii.hexlify(enc_id)
+            xd += (b" /Encrypt " + str(enc_num).encode() + b" 0 R /ID [ <"
+                   + hid + b"> <" + hid + b"> ]")
+        xd += b" >>"
+        offsets[xref_num] = xref_pos
+        # xref stream NEVER encrypted; emit verbatim (offsets must be
+        # self-consistent, so no cosmetic reflow that could confuse: the
+        # tokens are emitted compactly)
+        out += (str(xref_num).encode() + b" 0 obj\n" + xd
+                + b"\nstream\n" + xcomp + b"\nendstream\nendobj\n")
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+
+    # patch the profile into the reserved comment (length-preserving)
+    if "chains" in profile:
+        profile["chains"] = sorted(set(profile["chains"]))
+    blob = json.dumps(profile, sort_keys=True).encode()
+    assert len(blob) <= _STAMP_PAD, f"profile stamp overflow: {len(blob)}"
+    start = stamp_pos + len(b"%%foreign-profile: ")
+    out[start : start + len(blob)] = blob
+    return bytes(out)
+
+
+def profile_of(pdf: bytes) -> dict:
+    """Parse the %%foreign-profile stamp back out of the bytes."""
+    m = re.search(rb"%%foreign-profile: (.+)", pdf)
+    return json.loads(m.group(1)) if m else {}

@@ -118,7 +118,7 @@ FIXTURE_CLASSES = [
     "gridtable", "macroman", "wstable", "cid_predefined", "encrypted_aes256",
     "invisible", "tagged_list", "fax", "std14", "tagged_pg",
     "twotables", "jbig2", "cid_vertical", "jpeg", "arabic",
-    "type1_embedded",
+    "type1_embedded", "foreign_layout", "foreign_encrypted",
 ]
 
 
@@ -253,6 +253,8 @@ class DocPlan:
     annot_text: str | None = None  # FreeText annotation appearance content
     encrypt_id: bytes | None = None  # std-handler RC4 encryption (/ID)
     encrypt_aes256: bytes | None = None  # R6/AES-256 handler (seed)
+    foreign: bool = False  # serialize via the foreign-layout emitter
+    foreign_seed: str = ""  # deterministic profile seed for the above
 
 
 # --- text planning ------------------------------------------------------------
@@ -615,6 +617,29 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
     plan = DocPlan()
     width = PAGE_W - 2 * MARGIN
     v = PAGE_H - MARGIN
+
+    if fixture_class == "foreign_layout":
+        # same object graph as an interleaved doc (text + image XObjects +
+        # inline images), serialized by the SECOND emitter
+        # (fixtures.foreign): indirect /Length, split /Contents arrays,
+        # comments/exotic whitespace, name escapes, shuffled object order,
+        # multi-subsection xref tables or permuted xref-stream containers
+        plan = _plan_doc(doc_id, "interleaved", seed)
+        plan.foreign = True
+        plan.foreign_seed = f"{seed}:{doc_id}"
+        return plan
+
+    if fixture_class == "foreign_encrypted":
+        # foreign layout + AES-256 (R6) + object streams: crypt applies to
+        # the ObjStm container and direct strings/streams, NOT to objects
+        # packed inside object streams (ISO 32000-2 §7.6.3 interop trap)
+        plan = _plan_doc(doc_id, "cid" if rng.random() < 0.5
+                         else "interleaved", seed)
+        plan.foreign = True
+        plan.foreign_seed = f"{seed}:{doc_id}:enc"
+        import hashlib as _h
+        plan.encrypt_aes256 = _h.md5(doc_id.encode() + b"r8").digest()
+        return plan
 
     if fixture_class == "rotated":
         plan.theta = rng.choice([90, 180, 270])
@@ -2064,7 +2089,11 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         + str(n_pages).encode() + b" >>",
     )
     w.set_obj(catalog, b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
-    if plan.modern:
+    if plan.foreign:
+        from .foreign import build_foreign
+        pdf = build_foreign(w, catalog, plan.foreign_seed,
+                            encrypt_aes256=plan.encrypt_aes256)
+    elif plan.modern:
         pdf = w.build_modern(catalog)
     else:
         pdf = w.build(catalog, corrupt_startxref=plan.corrupt_xref,
@@ -2661,21 +2690,99 @@ def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
     words = text.split()
     paras: list[list[str]] = []
     i = 0
-    prev_long = False
+    have_long = False
     while i < len(words):
-        # occasional short dialogue-style paragraph (< the prose gate),
-        # only after a long paragraph so smoothing has a content anchor
-        # on at least one side even at document edges
-        if prev_long and rng.random() < 0.3:
+        # short dialogue-style paragraphs (< the prose gate) may appear
+        # ANYWHERE — including leading the document (r7 VERDICT #4: the
+        # anchor-only-after-long restriction is removed; policy: the
+        # backward smoothing pass anchors leading shorts to the first
+        # long paragraph, the forward pass anchors trailing ones).
+        # A short run is only allowed while a long paragraph exists or
+        # can still follow (remaining ≥ 33 words), so every short run
+        # touches a long one and the oracle identity holds; a tiny
+        # remainder with no long yet becomes ONE block, mirroring the
+        # oracle's whole-document gate.
+        remaining = len(words) - i
+        if not have_long and remaining < 33:
+            take = remaining
+        elif (have_long or remaining >= 33) and rng.random() < 0.25:
             take = rng.randint(2, 3)
-            prev_long = False
+        elif remaining < 30:
+            take = remaining
         else:
-            take = rng.randint(30, 60)
-            prev_long = True
-        paras.append(words[i:i + take])
+            take = rng.randint(30, min(60, remaining))
+        para = words[i:i + take]
+        paras.append(para)
+        if len(" ".join(para)) >= 25:
+            have_long = True
         i += take
     if not paras:
         paras = [["empty"]]
+
+    # --- near-gate boundary probes (r7 VERDICT #4) -----------------------
+    # (1) isolate one ≥25-char near-gate article paragraph between two
+    # class-hinted ad blocks: it is kept by the LENGTH GATE ALONE (no
+    # neighbor can rescue it), so an upward gate drift past its length
+    # drops article text and breaks the oracle hash.
+    iso_words: list[str] | None = None
+    iso_at = -1
+    charlen = lambda ws_: len(" ".join(ws_))  # noqa: E731
+    for j, p in enumerate(paras):
+        if len(p) >= 20 and charlen(p) >= 95 and (
+                j == 0 or charlen(paras[j - 1]) >= 25):
+            cut, cum = 0, -1
+            while cut < len(p) and cum < 25:
+                cum += len(p[cut]) + 1
+                cut += 1
+            rest = p[cut:]
+            if charlen(rest) >= 25:
+                iso_words, iso_at = p[:cut], j
+                paras[j] = rest
+                break
+    # (2) link words of one OTHER long paragraph up to JUST UNDER the
+    # density gate (target ≤ 0.325 of block chars): a downward gate
+    # drift drops this article paragraph and breaks the oracle.
+    dense_at = -1
+    dense_linked: set[int] = set()
+    for j, p in enumerate(paras):
+        if j != iso_at and len(p) >= 20 and charlen(p) >= 100:
+            total = charlen(p)
+            budget = int(total * 0.325)
+            order = sorted(range(len(p)), key=lambda k: (-len(p[k]), k))
+            linked = 0
+            for k in order:
+                if linked + len(p[k]) <= budget:
+                    dense_linked.add(k)
+                    linked += len(p[k])
+            if linked / total > 0.28:
+                dense_at = j
+                break
+            dense_linked = set()
+    # (3) chrome probes: an exactly-24-char unhinted snippet (one char
+    # under the gate, no content neighbor → must drop; a gate drift to
+    # ≤24 leaks it) and an unhinted long block with link density JUST
+    # OVER 1/3 (a density-gate drift upward leaks it).
+    gate24 = "Posted 12 May 2026 14:02"
+    assert len(gate24) == 24
+    dw = [rng.choice(BOILER_WORDS) for _ in range(8)]
+    # grow the plain tail until linking the first k words lands the ratio
+    # in (1/3, 0.42] for some k — guaranteed reachable: adding one plain
+    # word moves the ratio down by small steps, adding one linked word up
+    d_link_n = 0
+    for _ in range(64):
+        total = len(" ".join(dw))
+        for k in range(1, len(dw)):
+            linked = sum(len(x) for x in dw[:k])
+            if total >= 25 and 1 / 3 < linked / total <= 0.42:
+                d_link_n = k
+                break
+        if d_link_n:
+            break
+        dw.append(rng.choice(BOILER_WORDS))
+    assert d_link_n, "density-above probe construction failed"
+    dense_above = " ".join(
+        f'<a href="/{w}">{w}</a>' if i_ < d_link_n else w
+        for i_, w in enumerate(dw))
 
     def links(n: int) -> str:
         return " ".join(
@@ -2683,9 +2790,17 @@ def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
             for w in (rng.choice(BOILER_WORDS) for _ in range(n)))
 
     body_paras = []
-    for p in paras:
+    for j, p in enumerate(paras):
         esc = [_html.escape(w) for w in p]
         para_chars = len(" ".join(p))
+        if j == dense_at:
+            # near-gate density probe: the selected words are linked so
+            # the block sits JUST UNDER MAX_LINK_DENSITY — any downward
+            # gate drift drops this article paragraph
+            esc = [f'<a href="/d{k}">{e}</a>' if k in dense_linked else e
+                   for k, e in enumerate(esc)]
+            body_paras.append("  <p>\n    " + " ".join(esc) + "\n  </p>")
+            continue
         # inline markup on a few words; at most ~8% linked chars
         n_marks = max(1, len(esc) // 12)
         for _ in range(n_marks):
@@ -2699,6 +2814,15 @@ def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
             # ones must not push the block over MAX_LINK_DENSITY)
             if len(p[k]) / max(para_chars, 1) <= 0.15:
                 esc[k] = f'<a href="/x">{esc[k]}</a>'
+        if j == iso_at and iso_words is not None:
+            # the isolated near-gate paragraph, walled off by hinted ad
+            # blocks on BOTH sides: kept by the length gate alone
+            iso_esc = " ".join(_html.escape(w) for w in iso_words)
+            wall = " ".join(rng.choice(BOILER_WORDS)
+                            for _ in range(rng.randint(4, 8)))
+            body_paras.append(f'  <div class="ad">{wall}</div>')
+            body_paras.append("  <p>" + iso_esc + "</p>")
+            body_paras.append(f'  <div class="ad">{wall}</div>')
         body_paras.append("  <p>\n    " + " ".join(esc) + "\n  </p>")
     ad = " ".join(rng.choice(BOILER_WORDS) for _ in range(rng.randint(4, 10)))
     cookie = (
@@ -2710,6 +2834,18 @@ def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
         f"About the author: a {rng.choice(BOILER_WORDS)} correspondent "
         f"writing about {rng.choice(BOILER_WORDS)} and "
         f"{rng.choice(BOILER_WORDS)} since 20{rng.randint(10, 25)}."
+    )
+    # long link-free prose INSIDE the sidebar, after a nested plain <div>
+    # whose end tag must NOT close the sidebar scope (r7 ADVICE medium):
+    # if the scope pops early this leaks into main content
+    promo = (
+        f"Subscribe to our {rng.choice(BOILER_WORDS)} newsletter for "
+        f"weekly {rng.choice(BOILER_WORDS)} updates and exclusive "
+        f"{rng.choice(BOILER_WORDS)} digests."
+    )
+    # chrome boundary probes: both sit between boiler neighbors
+    chrome_probes = (
+        f'<div>{gate24}</div>\n<div>{dense_above}</div>'
     )
     head = f"""<!DOCTYPE html>
 <html>
@@ -2727,13 +2863,15 @@ def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
         return f"""{head}
 <div class="cookie-consent">{cookie}
   <a href="/cookies">Learn more</a>.</div>
+{chrome_probes}
 <div class="menu"><ul>{links(rng.randint(5, 9))}</ul></div>
 <div class="crumbs"><a href="/">Home</a> &gt; <a href="/c">{
         rng.choice(BOILER_WORDS)}</a></div>
 <div class="sidebar">
   <h3>Links</h3>
-  <ul>{links(rng.randint(4, 8))}</ul>
+  <div><ul>{links(rng.randint(4, 8))}</ul></div>
   <div class="ad">{ad}</div>
+  <p>{promo}</p>
 </div>
 <div id="content">
 {article}
@@ -2751,13 +2889,14 @@ def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
         return f"""{head}
 <div class="cookie-consent">{cookie}
   <a href="/cookies">Learn more</a>.</div>
+{chrome_probes}
 <table width="100%"><tr>
   <td class="menu">{links(rng.randint(5, 9))}</td>
   <td class="crumbs"><a href="/">Home</a> &gt; <a href="/c">{
         rng.choice(BOILER_WORDS)}</a></td>
 </tr><tr>
   <td class="sidebar"><h3>Links</h3><ul>{links(rng.randint(4, 8))}</ul>
-    <div class="ad">{ad}</div></td>
+    <div class="ad">{ad}</div><p>{promo}</p></td>
   <td>
 {article}
   </td>
@@ -2773,6 +2912,7 @@ def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
     return f"""{head}
 <div class="cookie-consent">{cookie}
   <a href="/cookies">Learn more</a>.</div>
+{chrome_probes}
 <header>
   <nav><ul>{links(rng.randint(5, 9))}</ul></nav>
   <div class="crumbs"><a href="/">Home</a> &gt; <a href="/c">{
@@ -2780,8 +2920,9 @@ def make_html_doc(doc_id: str, text: str, seed: int = 42) -> str:
 </header>
 <aside class="sidebar">
   <h3>Links</h3>
-  <ul>{links(rng.randint(4, 8))}</ul>
+  <div><ul>{links(rng.randint(4, 8))}</ul></div>
   <div class="ad">{ad}</div>
+  <p>{promo}</p>
 </aside>
 <article>
 {chr(10).join(body_paras)}
@@ -2804,7 +2945,8 @@ DEFAULT_MIX = [
     ("cid_predefined", 3), ("encrypted_aes256", 2), ("invisible", 2),
     ("tagged_list", 2), ("fax", 2), ("std14", 3), ("tagged_pg", 2),
     ("twotables", 2), ("jbig2", 2), ("cid_vertical", 2), ("jpeg", 2),
-    ("arabic", 2), ("type1_embedded", 2),
+    ("arabic", 2), ("type1_embedded", 2), ("foreign_layout", 4),
+    ("foreign_encrypted", 2),
 ]
 
 BENCH_MIX = [

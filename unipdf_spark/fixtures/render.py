@@ -232,6 +232,12 @@ class PdfFileWriter:
     def __init__(self) -> None:
         self._objs: list[bytes | None] = [None]  # 1-indexed
         self._is_stream: set[int] = set()
+        # pre-encode stream sources (dict_extra, data, decode_chain) — the
+        # foreign-layout serializer (fixtures.foreign) re-encodes these
+        # through its own filter chains; streams added via raw add() (image
+        # XObjects, whose media refs hash the stored payload) are absent
+        # and therefore kept byte-identical
+        self.stream_src: dict[int, tuple[bytes, bytes, list[str]]] = {}
 
     def reserve(self) -> int:
         self._objs.append(None)
@@ -271,6 +277,10 @@ class PdfFileWriter:
         )
         num = self.add(body)
         self._is_stream.add(num)
+        self.stream_src[num] = (
+            dict_extra, data,
+            list(filters) if filters else (["FlateDecode"] if compress
+                                           else []))
         return num, raw
 
     def build(self, root_num: int, corrupt_startxref: bool = False,

@@ -311,8 +311,15 @@ class Lexer:
             p2 = m2.end()
             j = p2
             data, n = self.data, len(self.data)
-            while j < n and data[j] in WHITESPACE:
-                j += 1
+            # comments are whitespace-equivalent anywhere outside strings
+            # and streams (ISO 32000 §7.2.4) — a '% ...' line may sit
+            # between the generation number and the R keyword
+            while j < n and (data[j] in WHITESPACE or data[j] == 0x25):
+                if data[j] == 0x25:
+                    while j < n and data[j] not in b"\r\n":
+                        j += 1
+                else:
+                    j += 1
             if data.startswith(b"R", j) and (
                 j + 1 >= n or data[j + 1] in WHITESPACE or data[j + 1] in DELIMITERS
             ):
