@@ -306,7 +306,8 @@ def _doc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     strokes = pipeline.gen_docs_pdf(
         spark, G.STROKE_N, mix=G.STROKE_MIX
     ).select("doc_id", "pdf_bytes").mapInPandas(stroke_batch, out_schema)
-    media = mm.media_table_from_fixtures(spark, n_docs=G.MEDIA_N)
+    media = mm.media_table_from_fixtures(spark, n_docs=G.MEDIA_N,
+                                         mix=G.MEDIA_MIX)
     feats = mm.extract_features(media).select(
         "doc_id", F.lit(-1).alias("page"), F.lit("media_feat").alias("kind"),
         F.col("media_ref").alias("name"), F.col("feat_dim").cast("long").alias("value"),
@@ -343,6 +344,13 @@ def _media_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      len(fax), "CCITTFaxDecode", -1, True))
         rows.append((f"plant_jb2_{i}", f"plant_{i}", "image", jb2, w, h,
                      len(jb2), "JBIG2Decode", 0, False))
+    # NEAR-dup variants (1-2 flipped cells, r7 VERDICT #6): same sign-LSH
+    # block as their base but different dHash and dot < |f|² — exercises
+    # the comparator's non-identical branch
+    for i, bm in enumerate(G.media_planted_near_bitmaps()):
+        fax = ccitt_g4_encode(bm, w)
+        rows.append((f"plant_near_{i}", f"plantn_{i}", "image", fax, w, h,
+                     len(fax), "CCITTFaxDecode", -1, True))
     planted = spark.createDataFrame(
         pd.DataFrame(rows, columns=[
             "media_ref", "doc_id", "kind", "payload", "width", "height",
