@@ -152,6 +152,7 @@ def main() -> None:
     }
     print(json.dumps(result))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    os.makedirs(os.path.join(REPO, "BENCH", "history"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             "# BENCH/BASELINE — two-cluster-size scaling evidence\n\n"
@@ -194,6 +195,14 @@ def main() -> None:
             "partition-local; nothing in the plan serializes at higher\n"
             "executor counts.\n"
         )
+    # every run ALSO writes a timestamped history copy so a rerun never
+    # silently clobbers the committed artifact (r7 VERDICT wrong #1)
+    ts_tag = result["ts"].replace(" ", "_").replace(":", "")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md")) as f:
+        text = f.read()
+    with open(os.path.join(REPO, "BENCH", "history",
+                           f"BASELINE_{ts_tag}.md"), "w") as f:
+        f.write(text)
 
 
 if __name__ == "__main__":

@@ -203,9 +203,16 @@ def main() -> None:
         "payloads) and parallelize with the cluster; the sandbox floor",
         "they sit on here does not.",
     ]
+    text = "\n".join(lines) + "\n"
     with open(os.path.join(REPO, "BENCH", "INTEGRATED_SCALING.md"),
               "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write(text)
+    # timestamped history copy: reruns never clobber a committed artifact
+    os.makedirs(os.path.join(REPO, "BENCH", "history"), exist_ok=True)
+    ts_tag = res["ts"].replace(" ", "_").replace(":", "")
+    with open(os.path.join(REPO, "BENCH", "history",
+                           f"INTEGRATED_SCALING_{ts_tag}.md"), "w") as f:
+        f.write(text)
 
 
 if __name__ == "__main__":
