@@ -498,6 +498,24 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
         k = max(1, rng.randint(1, max(1, len(stream_nums) // 3)))
         indirect = set(rng.sample(stream_nums, min(k, len(stream_nums))))
 
+    # 4. bump a subset of STREAM objects to generation 1 (real-world
+    # revised-file shape). Streams are never packed into object streams,
+    # which must hold generation-0 objects only (§7.5.7), so bumping
+    # only streams is container-safe. Every reference triple `N 0 R`
+    # to a bumped object is rewritten to `N 1 R` in all dict tokens.
+    bumped: set[int] = set()
+    if stream_nums and rng.random() < 0.6:
+        kb = max(1, len(stream_nums) // 4)
+        bumped = set(rng.sample(stream_nums, kb))
+        profile["gen1_objects"] = len(bumped)
+        for o in objs.values():
+            t = o.toks
+            for i in range(len(t) - 2):
+                if (t[i + 1] == b"0" and t[i + 2] == b"R"
+                        and _NUM_TOK.match(t[i])
+                        and int(t[i]) in bumped):
+                    t[i + 1] = b"1"
+
     # --- container choice ----------------------------------------------
     modern = encrypt_aes256 is not None or rng.random() < 0.5
     profile["container"] = "modern" if modern else "table"
@@ -536,7 +554,8 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
 
     def emit_obj(num: int, body: bytes) -> None:
         offsets[num] = len(out)
-        out.extend(str(num).encode() + b" 0 obj" + ser._sep() + body)
+        gen = 1 if num in bumped else 0
+        out.extend(b"%d %d obj" % (num, gen) + ser._sep() + body)
         out.extend(rng.choice([b"\nendobj\n", b"\r\nendobj\r\n",
                                b"\nendobj\r\n"]))
 
@@ -577,7 +596,8 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
         xref_pos = len(out)
         rows = {0: b"0000000000 65535 f \n"}
         for num, off in offsets.items():
-            rows[num] = ("%010d 00000 n \n" % off).encode()
+            rows[num] = (b"%010d %05d n \n"
+                         % (off, 1 if num in bumped else 0))
         rows[free_num] = b"0000000000 00001 f \n"
         # multiple subsections: contiguous runs over the present numbers,
         # randomly fragmented
@@ -678,7 +698,7 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
 
         entries: dict[int, bytes] = {0: row(0, 0, min(65535, (1 << (8 * wsel[2])) - 1))}
         for num, off in offsets.items():
-            entries[num] = row(1, off, 0)
+            entries[num] = row(1, off, 1 if num in bumped else 0)
         for num, (stm, idx) in objstm_entries.items():
             entries[num] = row(2, stm, idx)
         entries[free_num] = row(0, 0, 1)
