@@ -53,7 +53,7 @@ def test_foreign_corpus_covers_every_convention():
         assert any(p.get(flag) for p in profiles), flag
     for counter in ("indirect_lengths", "name_escapes", "content_segments",
                     "n_objstms", "direct_nonstream", "encrypted_streams",
-                    "encrypted_strings"):
+                    "encrypted_strings", "gen1_objects"):
         assert any(p.get(counter, 0) > 0 for p in profiles), counter
     assert any(p.get("xref_subsections", 0) > 1 for p in profiles)
     assert any(p.get("xref_index_pairs", 0) > 1 for p in profiles)
