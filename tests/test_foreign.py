@@ -148,3 +148,44 @@ def test_ref_lookahead_skips_comments():
     lx = Lexer(b"<< /Pages 2 0 % forward\r\nR /X 7 % c\n0 R >>", 0)
     d = lx.parse_dict()
     assert d["Pages"] == Ref(2, 0) and d["X"] == Ref(7, 0)
+
+
+def test_foreign_encrypted_string_roundtrip():
+    """AES-256 string encryption: a literal string in a DIRECT object is
+    stored as ciphertext (plaintext absent from the file bytes) and the
+    engine decrypts it back exactly — including escape handling. Strings
+    in ObjStm-packed objects stay plaintext inside the (encrypted)
+    container; both placements must resolve to the same value. Span
+    equality alone can't prove this (extraction never reads these
+    strings), so it is asserted directly."""
+    from unipdf_spark.fixtures.foreign import build_foreign
+    from unipdf_spark.fixtures.render import PdfFileWriter
+
+    w = PdfFileWriter()
+    catalog = w.reserve()
+    pages = w.reserve()
+    page = w.reserve()
+    info = w.add(b"<< /Marker (Secret String 42 \\( esc) /Plain /Name >>")
+    cnum, _ = w.add_stream(b"", b"BT ET", compress=True)
+    w.set_obj(page, b"<< /Type /Page /Parent " + str(pages).encode()
+              + b" 0 R /MediaBox [0 0 612 792] /Resources << >> /Contents "
+              + str(cnum).encode() + b" 0 R /PieceInfo "
+              + str(info).encode() + b" 0 R >>")
+    w.set_obj(pages, b"<< /Type /Pages /Kids [ " + str(page).encode()
+              + b" 0 R ] /Count 1 >>")
+    w.set_obj(catalog, b"<< /Type /Catalog /Pages " + str(pages).encode()
+              + b" 0 R >>")
+    direct_ct = 0
+    for s in range(40):
+        pdf = build_foreign(w, catalog, f"t:{s}", encrypt_aes256=b"k" * 16)
+        d = PdfDocument(pdf, relaxed=False)
+        found = False
+        for num in sorted(d.xref):
+            o = d.get_object(num)
+            if isinstance(o, dict) and "Marker" in o:
+                assert o["Marker"] == b"Secret String 42 ( esc", s
+                found = True
+                if d.xref[num][0] == "f" and b"Secret String" not in pdf:
+                    direct_ct += 1
+        assert found, s
+    assert direct_ct >= 5, f"direct-encrypted placement too rare: {direct_ct}"
