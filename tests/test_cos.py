@@ -337,3 +337,75 @@ def test_fetch_standards_real_adobe_data_when_present():
         pytest.skip("real Adobe cmap-resources not vendored")
     cm = cr.cid_cmap("UniGB-UCS2-H")
     assert cm is not None and len(cm.cid_map) > 100
+
+
+# -- stream-length repair + transport-wrapper conventions (r8) ---------------
+
+
+def _stream_doc(payload: bytes, stored_len: int) -> bytes:
+    """Mini doc with one stream whose stored /Length is `stored_len` while
+    the real extent is len(payload); payload..endstream separated by CRLF."""
+    body = (b"<< /Length " + str(stored_len).encode() + b" >>\nstream\n"
+            + payload + b"\r\nendstream")
+    return _mini_pdf({4: body})
+
+
+@pytest.mark.parametrize("delta", [-20, -16, -5, 3, 16])
+def test_stream_length_repair_recovers_exact_payload(delta):
+    """Wrong stored /Length → endstream re-location recovers the EXACT
+    payload. delta=-20/-16/-5 are the regression zone: a substring probe
+    over a 32-byte slack window (the pre-r8 check) finds the real
+    endstream inside the window and silently accepts the TRUNCATED
+    payload; the adjacency check must reject and re-scan. +3/+16 are
+    over-reads whose declared end lands inside/past the keyword."""
+    payload = bytes(range(256)) * 3  # binary incl. CR/LF bytes, no keywords
+    pdf = _stream_doc(payload, len(payload) + delta)
+    st = PdfDocument(pdf, relaxed=False).get_object(4)
+    assert st.raw == payload
+
+
+def test_stream_length_repair_keeps_payload_trailing_eol():
+    """Re-scan strips ONLY the single separating EOL — a payload whose own
+    last byte is LF keeps it (rstrip of all CR/LF would eat it)."""
+    payload = b"q 0 0 1 1 re f Q\n"
+    pdf = _stream_doc(payload, len(payload) - 6)
+    st = PdfDocument(pdf, relaxed=False).get_object(4)
+    assert st.raw == payload
+
+
+def test_stream_length_exact_is_untouched():
+    payload = b"\r\n\r\nBT ET\r\n"  # EOL-heavy payload, correct length
+    pdf = _stream_doc(payload, len(payload))
+    st = PdfDocument(pdf, relaxed=False).get_object(4)
+    assert st.raw == payload
+
+
+def test_leading_junk_header_rebase_strict():
+    """Bytes prepended before %PDF- (transport wrapper): stored offsets are
+    header-relative, so the reader rebases — in STRICT mode, no repair."""
+    pdf = _mini_pdf()
+    junk = b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n" \
+        + b"Z" * 100
+    doc = PdfDocument(junk + pdf, relaxed=False)
+    assert len(doc.pages()) == 1
+
+
+def test_trailing_junk_after_eof_strict():
+    """Junk appended after %%EOF within the tail scan window: the backward
+    startxref scan must find the real pointer, not fail on the junk."""
+    pdf = _mini_pdf()
+    doc = PdfDocument(pdf + b"\n--mime-boundary--\n" + b"." * 600,
+                      relaxed=False)
+    assert len(doc.pages()) == 1
+
+
+def test_stream_overpadded_but_correct_length_kept():
+    """A producer that pads 8 spaces before endstream with a CORRECT
+    /Length: the declared extent wins (re-locating would glue the pad
+    run onto the payload)."""
+    payload = b"BT (pad) Tj ET"
+    body = (b"<< /Length " + str(len(payload)).encode() + b" >>\nstream\n"
+            + payload + b"        \nendstream")
+    pdf = _mini_pdf({4: body})
+    st = PdfDocument(pdf, relaxed=False).get_object(4)
+    assert st.raw == payload

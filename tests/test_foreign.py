@@ -53,8 +53,12 @@ def test_foreign_corpus_covers_every_convention():
         assert any(p.get(flag) for p in profiles), flag
     for counter in ("indirect_lengths", "name_escapes", "content_segments",
                     "n_objstms", "direct_nonstream", "encrypted_streams",
-                    "encrypted_strings", "gen1_objects"):
+                    "encrypted_strings", "gen1_objects", "wrong_lengths",
+                    "stream_crlf", "leading_junk", "trailing_junk"):
         assert any(p.get(counter, 0) > 0 for p in profiles), counter
+    # all three legal xref-row terminators appear across the table corpus
+    row_eols = {p["xref_row_eol"] for p in profiles if "xref_row_eol" in p}
+    assert row_eols == {" \n", " \r", "\r\n"}, row_eols
     assert any(p.get("xref_subsections", 0) > 1 for p in profiles)
     assert any(p.get("xref_index_pairs", 0) > 1 for p in profiles)
     assert any(p.get("content_segments", 0) >= 2 for p in profiles)
@@ -88,6 +92,27 @@ def test_foreign_conventions_present_in_bytes():
             seen_multisect = True
     assert seen_indirect and seen_comment and seen_multisect
     assert seen_array
+
+
+def test_foreign_transport_wrappers_present_in_bytes():
+    """Docs whose profile claims transport junk really carry it: the file
+    does NOT start with %PDF- (leading) / does NOT end near %%EOF
+    (trailing) — and still parses strictly (rebase, not repair)."""
+    from unipdf_spark.pdf.cos import PdfDocument
+
+    seen_lead = seen_tail = False
+    for _d, _g, pdf in _docs("foreign_layout"):
+        p = profile_of(pdf)
+        if p.get("leading_junk"):
+            assert not pdf.startswith(b"%PDF-")
+            assert pdf[:p["leading_junk"]].find(b"%PDF-") < 0
+            PdfDocument(pdf, relaxed=False)
+            seen_lead = True
+        if p.get("trailing_junk"):
+            assert pdf.rstrip(b"\r\n").endswith((b"--", b"."))
+            assert b"%%EOF" in pdf[-p["trailing_junk"] - 16:-p["trailing_junk"] + 8]
+            seen_tail = True
+    assert seen_lead and seen_tail
 
 
 def test_foreign_encrypted_is_modern_and_ciphertext():

@@ -214,3 +214,62 @@ def test_html_extractor_never_raises(data):
     assert isinstance(out, str)
     out2 = main_content(s)
     assert isinstance(out2, str)
+
+
+# -- cross-writer differential property (r8) ----------------------------------
+# The fixed foreign corpus proves span equality over ~80 profiles; this
+# property randomizes BOTH the document (class × id) and the foreign
+# serialization profile, so writer-independence is tested over arbitrary
+# (graph, layout) pairs rather than a committed sample. Two independently
+# written serializers agreeing with the plan-derived golden is the
+# falsification core: a bug in either writer or in the parser breaks it.
+
+_DIFF_CLASSES = [
+    "simple", "kerned", "multicolumn", "rotated", "cid", "interleaved",
+    "form_xobject", "hyphenated", "tagged", "skew", "filters", "type3",
+    "bidi", "gridtable", "macroman", "std14", "fax", "jbig2", "jpeg",
+    "arabic", "type1_embedded", "twotables", "wstable", "rules",
+    "invisible", "annot",
+]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6),
+       st.sampled_from(_DIFF_CLASSES),
+       st.integers(min_value=0, max_value=10**6))
+def test_writer_differential_property(i, cls, fseed):
+    from unipdf_spark.fixtures.gen import _plan_doc, render_doc
+
+    did = f"doc_{i:08d}"
+    plan = _plan_doc(did, cls, 42)
+    pdf_canonical, golden = render_doc(plan)
+    plan.foreign = True
+    plan.foreign_seed = f"hyp:{fseed}"
+    plan.encrypt_id = None  # foreign emitter has no RC4 leg
+    pdf_foreign, golden2 = render_doc(plan)
+    assert golden2 == golden  # golden derives from the plan, not the writer
+    assert pdf_foreign != pdf_canonical
+    assert extract_spans(pdf_canonical).spans == golden, (cls, did)
+    assert extract_spans(pdf_foreign).spans == golden, (cls, did, fseed)
+
+
+def test_corrupted_doc_never_poisons_clean_doc():
+    """Cross-document object-cache poisoning regression (r8): a corrupted
+    doc whose repaired (truncated) stream shares a byte prefix with the
+    intact doc's object must NOT leak its truncated parse into the clean
+    doc. Observed as test-order-dependent `no /Root catalog` on objstm
+    docs after the corruption fuzz ran. Repair-path streams are never
+    cached; cached streams are re-validated in the consuming document."""
+    from unipdf_spark.fixtures import FIXTURE_CLASSES, make_doc
+    from unipdf_spark.pdf.extract import extract_spans
+
+    for cls in FIXTURE_CLASSES:
+        if cls in ("malformed",):  # its golden tolerates repair variance
+            continue
+        golden, pdf = make_doc("poison_probe", cls, seed=3)
+        # truncation points sweep stream interiors; parse corrupt FIRST
+        for cut in range(len(pdf) // 4, len(pdf), max(1, len(pdf) // 7)):
+            extract_spans(pdf[:cut] + b"\nendstream\nendobj\n")
+            extract_spans(pdf[:cut])
+        got = extract_spans(pdf)
+        assert got.error is None and got.spans == golden, cls

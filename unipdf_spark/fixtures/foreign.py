@@ -30,7 +30,15 @@ producer quirks:
   payloads and direct-object strings encrypted, objects packed in object
   streams NOT individually encrypted (the containing ObjStm already is),
   xref stream and /Encrypt dict exempt — the interop trap of
-  ISO 32000-2 §7.6.3.
+  ISO 32000-2 §7.6.3;
+- wrong stored /Length values (too small by 5-16 / too large by 3-16
+  bytes, deltas chosen so recovery is unambiguous — see emit_stream) that
+  force the reader's endstream re-location repair;
+- all three legal 20-byte xref-row terminators (SP CR, SP LF, CR LF)
+  and both `stream`-keyword EOLs (LF, CRLF);
+- transport wrappers: junk bytes BEFORE %PDF- (offsets stay relative to
+  the header; the reader must rebase) and junk AFTER %%EOF (the reader's
+  backward startxref scan must skip it).
 
 The chosen knobs are stamped into a `%%foreign-profile:` comment line
 after the header so tests can assert corpus-level coverage of every
@@ -408,14 +416,39 @@ class _ForeignSerializer:
             self.profile["indirect_lengths"] = (
                 self.profile.get("indirect_lengths", 0) + 1)
         else:
-            len_toks = [str(len(payload)).encode()]
+            stored = len(payload)
+            end_eol = b"\n"
+            # wrong stored /Length (real-world producer bug the reference
+            # repairs by re-locating endstream, core/core.go:1181). Deltas
+            # chosen so recovery is UNAMBIGUOUS: too-small ≥5 keeps the real
+            # endstream outside any legal EOL-adjacency window; too-large ≥3
+            # lands the declared end inside the keyword, never inside the
+            # separating EOL (a ±1-2 overrun into the EOL is genuinely
+            # ambiguous for any reader). endstream-in-payload is excluded so
+            # the rescan finds the true terminator; the pre-endstream EOL is
+            # forced to CRLF so a single-EOL strip recovers the exact bytes.
+            if (self.rng.random() < 0.25 and len(payload) > 32
+                    and b"endstream" not in payload):
+                if self.rng.random() < 0.5:
+                    stored = len(payload) - self.rng.randint(5, 16)
+                else:
+                    stored = len(payload) + self.rng.randint(3, 16)
+                end_eol = b"\r\n"
+                self.profile["wrong_lengths"] = (
+                    self.profile.get("wrong_lengths", 0) + 1)
+            len_toks = [str(stored).encode()]
         toks = replace_entry(toks, b"/Length", len_toks)
         head = self.emit_tokens(toks, num,
                                 encrypt_strings=encrypt_strings
                                 and self.aes_key is not None)
         eol = self.rng.choice([b"\n", b"\r\n"])
+        if eol == b"\r\n":
+            self.profile["stream_crlf"] = (
+                self.profile.get("stream_crlf", 0) + 1)
+        if indirect_len:
+            end_eol = b"\n"
         return head + self.rng.choice([b"", b" ", b"\r\n", b"\n"]) \
-            + b"stream" + eol + payload + b"\nendstream"
+            + b"stream" + eol + payload + end_eol + b"endstream"
 
 
 def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
@@ -594,11 +627,16 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
 
         size = next_num[0]
         xref_pos = len(out)
-        rows = {0: b"0000000000 65535 f \n"}
+        # 20-byte rows end in one of the THREE legal 2-byte terminators
+        # (ISO 32000 §7.5.4: SP CR, SP LF, or CR LF) — real producers use
+        # all three; the reference's table parser is terminator-agnostic
+        row_eol = rng.choice([b" \n", b" \r", b"\r\n"])
+        profile["xref_row_eol"] = row_eol.decode("latin1")
+        rows = {0: b"0000000000 65535 f" + row_eol}
         for num, off in offsets.items():
-            rows[num] = (b"%010d %05d n \n"
-                         % (off, 1 if num in bumped else 0))
-        rows[free_num] = b"0000000000 00001 f \n"
+            rows[num] = (b"%010d %05d n"
+                         % (off, 1 if num in bumped else 0) + row_eol)
+        rows[free_num] = b"0000000000 00001 f" + row_eol
         # multiple subsections: contiguous runs over the present numbers,
         # randomly fragmented
         nums = sorted(rows)
@@ -736,6 +774,23 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
                 + b"\nstream\n" + xcomp + b"\nendstream\nendobj\n")
         out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
 
+    # transport wrappers: junk before %PDF- (stored offsets stay relative
+    # to the header — the reader must rebase) and junk after %%EOF (the
+    # reader scans backward for startxref within a bounded tail window).
+    # Both are common real-world artifacts of HTTP/mail delivery; neither
+    # may contain PDF keywords that could fool those scans.
+    lead = tail_junk = b""
+    if rng.random() < 0.4:
+        lead = (b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n"
+                b"Content-Disposition: inline; filename=%s.pdf\r\n\r\n"
+                % seed.encode()[:24])
+        lead += b"X" * rng.randint(0, 300)
+        profile["leading_junk"] = len(lead)
+    if rng.random() < 0.4:
+        tail_junk = (b"\n--MIME-boundary-%s--\n" % seed.encode()[:16]
+                     + b"." * rng.randint(0, 600))
+        profile["trailing_junk"] = len(tail_junk)
+
     # patch the profile into the reserved comment (length-preserving)
     if "chains" in profile:
         profile["chains"] = sorted(set(profile["chains"]))
@@ -743,7 +798,7 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
     assert len(blob) <= _STAMP_PAD, f"profile stamp overflow: {len(blob)}"
     start = stamp_pos + len(b"%%foreign-profile: ")
     out[start : start + len(blob)] = blob
-    return bytes(out)
+    return lead + bytes(out) + tail_junk
 
 
 def profile_of(pdf: bytes) -> dict:

@@ -1965,6 +1965,7 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
     page_content = [bytearray() for _ in range(n_pages)]
     golden: list[dict] = []
     offset = 0
+    tables_emitted: set[int] = set()
 
     form_blocks: list[int] = []
     if plan.use_forms:
@@ -1997,10 +1998,11 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         if isinstance(block, ParaPlan) and getattr(block, "is_table_cell", False):
             page_content[block.page] += _para_content(block, plan.theta)
             tid = getattr(block, "table_id", 0)
-            emitted = getattr(plan, "_tables_emitted", None)
-            if emitted is None:
-                emitted = plan._tables_emitted = set()
-            if tid not in emitted:
+            # local per-render state — stashing it on the plan made a second
+            # render of the same plan skip table goldens (render_doc must be
+            # a pure function of the plan; caught by the r8 cross-writer
+            # differential property)
+            if tid not in tables_emitted:
                 goldens = getattr(plan, "table_goldens", None) or {
                     0: plan.table_golden
                 }
@@ -2008,7 +2010,7 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
                 golden.append({"kind": "text", "text": t, "media_ref": "",
                                "offset": offset})
                 offset += len(t)
-                emitted.add(tid)
+                tables_emitted.add(tid)
             continue
         if isinstance(block, ParaPlan):
             ops = _para_content(block, plan.theta)

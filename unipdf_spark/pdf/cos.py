@@ -332,6 +332,24 @@ class Lexer:
 _OBJ_RE = re.compile(rb"(\d{1,10})\s+(\d{1,5})\s+obj\b")
 _EOF_TAIL = 2048
 
+# At most a short EOL/whitespace run may sit between the declared stream
+# extent and the endstream keyword (ISO 32000 §7.3.8: a single EOL; a few
+# producers pad with spaces/NULs — bounded so a truncating /Length cannot
+# skip real payload bytes to reach the keyword).
+_ENDSTREAM_ADJ_RE = re.compile(rb"[ \t\r\n\x0c\x00]{0,4}endstream")
+
+
+def _strip_one_eol(raw: bytes) -> bytes:
+    """Strip the single EOL that separates payload from endstream (repair
+    path only). rstrip(b"\\r\\n") would also eat payload bytes that happen
+    to end in CR/LF — e.g. a Flate stream whose last compressed byte is
+    0x0a — corrupting the recovered stream."""
+    if raw.endswith(b"\r\n"):
+        return raw[:-2]
+    if raw.endswith(b"\n") or raw.endswith(b"\r"):
+        return raw[:-1]
+    return raw
+
 # Cross-document identical-object cache (the corpus-scale analog of the
 # reference's per-page font/form caches, extractor/extractor.go:622/:625 —
 # fonts and shared resources repeat heavily across a corpus). Keyed by a
@@ -358,6 +376,13 @@ def _obj_cache_lookup(data: bytes, start: int):
     probe = data[start : start + _PROBE_LEN]
     for digest, span_len, obj in _OBJ_CACHE.get(probe, ()):
         if _h.md5(data[start : start + span_len]).digest() == digest:
+            # a cached Stream's extent is only valid where the clean-path
+            # invariant holds in THIS document too (endstream adjacent to
+            # the span end); a doc truncated/corrupted just past a shared
+            # span prefix must fall through to its own parse + repair
+            if isinstance(obj, Stream) and not _ENDSTREAM_ADJ_RE.match(
+                    data, start + span_len):
+                continue
             return obj
     return None
 
@@ -390,8 +415,18 @@ class PdfDocument:
 
     # -- xref loading -------------------------------------------------------
     def _load(self) -> None:
-        if not self.data.lstrip()[:5].startswith(b"%PDF-") and not self.relaxed:
-            raise PdfError("missing %PDF header")
+        # Leading junk before the %PDF- header (HTTP/mail wrappers prepended
+        # by a transport): all stored offsets are relative to the header, not
+        # the file start, so rebase by slicing at the header position found
+        # within the first 1 KiB (the reference repairs such files by
+        # re-locating objects, core/core.go:532; rebasing keeps the fast
+        # xref point-read path instead of a full top-down rebuild).
+        if not self.data.startswith(b"%PDF-"):
+            h = self.data.find(b"%PDF-", 0, 1024)
+            if h > 0:
+                self.data = self.data[h:]
+            elif not self.relaxed:
+                raise PdfError("missing %PDF header")
         try:
             start = self._find_startxref()
             self._load_xrefs_from(start)
@@ -638,25 +673,44 @@ class PdfDocument:
             # objects in different documents could resolve differently —
             # and Stream memoizes _decoded with the first resolver it sees.
             cacheable = not _contains_ref(d)
+            repaired = True  # flipped off only on the clean declared path
             if isinstance(length, Ref):
                 length = self._fetch_direct(length)
             if isinstance(length, (int, float)) and int(length) >= 0:
                 raw = self.data[data_start : data_start + int(length)]
                 endpos = data_start + int(length)
-                # validate endstream within slack; else re-scan (stream-length
-                # repair, core/core.go:1181)
-                tail = self.data[endpos : endpos + 32]
-                if b"endstream" not in tail:
+                # validate ADJACENT endstream (at most an EOL/padding run
+                # between the declared extent and the keyword); else re-scan
+                # (stream-length repair, core/core.go:1181). A substring
+                # probe over a slack window would silently accept a /Length
+                # short by up to the window size — truncating the payload —
+                # because the real endstream still falls inside the window.
+                if _ENDSTREAM_ADJ_RE.match(self.data, endpos):
+                    repaired = False
+                else:
                     e = self.data.find(b"endstream", data_start)
-                    if e >= 0:
-                        raw = self.data[data_start : e].rstrip(b"\r\n")
+                    # keep the declared extent when only a whitespace run
+                    # (longer than the adjacency window) separates it from
+                    # the keyword — the length was right, the producer
+                    # over-padded; repair only otherwise
+                    pad_only = (
+                        e > endpos
+                        and not self.data[endpos:e].strip(b" \t\r\n\x0c\x00")
+                    )
+                    if e >= 0 and not pad_only:
+                        raw = _strip_one_eol(self.data[data_start:e])
             else:
                 e = self.data.find(b"endstream", data_start)
-                raw = self.data[data_start : e if e >= 0 else len(self.data)].rstrip(
-                    b"\r\n"
+                raw = _strip_one_eol(
+                    self.data[data_start : e if e >= 0 else len(self.data)]
                 )
             st = Stream(d, raw)
-            if cacheable and self._crypt is None:
+            # repair-path streams are NEVER cached: their extent was derived
+            # from bytes OUTSIDE the hashed span (the endstream re-scan), so
+            # the same span prefix in another document may have a different
+            # true extent — caching one poisons the other (r8: a corrupted
+            # doc's truncated stream leaked into the intact doc's parse)
+            if cacheable and not repaired and self._crypt is None:
                 _obj_cache_insert(self.data, m.end(), data_start + len(raw), st)
             return st
         if self._crypt is None:
