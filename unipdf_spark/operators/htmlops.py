@@ -47,6 +47,7 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
+        from ..fixtures.foreign_html import foreign_html
         from ..fixtures.gen import make_html_doc
         from ..html_extract import main_content
 
@@ -55,6 +56,12 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, hashes, chars, toks = [], [], [], []
             for doc_id, text in zip(b["doc_id"], b["text"]):
                 html = make_html_doc(doc_id, text or "")
+                if int(doc_id[4:]) % 3 == 1:
+                    # every third page re-serialized through foreign markup
+                    # conventions (entity-encoded text, quoting/case/comment
+                    # permutations) — the oracle is unchanged, so the value
+                    # hash proves extraction is markup-convention invariant
+                    html = foreign_html(html, doc_id)
                 main = ws.sub(" ", main_content(html)).strip()
                 ids.append(int(doc_id[4:]))
                 hashes.append(hashlib.md5(main.encode()).hexdigest())
