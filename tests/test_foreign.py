@@ -214,3 +214,47 @@ def test_foreign_encrypted_string_roundtrip():
                     direct_ct += 1
         assert found, s
     assert direct_ct >= 5, f"direct-encrypted placement too rare: {direct_ct}"
+
+
+# -- mixed-writer incremental updates (r8) ------------------------------------
+
+
+def test_foreign_incremental_span_equality_strict():
+    """Canonical base + FOREIGN-serialized appended revision: strict parse,
+    updated spans win across both update-xref forms."""
+    from unipdf_spark.fixtures.foreign import inc_profile_of
+
+    forms = set()
+    knobs: dict = {}
+    for i in range(N_DOCS):
+        did = f"doc_{i:08d}"
+        golden, pdf = make_doc(did, "foreign_incremental")
+        PdfDocument(pdf, relaxed=False)
+        assert extract_spans(pdf).spans == golden, did
+        p = inc_profile_of(pdf)
+        forms.add(p.get("inc_xref"))
+        for k, v in p.items():
+            if isinstance(v, int):
+                knobs[k] = knobs.get(k, 0) + v
+    # cross-FORM /Prev chains: a classic-table base updated by BOTH a
+    # classic table and an xref-STREAM section somewhere in the corpus
+    assert forms == {"table", "stream"}, forms
+    for knob in ("indirect_lengths", "name_escapes", "comments",
+                 "wrong_lengths"):
+        assert knobs.get(knob, 0) > 0, (knob, knobs)
+
+
+def test_foreign_incremental_update_shadows_base():
+    """Truncating the file at the base revision's %%EOF yields the OLD
+    spans — proving the foreign update section is what changes the
+    extraction (the /Prev chain is live, not decorative)."""
+    changed = 0
+    for i in range(12):
+        did = f"doc_{i:08d}"
+        golden, pdf = make_doc(did, "foreign_incremental")
+        base_end = pdf.index(b"%%EOF") + len(b"%%EOF")
+        base_spans = extract_spans(pdf[:base_end]).spans
+        assert extract_spans(pdf).spans == golden, did
+        if base_spans != golden:
+            changed += 1
+    assert changed == 12  # the update always replaces the content stream

@@ -273,3 +273,29 @@ def test_corrupted_doc_never_poisons_clean_doc():
             extract_spans(pdf[:cut])
         got = extract_spans(pdf)
         assert got.error is None and got.spans == golden, cls
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=32, max_codepoint=126),
+        st.sampled_from("äöü€日本語 «»—"),
+    ),
+    max_size=1500,
+), st.integers(min_value=0, max_value=10**6))
+def test_foreign_html_invariance_property(text, fseed):
+    """Randomized analog of tests/test_foreign_html.py: for ARBITRARY
+    article text (incl. unicode that the charref knob re-encodes as
+    multi-byte numeric references), re-serializing the wrapped page
+    through foreign markup conventions must not change the extraction."""
+    import re as _re
+
+    from unipdf_spark.fixtures.foreign_html import foreign_html
+    from unipdf_spark.fixtures.gen import make_html_doc
+    from unipdf_spark.html_extract import main_content
+
+    ws = _re.compile(r"\s+")
+    page = make_html_doc("doc_00000077", text, seed=11)
+    fpage = foreign_html(page, f"hyp:{fseed}")
+    assert (ws.sub(" ", main_content(fpage)).strip()
+            == ws.sub(" ", main_content(page)).strip())

@@ -805,3 +805,109 @@ def profile_of(pdf: bytes) -> dict:
     """Parse the %%foreign-profile stamp back out of the bytes."""
     m = re.search(rb"%%foreign-profile: (.+)", pdf)
     return json.loads(m.group(1)) if m else {}
+
+
+# --- incremental update appendix ---------------------------------------------
+
+
+def append_foreign_update(base: bytes, updates: dict[int, tuple],
+                          root_num: int, size: int, seed: str) -> bytes:
+    """Append an incremental update serialized through FOREIGN conventions
+    to a (typically canonical-writer) base file — the cross-writer /Prev
+    chain real files acquire when different producers touch them over
+    their life. `updates` maps obj num -> (toks, payload|None); payload
+    must already be encoded to match the dict's /Filter. The update's
+    xref is a classic multi-row table OR an xref STREAM appended to a
+    classic base (cross-FORM chain, §7.5.8 — readers dispatch per
+    section), chosen per seed; the reference walks /Prev chains
+    form-agnostically (core/core.go:1199) and so does the engine.
+
+    Returns the whole new file; a `%%foreign-inc:` comment before the
+    update's first object stamps the chosen knobs for corpus audits."""
+    rng = random.Random(f"inc:{seed}")
+    ser = _ForeignSerializer(rng, None)
+    prev = int(re.findall(rb"startxref\s+(\d+)", base)[-1])
+    out = bytearray(base)
+    if not out.endswith(b"\n"):
+        out += b"\n"
+    next_num = [size]
+    pending: dict[int, int] = {}
+    offsets: dict[int, int] = {}
+    stamp_pos = len(out)
+    out += b"%%foreign-inc: " + b" " * 160 + b"\n"
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj" % num + ser._sep() + body + b"\nendobj\n")
+
+    for num, (toks, payload) in sorted(updates.items()):
+        if payload is not None:
+            body = ser.emit_stream(num, toks, payload, pending, next_num,
+                                   indirect_len=rng.random() < 0.5,
+                                   encrypt=False)
+        else:
+            body = ser.emit_tokens(toks, num)
+        emit(num, body)
+        for ln in list(pending):
+            emit(ln, str(pending.pop(ln)).encode())
+
+    profile = dict(ser.profile)
+    new_size = next_num[0]
+    use_stream = rng.random() < 0.5
+    profile["inc_xref"] = "stream" if use_stream else "table"
+    xref_pos = len(out)
+    if not use_stream:
+        row_eol = rng.choice([b" \n", b" \r", b"\r\n"])
+        nums = sorted(offsets)
+        sections: list[list[int]] = [[nums[0]]]
+        for num in nums[1:]:
+            if num != sections[-1][-1] + 1:
+                sections.append([])
+            sections[-1].append(num)
+        out += b"xref\n"
+        for sec in sections:
+            out += b"%d %d\n" % (sec[0], len(sec))
+            for num in sec:
+                out += b"%010d %05d n" % (offsets[num], 0) + row_eol
+        out += (b"trailer" + ser._sep() + ser.emit_tokens(tokenize(
+            b"<< /Size " + str(new_size).encode() + b" /Root "
+            + str(root_num).encode() + b" 0 R /Prev "
+            + str(prev).encode() + b" >>")))
+        out += b"\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    else:
+        xref_num = new_size
+        new_size += 1
+        offsets[xref_num] = xref_pos
+        wsel = [1, 4, 2]
+        rows_b = bytearray()
+        index: list[bytes] = []
+        nums = sorted(offsets)
+        sections = [[nums[0]]]
+        for num in nums[1:]:
+            if num != sections[-1][-1] + 1:
+                sections.append([])
+            sections[-1].append(num)
+        for sec in sections:
+            index += [str(sec[0]).encode(), str(len(sec)).encode()]
+            for num in sec:
+                rows_b += (b"\x01" + offsets[num].to_bytes(4, "big")
+                           + (0).to_bytes(2, "big"))
+        xcomp = zlib.compress(bytes(rows_b), 6)
+        out += (str(xref_num).encode() + b" 0 obj\n<< /Type /XRef /W [ 1 4 2 ]"
+                + b" /Index [ " + b" ".join(index) + b" ] /Size "
+                + str(new_size).encode() + b" /Root "
+                + str(root_num).encode() + b" 0 R /Prev "
+                + str(prev).encode()
+                + b" /Filter /FlateDecode /Length "
+                + str(len(xcomp)).encode() + b" >>\nstream\n" + xcomp
+                + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_pos)
+    blob = json.dumps(profile, sort_keys=True).encode()
+    assert len(blob) <= 160, f"inc profile overflow: {len(blob)}"
+    start = stamp_pos + len(b"%%foreign-inc: ")
+    out[start : start + len(blob)] = blob
+    return bytes(out)
+
+
+def inc_profile_of(pdf: bytes) -> dict:
+    m = re.search(rb"%%foreign-inc: (.+)", pdf)
+    return json.loads(m.group(1)) if m else {}

@@ -119,6 +119,7 @@ FIXTURE_CLASSES = [
     "invisible", "tagged_list", "fax", "std14", "tagged_pg",
     "twotables", "jbig2", "cid_vertical", "jpeg", "arabic",
     "type1_embedded", "foreign_layout", "foreign_encrypted",
+    "foreign_incremental",
 ]
 
 
@@ -2109,6 +2110,8 @@ def make_doc(doc_id: str, fixture_class: str, seed: int = 42
     """(golden_spans, pdf_bytes) — pure function of (seed, doc_id, class)."""
     if fixture_class == "incremental":
         return _make_incremental_doc(doc_id, seed)
+    if fixture_class == "foreign_incremental":
+        return _make_incremental_doc(doc_id, seed, foreign=True)
     if fixture_class == "tagged_list":
         return _make_tagged_list_doc(doc_id, seed)
     if fixture_class == "tagged_pg":
@@ -2392,10 +2395,18 @@ def _make_tagged_pg_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
     return golden, pdf
 
 
-def _make_incremental_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
+def _make_incremental_doc(doc_id: str, seed: int, foreign: bool = False
+                          ) -> tuple[list[dict], bytes]:
     """Original document + appended incremental update that REPLACES the page
     content stream (new xref section with /Prev chaining to the original).
-    The engine must surface the updated revision's spans."""
+    The engine must surface the updated revision's spans.
+
+    With ``foreign=True`` the update is serialized by the SECOND emitter
+    (fixtures.foreign.append_foreign_update): re-drawn filter chain,
+    comments/name escapes, indirect forward /Length, wrong-length repair
+    cases, and a classic-table OR xref-STREAM update section — the
+    cross-writer (and cross-form) /Prev chain real files acquire when a
+    different producer updates them."""
     import re as _re
     import zlib as _z
 
@@ -2436,19 +2447,38 @@ def _make_incremental_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
 
     prev_xref = int(_re.findall(rb"startxref\s+(\d+)", base)[-1])
     new_content = b"".join(_para_content(p, 0) for p in new_blocks)
-    comp = _z.compress(new_content, 6)
-    out = bytearray(base)
-    obj_off = len(out)
-    out += (str(cnum).encode() + b" 0 obj\n<< /Filter /FlateDecode /Length "
-            + str(len(comp)).encode() + b" >>\nstream\n" + comp
-            + b"\nendstream\nendobj\n")
-    xref_off = len(out)
-    out += (b"xref\n" + str(cnum).encode() + b" 1\n"
-            + ("%010d 00000 n \n" % obj_off).encode()
-            + b"trailer\n<< /Size " + str(cnum + 1).encode()
-            + b" /Root " + str(catalog).encode() + b" 0 R /Prev "
-            + str(prev_xref).encode() + b" >>\nstartxref\n"
-            + str(xref_off).encode() + b"\n%%EOF\n")
+    if foreign:
+        from .foreign import append_foreign_update
+        from .foreign import tokenize as _ftok
+        from .render import encode_chain
+
+        chain = rng.choice([["FlateDecode"], ["RunLengthDecode"],
+                            ["ASCIIHexDecode", "FlateDecode"],
+                            ["LZWDecode"], ["FlateDecode", "FlateDecode"]])
+        payload = encode_chain(new_content, chain)
+        if len(chain) == 1:
+            f = b"/" + chain[0].encode()
+        else:
+            f = b"[ " + b" ".join(b"/" + c.encode() for c in chain) + b" ]"
+        toks = _ftok(b"<< /Filter " + f + b" /Length 0 >>")
+        out = append_foreign_update(
+            base, {cnum: (toks, payload)}, catalog,
+            size=len(w._objs), seed=f"{seed}:{doc_id}")
+    else:
+        comp = _z.compress(new_content, 6)
+        out = bytearray(base)
+        obj_off = len(out)
+        out += (str(cnum).encode()
+                + b" 0 obj\n<< /Filter /FlateDecode /Length "
+                + str(len(comp)).encode() + b" >>\nstream\n" + comp
+                + b"\nendstream\nendobj\n")
+        xref_off = len(out)
+        out += (b"xref\n" + str(cnum).encode() + b" 1\n"
+                + ("%010d 00000 n \n" % obj_off).encode()
+                + b"trailer\n<< /Size " + str(cnum + 1).encode()
+                + b" /Root " + str(catalog).encode() + b" 0 R /Prev "
+                + str(prev_xref).encode() + b" >>\nstartxref\n"
+                + str(xref_off).encode() + b"\n%%EOF\n")
 
     golden = []
     offset = 0
@@ -2948,7 +2978,7 @@ DEFAULT_MIX = [
     ("tagged_list", 2), ("fax", 2), ("std14", 3), ("tagged_pg", 2),
     ("twotables", 2), ("jbig2", 2), ("cid_vertical", 2), ("jpeg", 2),
     ("arabic", 2), ("type1_embedded", 2), ("foreign_layout", 4),
-    ("foreign_encrypted", 2),
+    ("foreign_encrypted", 2), ("foreign_incremental", 2),
 ]
 
 BENCH_MIX = [
