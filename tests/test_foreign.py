@@ -48,7 +48,8 @@ def test_foreign_corpus_covers_every_convention():
                 for cls in ("foreign_layout", "foreign_encrypted")
                 for _d, _g, pdf in _docs(cls)]
     containers = {p["container"] for p in profiles}
-    assert containers == {"table", "modern"}
+    assert containers == {"table", "modern", "linearized"}
+    assert any(p.get("lin_first_page_objs", 0) > 3 for p in profiles)
     for flag in ("comments", "shuffled", "split_mid_operator", "free_entry"):
         assert any(p.get(flag) for p in profiles), flag
     for counter in ("indirect_lengths", "name_escapes", "content_segments",
@@ -216,45 +217,105 @@ def test_foreign_encrypted_string_roundtrip():
     assert direct_ct >= 5, f"direct-encrypted placement too rare: {direct_ct}"
 
 
+def test_foreign_linearized_structure_and_head_xref_is_live():
+    """Linearized-container docs have the Annex F shape in the bytes —
+    /Linearized param dict first, TWO startxref/%%EOF groups, the final
+    startxref pointing back to the head-of-file xref whose trailer /Prev
+    points FORWARD to the main table — and the head section is
+    load-bearing: corrupting one of its placeholder-patched offset rows
+    breaks extraction (it is not a decoration the parser skips)."""
+    n_lin = 0
+    for did, golden, pdf in _docs("foreign_layout"):
+        p = profile_of(pdf)
+        if p["container"] != "linearized":
+            continue
+        n_lin += 1
+        body = pdf[p.get("leading_junk", 0):]
+        assert re.search(rb"/Linearized\s+1", body)
+        starts = re.findall(rb"startxref\s+(\d+)", body)
+        assert len(starts) == 2 and int(starts[0]) == 0, did
+        head_xref = int(starts[1])
+        assert body[head_xref:head_xref + 4] == b"xref", did
+        m = re.search(rb"/Prev\s+(\d+)", body)
+        main_xref = int(m.group(1))
+        assert main_xref > head_xref, "main table must FOLLOW the head"
+        assert body[main_xref:main_xref + 4] == b"xref", did
+        # corrupt the first in-use row of the HEAD table only
+        mm = re.search(rb"(\d{10}) (\d{5}) n", body[head_xref:])
+        cut = p.get("leading_junk", 0) + head_xref + mm.start()
+        broken = pdf[:cut] + b"9999999999" + pdf[cut + 10:]
+        try:
+            ok = extract_spans(broken).spans == golden
+        except Exception:
+            ok = False
+        assert not ok, f"{did}: head xref corruption went unnoticed"
+    assert n_lin >= 5, f"linearized too rare in corpus: {n_lin}"
+
+
 # -- mixed-writer incremental updates (r8) ------------------------------------
 
 
 def test_foreign_incremental_span_equality_strict():
-    """Canonical base + FOREIGN-serialized appended revision: strict parse,
-    updated spans win across both update-xref forms."""
-    from unipdf_spark.fixtures.foreign import inc_profile_of
+    """Canonical base + FOREIGN-serialized appended revision(s): strict
+    parse, newest spans win across both update-xref forms and both chain
+    depths (one update, and two chained updates by 'different writers')."""
+    from unipdf_spark.fixtures.foreign import inc_profiles_of
 
     forms = set()
+    depths = set()
+    bases = set()
+    chain_transitions = set()
     knobs: dict = {}
     for i in range(N_DOCS):
         did = f"doc_{i:08d}"
         golden, pdf = make_doc(did, "foreign_incremental")
-        PdfDocument(pdf, relaxed=False)
+        d = PdfDocument(pdf, relaxed=False)
         assert extract_spans(pdf).spans == golden, did
-        p = inc_profile_of(pdf)
-        forms.add(p.get("inc_xref"))
-        for k, v in p.items():
-            if isinstance(v, int):
-                knobs[k] = knobs.get(k, 0) + v
+        # the first update rewrites the catalog (sometimes ObjStm-packed
+        # behind a type-2 entry in the update's xref stream) — the NEWEST
+        # catalog must win over the base's at object resolution
+        root = int(re.search(rb"/Root\s+(\d+)", pdf).group(1))
+        assert d.get_object(root).get("PageLayout") == "OneColumn", did
+        ps = inc_profiles_of(pdf)
+        depths.add(len(ps))
+        bases.add("lin" if re.search(rb"/Linearized\s+1", pdf) else "canon")
+        if len(ps) == 2:
+            chain_transitions.add((ps[0]["inc_xref"], ps[1]["inc_xref"]))
+        for p in ps:
+            forms.add(p.get("inc_xref"))
+            for k, v in p.items():
+                if isinstance(v, int):
+                    knobs[k] = knobs.get(k, 0) + v
     # cross-FORM /Prev chains: a classic-table base updated by BOTH a
     # classic table and an xref-STREAM section somewhere in the corpus
     assert forms == {"table", "stream"}, forms
+    # depth-3 chains (base + two updates) present alongside depth-2
+    assert depths == {1, 2}, depths
+    # both base forms: canonical writer AND linearized foreign base (the
+    # "Acrobat linearizes, another writer stamps an update" life cycle —
+    # the update rewrites the page dict to re-point /Contents)
+    assert bases == {"canon", "lin"}, bases
+    # chained updates exercise >=2 of the 4 form transitions
+    assert len(chain_transitions) >= 2, chain_transitions
     for knob in ("indirect_lengths", "name_escapes", "comments",
-                 "wrong_lengths"):
+                 "wrong_lengths", "inc_objstm"):
         assert knobs.get(knob, 0) > 0, (knob, knobs)
 
 
 def test_foreign_incremental_update_shadows_base():
-    """Truncating the file at the base revision's %%EOF yields the OLD
-    spans — proving the foreign update section is what changes the
-    extraction (the /Prev chain is live, not decorative)."""
+    """Truncating the file at EACH revision's %%EOF yields that revision's
+    view, and every revision changed the extraction — proving the whole
+    /Prev chain is live, not decorative (newest section wins at every
+    depth)."""
     changed = 0
     for i in range(12):
         did = f"doc_{i:08d}"
         golden, pdf = make_doc(did, "foreign_incremental")
-        base_end = pdf.index(b"%%EOF") + len(b"%%EOF")
-        base_spans = extract_spans(pdf[:base_end]).spans
+        eofs = [m.end() for m in re.finditer(rb"%%EOF", pdf)]
+        assert len(eofs) >= 2, did
+        views = [extract_spans(pdf[:e]).spans for e in eofs]
+        assert views[-1] == golden, did
         assert extract_spans(pdf).spans == golden, did
-        if base_spans != golden:
+        if all(a != b for a, b in zip(views, views[1:])):
             changed += 1
-    assert changed == 12  # the update always replaces the content stream
+    assert changed == 12  # every update replaces the content stream

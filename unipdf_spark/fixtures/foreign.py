@@ -452,10 +452,17 @@ class _ForeignSerializer:
 
 
 def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
-                  encrypt_aes256: bytes | None = None) -> bytes:
+                  encrypt_aes256: bytes | None = None,
+                  force_container: str | None = None,
+                  transport_junk: bool = True) -> bytes:
     """Serialize the writer's object graph with foreign conventions.
     Deterministic in (seed, encrypt_aes256). Encryption forces the modern
-    container (AES-256 + object streams, judge r7 #8)."""
+    container (AES-256 + object streams, judge r7 #8). force_container
+    pins the layout ('table'/'modern'/'linearized'); transport_junk=False
+    suppresses the leading/trailing wrappers (required when the output
+    will serve as the BASE of an incremental update: appended sections
+    compute offsets from byte 0, which only agrees with the engine's
+    header-relative rebase when nothing precedes the header)."""
     rng = random.Random(f"foreign:{seed}")
     ser = _ForeignSerializer(rng, encrypt_aes256)
     objs = _load_objects(w)
@@ -551,7 +558,13 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
 
     # --- container choice ----------------------------------------------
     modern = encrypt_aes256 is not None or rng.random() < 0.5
-    profile["container"] = "modern" if modern else "table"
+    linearized = not modern and rng.random() < 0.45
+    if force_container is not None:
+        assert not (encrypt_aes256 and force_container != "modern")
+        modern = force_container == "modern"
+        linearized = force_container == "linearized"
+    profile["container"] = ("modern" if modern
+                            else "linearized" if linearized else "table")
 
     # encryption objects
     enc_num = None
@@ -608,7 +621,166 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
     next_num[0] += 1
     profile["free_entry"] = True
 
-    if not modern:
+    if linearized:
+        # Linearized-style layout (ISO 32000 Annex F shape): the
+        # linearization parameter dict is the physically-first object,
+        # followed by a FIRST-PAGE xref table near the head whose trailer
+        # /Prev points FORWARD to the main xref table at the file tail,
+        # a hint stream, the first-page object group, the remaining
+        # objects, the main table, and a final startxref pointing BACK to
+        # the head section — plus a mid-file `startxref 0` + %%EOF pair
+        # that the tail-side backward startxref scan must not be confused
+        # by. "Fast Web View" producers (Acrobat, qpdf, Ghostscript) all
+        # emit this shape; the reference reads it through its ordinary
+        # /Prev walk (core/core.go:1199 — the linearization data itself
+        # is ignored), and so does the engine. Object numbers are NOT
+        # renumbered (no reader requires it); what this class exercises
+        # is the offset bookkeeping: a head xref whose rows describe
+        # objects that FOLLOW it in the file.
+        cat = objs[root_num]
+        pent = dict_entry(cat.toks, b"/Pages")
+        pages_num = int(cat.toks[pent[0]])
+        pobj = objs[pages_num]
+        kent = dict_entry(pobj.toks, b"/Kids")
+        kid_toks = pobj.toks[kent[0]: kent[0] + kent[1]]
+        kid_refs = [int(kid_toks[i]) for i in range(len(kid_toks) - 2)
+                    if kid_toks[i + 2] == b"R" and _NUM_TOK.match(kid_toks[i])
+                    and _NUM_TOK.match(kid_toks[i + 1])]
+        page1 = kid_refs[0]
+        # transitive closure of the first page's references (content
+        # segments, fonts, images); the shared /Parent link is excluded
+        # so sibling pages stay in the main body
+        closure = {page1}
+        frontier = [page1]
+        while frontier:
+            t = objs[frontier.pop()].toks
+            for i in range(len(t) - 2):
+                if (t[i + 2] == b"R" and t[i + 1] in (b"0", b"1")
+                        and _NUM_TOK.match(t[i])):
+                    r = int(t[i])
+                    if r in objs and r != pages_num and r not in closure:
+                        closure.add(r)
+                        frontier.append(r)
+        lin_num = next_num[0]
+        next_num[0] += 1
+        hint_num = next_num[0]
+        next_num[0] += 1
+        head_set = sorted({root_num, pages_num, lin_num, hint_num} | closure)
+        profile["lin_first_page_objs"] = len(head_set)
+
+        # hint stream: opaque deterministic payload (conforming readers
+        # that don't optimize for byte-ranges never dereference it)
+        hint_payload = zlib.compress(
+            hashlib.sha256(("hint:" + seed).encode()).digest() * 3, 6)
+        hint_body = (b"%d 0 obj\n<< /Filter /FlateDecode /S 64 /Length %d >>"
+                     % (hint_num, len(hint_payload))
+                     + b"\nstream\n" + hint_payload
+                     + b"\nendstream\nendobj\n")
+
+        # linearization dict with fixed-width patch slots (/L /H-offset
+        # /E /T depend on the final layout; leading-zero integers are
+        # legal PDF numbers, so the slots are patched in place)
+        patch: dict[str, int] = {}
+        offsets[lin_num] = len(out)
+        out += b"%d 0 obj\n<< /Linearized 1 /L " % lin_num
+        patch["L"] = len(out)
+        out += b"0000000000 /H [ "
+        patch["H"] = len(out)
+        out += b"0000000000 %d ] /O %d /E " % (len(hint_body), page1)
+        patch["E"] = len(out)
+        out += b"0000000000 /N %d /T " % len(kid_refs)
+        patch["T"] = len(out)
+        out += b"0000000000 >>\nendobj\n"
+
+        # first-page xref table: placeholder offsets, patched after the
+        # objects it describes have been laid out further down the file
+        head_xref_pos = len(out)
+        row_eol = rng.choice([b" \n", b" \r", b"\r\n"])
+        profile["xref_row_eol"] = row_eol.decode("latin1")
+        hsections: list[list[int]] = [[head_set[0]]]
+        for num in head_set[1:]:
+            if num != hsections[-1][-1] + 1 or rng.random() < 0.25:
+                hsections.append([])
+            hsections[-1].append(num)
+        profile["xref_subsections"] = len(hsections)
+        row_pos: dict[int, int] = {}
+        out += b"xref\n"
+        for sec in hsections:
+            out += b"%d %d\n" % (sec[0], len(sec))
+            for num in sec:
+                row_pos[num] = len(out)
+                out += (b"0000000000 %05d n" % (1 if num in bumped else 0)
+                        + row_eol)
+        out += b"trailer\n<< /Size "
+        patch["Size"] = len(out)
+        out += b"0000000000 /Prev "
+        patch["Prev"] = len(out)
+        out += (b"0000000000 /Root %d 0 R >>\nstartxref\n0\n%%%%EOF\n"
+                % root_num)
+
+        offsets[hint_num] = len(out)
+        out += hint_body
+
+        head_objs = [root_num, pages_num, page1] + sorted(
+            n for n in head_set
+            if n not in (root_num, pages_num, page1, lin_num, hint_num))
+        for num in head_objs:
+            emit_obj(num, body_for(num, objs[num]))
+            while pending_lengths and rng.random() < 0.6:
+                ln, val = next(iter(pending_lengths.items()))
+                del pending_lengths[ln]
+                emit_obj(ln, str(val).encode())
+        first_end = len(out)
+
+        rest = [n for n in sorted(objs) if n not in set(head_objs)]
+        if rng.random() < 0.7:
+            rng.shuffle(rest)
+            profile["shuffled"] = True
+        for num in rest:
+            emit_obj(num, body_for(num, objs[num]))
+            while pending_lengths and rng.random() < 0.6:
+                ln, val = next(iter(pending_lengths.items()))
+                del pending_lengths[ln]
+                emit_obj(ln, str(val).encode())
+        for ln, val in list(pending_lengths.items()):
+            del pending_lengths[ln]
+            emit_obj(ln, str(val).encode())
+
+        size = next_num[0]
+        main_xref_pos = len(out)
+        mrows = {0: b"0000000000 65535 f" + row_eol,
+                 free_num: b"0000000000 00001 f" + row_eol}
+        for num, off in offsets.items():
+            if num in row_pos:
+                continue
+            mrows[num] = (b"%010d %05d n"
+                          % (off, 1 if num in bumped else 0) + row_eol)
+        nums = sorted(mrows)
+        sections = [[nums[0]]]
+        for num in nums[1:]:
+            if num != sections[-1][-1] + 1 or rng.random() < 0.25:
+                sections.append([])
+            sections[-1].append(num)
+        out += b"xref\n"
+        for sec in sections:
+            out += b"%d %d\n" % (sec[0], len(sec))
+            for num in sec:
+                out += mrows[num]
+        out += (b"trailer" + ser._sep()
+                + ser.emit_tokens(tokenize(
+                    b"<< /Size " + str(size).encode() + b" /Root "
+                    + str(root_num).encode() + b" 0 R >>")))
+        out += b"\nstartxref\n%d\n%%%%EOF\n" % head_xref_pos
+
+        for num, rp in row_pos.items():
+            out[rp:rp + 10] = b"%010d" % offsets[num]
+        out[patch["Prev"]:patch["Prev"] + 10] = b"%010d" % main_xref_pos
+        out[patch["T"]:patch["T"] + 10] = b"%010d" % main_xref_pos
+        out[patch["Size"]:patch["Size"] + 10] = b"%010d" % size
+        out[patch["E"]:patch["E"] + 10] = b"%010d" % first_end
+        out[patch["H"]:patch["H"] + 10] = b"%010d" % offsets[hint_num]
+        out[patch["L"]:patch["L"] + 10] = b"%010d" % len(out)
+    elif not modern:
         order = sorted(objs)
         if rng.random() < 0.7:
             rng.shuffle(order)
@@ -780,13 +952,13 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
     # Both are common real-world artifacts of HTTP/mail delivery; neither
     # may contain PDF keywords that could fool those scans.
     lead = tail_junk = b""
-    if rng.random() < 0.4:
+    if transport_junk and rng.random() < 0.4:
         lead = (b"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n"
                 b"Content-Disposition: inline; filename=%s.pdf\r\n\r\n"
                 % seed.encode()[:24])
         lead += b"X" * rng.randint(0, 300)
         profile["leading_junk"] = len(lead)
-    if rng.random() < 0.4:
+    if transport_junk and rng.random() < 0.4:
         tail_junk = (b"\n--MIME-boundary-%s--\n" % seed.encode()[:16]
                      + b"." * rng.randint(0, 600))
         profile["trailing_junk"] = len(tail_junk)
@@ -811,7 +983,8 @@ def profile_of(pdf: bytes) -> dict:
 
 
 def append_foreign_update(base: bytes, updates: dict[int, tuple],
-                          root_num: int, size: int, seed: str) -> bytes:
+                          root_num: int, size: int,
+                          seed: str) -> tuple[bytes, int]:
     """Append an incremental update serialized through FOREIGN conventions
     to a (typically canonical-writer) base file — the cross-writer /Prev
     chain real files acquire when different producers touch them over
@@ -820,10 +993,17 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
     xref is a classic multi-row table OR an xref STREAM appended to a
     classic base (cross-FORM chain, §7.5.8 — readers dispatch per
     section), chosen per seed; the reference walks /Prev chains
-    form-agnostically (core/core.go:1199) and so does the engine.
+    form-agnostically (core/core.go:1199) and so does the engine. In
+    the stream form, updated NON-stream objects are sometimes packed
+    into a fresh ObjStm behind TYPE-2 entries — the way modern writers
+    incrementally save with object streams.
 
-    Returns the whole new file; a `%%foreign-inc:` comment before the
-    update's first object stamps the chosen knobs for corpus audits."""
+    Returns (whole new file, next free object number) — the size to pass
+    when chaining a FURTHER update onto the result (multi-revision
+    /Prev chains, each section possibly by a different writer). A
+    `%%foreign-inc:` comment before the update's first object stamps the
+    chosen knobs for corpus audits; chained updates each leave their own
+    stamp (read them all with inc_profiles_of)."""
     rng = random.Random(f"inc:{seed}")
     ser = _ForeignSerializer(rng, None)
     prev = int(re.findall(rb"startxref\s+(\d+)", base)[-1])
@@ -840,7 +1020,19 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
         offsets[num] = len(out)
         out.extend(b"%d 0 obj" % num + ser._sep() + body + b"\nendobj\n")
 
+    # xref form chosen BEFORE emission: only an xref-STREAM section can
+    # express type-2 (ObjStm-packed) entries, the way modern writers
+    # (Acrobat "save", qpdf) incrementally append — updated NON-stream
+    # objects get packed into a fresh ObjStm inside the update section
+    use_stream = rng.random() < 0.5
+    pack: dict[int, tuple] = {}
+    if use_stream and rng.random() < 0.6:
+        pack = {n: u for n, u in updates.items() if u[1] is None}
+    objstm_entries: dict[int, int] = {}
+
     for num, (toks, payload) in sorted(updates.items()):
+        if num in pack:
+            continue
         if payload is not None:
             body = ser.emit_stream(num, toks, payload, pending, next_num,
                                    indirect_len=rng.random() < 0.5,
@@ -851,9 +1043,27 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
         for ln in list(pending):
             emit(ln, str(pending.pop(ln)).encode())
 
+    stm_num = None
+    if pack:
+        header = bytearray()
+        bodies = bytearray()
+        for idx, num in enumerate(sorted(pack)):
+            body = ser.emit_tokens(pack[num][0], num)
+            header += b"%d %d " % (num, len(bodies))
+            bodies += body + b"\n"
+            objstm_entries[num] = idx
+        stm_num = next_num[0]
+        next_num[0] += 1
+        payload0 = zlib.compress(bytes(header) + bytes(bodies), 6)
+        emit(stm_num,
+             b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode"
+             b" /Length %d >>" % (len(pack), len(header), len(payload0))
+             + b"\nstream\n" + payload0 + b"\nendstream")
+
     profile = dict(ser.profile)
+    if pack:
+        profile["inc_objstm"] = len(pack)
     new_size = next_num[0]
-    use_stream = rng.random() < 0.5
     profile["inc_xref"] = "stream" if use_stream else "table"
     xref_pos = len(out)
     if not use_stream:
@@ -881,7 +1091,7 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
         wsel = [1, 4, 2]
         rows_b = bytearray()
         index: list[bytes] = []
-        nums = sorted(offsets)
+        nums = sorted(set(offsets) | set(objstm_entries))
         sections = [[nums[0]]]
         for num in nums[1:]:
             if num != sections[-1][-1] + 1:
@@ -890,8 +1100,12 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
         for sec in sections:
             index += [str(sec[0]).encode(), str(len(sec)).encode()]
             for num in sec:
-                rows_b += (b"\x01" + offsets[num].to_bytes(4, "big")
-                           + (0).to_bytes(2, "big"))
+                if num in objstm_entries:
+                    rows_b += (b"\x02" + stm_num.to_bytes(4, "big")
+                               + objstm_entries[num].to_bytes(2, "big"))
+                else:
+                    rows_b += (b"\x01" + offsets[num].to_bytes(4, "big")
+                               + (0).to_bytes(2, "big"))
         xcomp = zlib.compress(bytes(rows_b), 6)
         out += (str(xref_num).encode() + b" 0 obj\n<< /Type /XRef /W [ 1 4 2 ]"
                 + b" /Index [ " + b" ".join(index) + b" ] /Size "
@@ -905,9 +1119,15 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
     assert len(blob) <= 160, f"inc profile overflow: {len(blob)}"
     start = stamp_pos + len(b"%%foreign-inc: ")
     out[start : start + len(blob)] = blob
-    return bytes(out)
+    return bytes(out), new_size
 
 
 def inc_profile_of(pdf: bytes) -> dict:
     m = re.search(rb"%%foreign-inc: (.+)", pdf)
     return json.loads(m.group(1)) if m else {}
+
+
+def inc_profiles_of(pdf: bytes) -> list[dict]:
+    """All `%%foreign-inc:` stamps in file order — one per chained
+    foreign update section."""
+    return [json.loads(m) for m in re.findall(rb"%%foreign-inc: (.+)", pdf)]

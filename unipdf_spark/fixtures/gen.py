@@ -2452,18 +2452,68 @@ def _make_incremental_doc(doc_id: str, seed: int, foreign: bool = False
         from .foreign import tokenize as _ftok
         from .render import encode_chain
 
-        chain = rng.choice([["FlateDecode"], ["RunLengthDecode"],
-                            ["ASCIIHexDecode", "FlateDecode"],
-                            ["LZWDecode"], ["FlateDecode", "FlateDecode"]])
-        payload = encode_chain(new_content, chain)
-        if len(chain) == 1:
-            f = b"/" + chain[0].encode()
+        # ~45% of docs chain a SECOND foreign revision on top of the
+        # first (depth-3 /Prev chain: canonical base -> foreign update ->
+        # foreign update), covering all four cross-form transitions
+        # (table/stream base section x table/stream newer section). Each
+        # revision replaces the content stream; the NEWEST must win.
+        depth = 2 if rng.random() < 0.45 else 1
+        # ~35% of docs use a LINEARIZED foreign base instead of the
+        # canonical one — the very common real-world life cycle "Acrobat
+        # linearizes, then another writer appends an update" (the update
+        # breaks linearization but must still parse: /Prev zigzags
+        # update -> head-of-file table -> tail main table). The foreign
+        # emitter may have split the page's /Contents into segments, so
+        # the update rewrites the PAGE object too, pointing /Contents
+        # back at the replaced single stream — exactly what a real
+        # stamper does.
+        page_toks = None
+        if rng.random() < 0.35:
+            from .foreign import build_foreign
+            base = build_foreign(w, catalog, f"linbase:{seed}:{doc_id}",
+                                 force_container="linearized",
+                                 transport_junk=False)
+            size = max(int(x) for x in
+                       _re.findall(rb"/Size\s+(\d+)", base))
+            from .foreign import tokenize as _ftok0
+            page_toks = _ftok0(
+                b"<< /Type /Page /Parent " + str(pages).encode()
+                + b" 0 R /MediaBox [0 0 612 792] /Resources " + res
+                + b" /Contents " + str(cnum).encode() + b" 0 R >>")
         else:
-            f = b"[ " + b" ".join(b"/" + c.encode() for c in chain) + b" ]"
-        toks = _ftok(b"<< /Filter " + f + b" /Length 0 >>")
-        out = append_foreign_update(
-            base, {cnum: (toks, payload)}, catalog,
-            size=len(w._objs), seed=f"{seed}:{doc_id}")
+            size = len(w._objs)
+        out = base
+        for rev in range(depth):
+            if rev:
+                new_blocks = paras(2, 4)  # a further revision supersedes
+                new_content = b"".join(
+                    _para_content(p, 0) for p in new_blocks)
+            chain = rng.choice([["FlateDecode"], ["RunLengthDecode"],
+                                ["ASCIIHexDecode", "FlateDecode"],
+                                ["LZWDecode"],
+                                ["FlateDecode", "FlateDecode"]])
+            payload = encode_chain(new_content, chain)
+            if len(chain) == 1:
+                f = b"/" + chain[0].encode()
+            else:
+                f = (b"[ " + b" ".join(b"/" + c.encode() for c in chain)
+                     + b" ]")
+            toks = _ftok(b"<< /Filter " + f + b" /Length 0 >>")
+            updates = {cnum: (toks, payload)}
+            if page_toks is not None and rev == 0:
+                updates[page] = (page_toks, None)
+            if rev == 0:
+                # the first update also rewrites the catalog (stampers
+                # do), adding a key the base lacks — when the update
+                # section is an xref STREAM this object is a candidate
+                # for ObjStm packing (type-2 entry in the update), and
+                # tests assert the NEWEST catalog wins via /PageLayout
+                updates[catalog] = (_ftok(
+                    b"<< /Type /Catalog /Pages " + str(pages).encode()
+                    + b" 0 R /PageLayout /OneColumn >>"), None)
+            out, size = append_foreign_update(
+                out, updates, catalog,
+                size=size, seed=f"{seed}:{doc_id}:r{rev}")
     else:
         comp = _z.compress(new_content, 6)
         out = bytearray(base)
