@@ -300,6 +300,8 @@ def test_foreign_incremental_span_equality_strict():
     for knob in ("indirect_lengths", "name_escapes", "comments",
                  "wrong_lengths", "inc_objstm"):
         assert knobs.get(knob, 0) > 0, (knob, knobs)
+    # W[0]=0 sections (type field defaults to 1, §7.5.8.2 Table 17)
+    assert knobs.get("inc_w0_default", 0) > 0, knobs
 
 
 def test_foreign_incremental_update_shadows_base():

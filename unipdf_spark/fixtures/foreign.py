@@ -1088,7 +1088,13 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
         xref_num = new_size
         new_size += 1
         offsets[xref_num] = xref_pos
-        wsel = [1, 4, 2]
+        # W[0] = 0 is legal when every entry is type 1 (the type field
+        # defaults to 1 per ISO 32000 §7.5.8.2, Table 17) — only possible
+        # when nothing is ObjStm-packed (type 2) in this section
+        w0 = 0 if not objstm_entries and rng.random() < 0.35 else 1
+        if not w0:
+            profile["inc_w0_default"] = True
+        wsel = [w0, 4, 2]
         rows_b = bytearray()
         index: list[bytes] = []
         nums = sorted(set(offsets) | set(objstm_entries))
@@ -1104,10 +1110,12 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
                     rows_b += (b"\x02" + stm_num.to_bytes(4, "big")
                                + objstm_entries[num].to_bytes(2, "big"))
                 else:
-                    rows_b += (b"\x01" + offsets[num].to_bytes(4, "big")
+                    rows_b += ((b"\x01" if w0 else b"")
+                               + offsets[num].to_bytes(4, "big")
                                + (0).to_bytes(2, "big"))
         xcomp = zlib.compress(bytes(rows_b), 6)
-        out += (str(xref_num).encode() + b" 0 obj\n<< /Type /XRef /W [ 1 4 2 ]"
+        out += (str(xref_num).encode()
+                + b" 0 obj\n<< /Type /XRef /W [ %d 4 2 ]" % w0
                 + b" /Index [ " + b" ".join(index) + b" ] /Size "
                 + str(new_size).encode() + b" /Root "
                 + str(root_num).encode() + b" 0 R /Prev "
