@@ -50,7 +50,8 @@ def test_foreign_corpus_covers_every_convention():
     containers = {p["container"] for p in profiles}
     assert containers == {"table", "modern", "linearized"}
     assert any(p.get("lin_first_page_objs", 0) > 3 for p in profiles)
-    for flag in ("comments", "shuffled", "split_mid_operator", "free_entry"):
+    for flag in ("comments", "shuffled", "split_mid_operator", "free_entry",
+                 "empty_subsection"):
         assert any(p.get(flag) for p in profiles), flag
     for counter in ("indirect_lengths", "name_escapes", "content_segments",
                     "n_objstms", "direct_nonstream", "encrypted_streams",

@@ -706,6 +706,9 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
         row_pos: dict[int, int] = {}
         out += b"xref\n"
         for sec in hsections:
+            if rng.random() < 0.12:
+                out += b"%d 0\n" % sec[0]
+                profile["empty_subsection"] = True
             out += b"%d %d\n" % (sec[0], len(sec))
             for num in sec:
                 row_pos[num] = len(out)
@@ -763,6 +766,11 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
             sections[-1].append(num)
         out += b"xref\n"
         for sec in sections:
+            if rng.random() < 0.12:
+                # empty subsection (`N 0` header, zero rows) — legal and
+                # emitted by real producers; readers must just move on
+                out += b"%d 0\n" % sec[0]
+                profile["empty_subsection"] = True
             out += b"%d %d\n" % (sec[0], len(sec))
             for num in sec:
                 out += mrows[num]
@@ -821,6 +829,11 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
         profile["xref_subsections"] = len(sections)
         out += b"xref\n"
         for sec in sections:
+            if rng.random() < 0.12:
+                # empty subsection (`N 0` header, zero rows) — legal and
+                # emitted by real producers; readers must just move on
+                out += b"%d 0\n" % sec[0]
+                profile["empty_subsection"] = True
             out += b"%d %d\n" % (sec[0], len(sec))
             for num in sec:
                 out += rows[num]
@@ -1076,6 +1089,11 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
             sections[-1].append(num)
         out += b"xref\n"
         for sec in sections:
+            if rng.random() < 0.12:
+                # empty subsection (`N 0` header, zero rows) — legal and
+                # emitted by real producers; readers must just move on
+                out += b"%d 0\n" % sec[0]
+                profile["empty_subsection"] = True
             out += b"%d %d\n" % (sec[0], len(sec))
             for num in sec:
                 out += b"%010d %05d n" % (offsets[num], 0) + row_eol
