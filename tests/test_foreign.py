@@ -56,7 +56,8 @@ def test_foreign_corpus_covers_every_convention():
     for counter in ("indirect_lengths", "name_escapes", "content_segments",
                     "n_objstms", "direct_nonstream", "encrypted_streams",
                     "encrypted_strings", "gen1_objects", "wrong_lengths",
-                    "stream_crlf", "leading_junk", "trailing_junk"):
+                    "stream_crlf", "leading_junk", "trailing_junk",
+                    "len_in_objstm"):
         assert any(p.get(counter, 0) > 0 for p in profiles), counter
     # all three legal xref-row terminators appear across the table corpus
     row_eols = {p["xref_row_eol"] for p in profiles if "xref_row_eol" in p}
@@ -216,6 +217,40 @@ def test_foreign_encrypted_string_roundtrip():
                     direct_ct += 1
         assert found, s
     assert direct_ct >= 5, f"direct-encrypted placement too rare: {direct_ct}"
+
+
+def test_length_in_objstm_cycle_guard():
+    """A crafted ObjStm whose own /Length points at an object packed
+    INSIDE ITSELF is a resolution cycle: strict mode must raise (not
+    recurse forever), relaxed mode must degrade to the endstream re-scan
+    and still recover the object."""
+    import zlib as _z
+
+    from unipdf_spark.pdf.cos import PdfError
+
+    content = b"2 0 37"  # header: obj 2 at offset 0; body: the int 37
+    out = bytearray(b"%PDF-1.5\n")
+    off1 = len(out)
+    out += (b"1 0 obj\n<< /Type /ObjStm /N 1 /First 4 /Length 2 0 R >>"
+            b"\nstream\n" + content + b"\nendstream\nendobj\n")
+    # xref stream: 0 free, 1 direct, 2 packed in 1 (the cycle), 3 = xref
+    rows = (b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+            + b"\x01" + off1.to_bytes(4, "big") + (0).to_bytes(2, "big")
+            + b"\x02" + (1).to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    off3 = len(out)
+    rows += b"\x01" + off3.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    comp = _z.compress(rows, 6)
+    out += (b"3 0 obj\n<< /Type /XRef /W [ 1 4 2 ] /Index [ 0 4 ] /Size 4"
+            b" /Root 1 0 R /Filter /FlateDecode /Length "
+            + str(len(comp)).encode() + b" >>\nstream\n" + comp
+            + b"\nendstream\nendobj\nstartxref\n" + str(off3).encode()
+            + b"\n%%EOF\n")
+    pdf = bytes(out)
+    with pytest.raises(PdfError, match="cyclic /Length"):
+        PdfDocument(pdf, relaxed=False).get_object(2)
+    # relaxed: the extent degrades to the endstream re-scan; the packed
+    # object is then recovered from the scanned payload
+    assert PdfDocument(pdf, relaxed=True).get_object(2) == 37
 
 
 def test_foreign_linearized_structure_and_head_xref_is_live():

@@ -895,12 +895,46 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
         if rng.random() < 0.7:
             rng.shuffle(emit_order)
             profile["shuffled"] = True
+        pack_lens = rng.random() < 0.4
         for num in emit_order:
             emit_obj(num, body_for(num, objs[num]))
-            while pending_lengths and rng.random() < 0.6:
+            while (not pack_lens and pending_lengths
+                   and rng.random() < 0.6):
                 ln, val = next(iter(pending_lengths.items()))
                 del pending_lengths[ln]
                 emit_obj(ln, str(val).encode())
+        if pack_lens and pending_lengths:
+            # pack the remaining forward-/Length targets into a FINAL
+            # ObjStm: a stream's extent then depends on resolving a
+            # type-2 entry (legal — only the XREF stream's /Length must
+            # be direct, §7.5.8.2; the reference resolves /Length
+            # through its full xref, core/core.go:1181)
+            g = sorted(pending_lengths)
+            header = bytearray()
+            bodies = bytearray()
+            for num in g:
+                body = str(pending_lengths.pop(num)).encode()
+                header += b"%d %d " % (num, len(bodies))
+                bodies += body + b"\n"
+            stm_num2 = next_num[0]
+            next_num[0] += 1
+            for idx, num in enumerate(g):
+                objstm_entries[num] = (stm_num2, idx)
+            payload = bytes(header) + bytes(bodies)
+            chain = rng.choice(_FILTER_CHAINS)
+            toks = tokenize(
+                b"<< /Type /ObjStm /N " + str(len(g)).encode()
+                + b" /First " + str(len(header)).encode()
+                + b" /Length 0 >>")
+            if len(chain) == 1:
+                ftoks = [b"/" + chain[0].encode()]
+            else:
+                ftoks = [b"["] + [b"/" + f.encode() for f in chain] + [b"]"]
+            toks = replace_entry(toks, b"/Filter", ftoks)
+            stm_obj = _Obj(toks, encode_chain(payload, chain))
+            objs[stm_num2] = stm_obj
+            emit_obj(stm_num2, body_for(stm_num2, stm_obj))
+            profile["len_in_objstm"] = len(g)
         for ln, val in list(pending_lengths.items()):
             del pending_lengths[ln]
             emit_obj(ln, str(val).encode())

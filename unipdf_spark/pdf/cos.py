@@ -408,6 +408,7 @@ class PdfDocument:
         self.trailer = PdfDict()
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._len_in_progress: set[int] = set()
         self._crypt = None
         self._encrypt_num = -1
         self._load()
@@ -649,6 +650,28 @@ class PdfDocument:
             raise PdfError(f"no direct entry for obj {ref.num}")
         return self._parse_at(ent[1], ref.num)
 
+    def _resolve_length(self, ref: Ref):
+        """Resolve a stream's indirect /Length. Usually a direct top-level
+        object, but spec-legal files may pack the target inside an object
+        STREAM — the reference resolves /Length through its full xref
+        either way (core/core.go:1181 traces the extent lazily). Only the
+        XREF stream's own /Length must be direct (§7.5.8.2: it is needed
+        before any xref exists), which keeps using _fetch_direct. An
+        in-progress guard breaks crafted /Length -> ObjStm -> /Length
+        cycles instead of recursing forever."""
+        ent = self.xref.get(ref.num)
+        if ent is not None and ent[0] == "f":
+            return self._parse_at(ent[1], ref.num)
+        if ent is not None and ent[0] == "o":
+            if ref.num in self._len_in_progress:
+                raise PdfError(f"cyclic /Length via objstm (obj {ref.num})")
+            self._len_in_progress.add(ref.num)
+            try:
+                return self.get_object(ref.num)
+            finally:
+                self._len_in_progress.discard(ref.num)
+        raise PdfError(f"no entry for /Length obj {ref.num}")
+
     def _parse_at(self, offset: int, expect_num: int):
         m = _OBJ_RE.match(self.data, offset)
         if not m:
@@ -675,7 +698,12 @@ class PdfDocument:
             cacheable = not _contains_ref(d)
             repaired = True  # flipped off only on the clean declared path
             if isinstance(length, Ref):
-                length = self._fetch_direct(length)
+                try:
+                    length = self._resolve_length(length)
+                except (PdfError, RecursionError):
+                    if not self.relaxed:
+                        raise
+                    length = None  # degrade to the endstream re-scan below
             if isinstance(length, (int, float)) and int(length) >= 0:
                 raw = self.data[data_start : data_start + int(length)]
                 endpos = data_start + int(length)
