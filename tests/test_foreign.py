@@ -48,7 +48,7 @@ def test_foreign_corpus_covers_every_convention():
                 for cls in ("foreign_layout", "foreign_encrypted")
                 for _d, _g, pdf in _docs(cls)]
     containers = {p["container"] for p in profiles}
-    assert containers == {"table", "modern", "linearized"}
+    assert containers == {"table", "modern", "linearized", "hybrid"}
     assert any(p.get("lin_first_page_objs", 0) > 3 for p in profiles)
     for flag in ("comments", "shuffled", "split_mid_operator", "free_entry",
                  "empty_subsection"):
@@ -253,6 +253,32 @@ def test_length_in_objstm_cycle_guard():
     assert PdfDocument(pdf, relaxed=True).get_object(2) == 37
 
 
+def test_hybrid_xrefstm_is_load_bearing():
+    """Hybrid-container docs (classic table + /XRefStm, §7.5.8.4): the
+    table marks ObjStm-packed objects FREE, so a reader that ignores
+    /XRefStm must NOT be able to reproduce the golden spans — proving
+    the stream's type-2 entries are what carry the content. Verified by
+    renaming the trailer key and re-extracting."""
+    n_hybrid = n_broken = 0
+    for did, golden, pdf in _docs("foreign_layout"):
+        p = profile_of(pdf)
+        if p["container"] != "hybrid":
+            continue
+        if b"/XRefStm" not in pdf:
+            continue  # key got #XX name-escaped by the serializer; skip
+        n_hybrid += 1
+        assert extract_spans(pdf).spans == golden, did
+        broken = pdf.replace(b"/XRefStm", b"/XRefStX")
+        try:
+            ok = extract_spans(broken).spans == golden
+        except Exception:
+            ok = False
+        if not ok:
+            n_broken += 1
+    assert n_hybrid >= 3, f"hybrid too rare: {n_hybrid}"
+    assert n_broken == n_hybrid, "table-only view reproduced the goldens"
+
+
 def test_foreign_linearized_structure_and_head_xref_is_live():
     """Linearized-container docs have the Annex F shape in the bytes —
     /Linearized param dict first, TWO startxref/%%EOF groups, the final
@@ -314,7 +340,7 @@ def test_foreign_incremental_span_equality_strict():
         assert d.get_object(root).get("PageLayout") == "OneColumn", did
         ps = inc_profiles_of(pdf)
         depths.add(len(ps))
-        bases.add("lin" if re.search(rb"/Linearized\s+1", pdf) else "canon")
+        bases.add(profile_of(pdf).get("container", "canon"))
         if len(ps) == 2:
             chain_transitions.add((ps[0]["inc_xref"], ps[1]["inc_xref"]))
         for p in ps:
@@ -327,10 +353,11 @@ def test_foreign_incremental_span_equality_strict():
     assert forms == {"table", "stream"}, forms
     # depth-3 chains (base + two updates) present alongside depth-2
     assert depths == {1, 2}, depths
-    # both base forms: canonical writer AND linearized foreign base (the
-    # "Acrobat linearizes, another writer stamps an update" life cycle —
-    # the update rewrites the page dict to re-point /Contents)
-    assert bases == {"canon", "lin"}, bases
+    # all four base forms: canonical writer plus every foreign container
+    # (linearized / modern xref-stream / Acrobat-6 hybrid) — classic-table
+    # update sections chain onto ALL of them; the update rewrites the
+    # page dict to re-point /Contents past any split segments
+    assert bases == {"canon", "linearized", "modern", "hybrid"}, bases
     # chained updates exercise >=2 of the 4 form transitions
     assert len(chain_transitions) >= 2, chain_transitions
     for knob in ("indirect_lengths", "name_escapes", "comments",

@@ -557,14 +557,25 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
                     t[i + 1] = b"1"
 
     # --- container choice ----------------------------------------------
-    modern = encrypt_aes256 is not None or rng.random() < 0.5
-    linearized = not modern and rng.random() < 0.45
+    # hybrid = Acrobat-6-compat shape (§7.5.8.4): a classic TABLE whose
+    # trailer carries /XRefStm; ObjStm-packed objects are marked FREE in
+    # the table (old readers see a sparse-but-valid file) while the
+    # stream supplies their real type-2 entries, which must claim slots
+    # before the same revision's free rows do
     if force_container is not None:
         assert not (encrypt_aes256 and force_container != "modern")
-        modern = force_container == "modern"
-        linearized = force_container == "linearized"
-    profile["container"] = ("modern" if modern
-                            else "linearized" if linearized else "table")
+        cname = force_container
+    elif encrypt_aes256 is not None:
+        cname = "modern"
+    else:
+        r = rng.random()
+        cname = ("modern" if r < 0.38 else
+                 "hybrid" if r < 0.53 else
+                 "linearized" if r < 0.78 else "table")
+    modern = cname in ("modern", "hybrid")
+    hybrid = cname == "hybrid"
+    linearized = cname == "linearized"
+    profile["container"] = cname
 
     # encryption objects
     enc_num = None
@@ -991,7 +1002,47 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
         # tokens are emitted compactly)
         out += (str(xref_num).encode() + b" 0 obj\n" + xd
                 + b"\nstream\n" + xcomp + b"\nendstream\nendobj\n")
-        out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+        if not hybrid:
+            out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+        else:
+            # hybrid tail: classic table marks ObjStm-packed objects (and
+            # the xref stream itself) FREE; /XRefStm hands a conforming
+            # reader the stream's type-2 entries, which claim slots
+            # BEFORE the same revision's free rows (§7.5.8.4)
+            table_pos = len(out)
+            row_eol = rng.choice([b" \n", b" \r", b"\r\n"])
+            profile["xref_row_eol"] = row_eol.decode("latin1")
+            trows = {0: b"0000000000 65535 f" + row_eol,
+                     free_num: b"0000000000 00001 f" + row_eol,
+                     xref_num: b"0000000000 00001 f" + row_eol}
+            for num, off in offsets.items():
+                if num == xref_num:
+                    continue
+                trows[num] = (b"%010d %05d n"
+                              % (off, 1 if num in bumped else 0) + row_eol)
+            for num in objstm_entries:
+                trows[num] = b"0000000000 00001 f" + row_eol
+            tnums = sorted(trows)
+            tsections = [[tnums[0]]]
+            for num in tnums[1:]:
+                if num != tsections[-1][-1] + 1 or rng.random() < 0.25:
+                    tsections.append([])
+                tsections[-1].append(num)
+            profile["xref_subsections"] = len(tsections)
+            out += b"xref\n"
+            for sec in tsections:
+                if rng.random() < 0.12:
+                    out += b"%d 0\n" % sec[0]
+                    profile["empty_subsection"] = True
+                out += b"%d %d\n" % (sec[0], len(sec))
+                for num in sec:
+                    out += trows[num]
+            out += (b"trailer" + ser._sep()
+                    + ser.emit_tokens(tokenize(
+                        b"<< /Size " + str(size).encode() + b" /Root "
+                        + str(root_num).encode() + b" 0 R /XRefStm "
+                        + str(xref_pos).encode() + b" >>")))
+            out += b"\nstartxref\n%d\n%%%%EOF\n" % table_pos
 
     # transport wrappers: junk before %PDF- (stored offsets stay relative
     # to the header — the reader must rebase) and junk after %%EOF (the

@@ -2458,20 +2458,28 @@ def _make_incremental_doc(doc_id: str, seed: int, foreign: bool = False
         # (table/stream base section x table/stream newer section). Each
         # revision replaces the content stream; the NEWEST must win.
         depth = 2 if rng.random() < 0.45 else 1
-        # ~35% of docs use a LINEARIZED foreign base instead of the
-        # canonical one — the very common real-world life cycle "Acrobat
-        # linearizes, then another writer appends an update" (the update
-        # breaks linearization but must still parse: /Prev zigzags
-        # update -> head-of-file table -> tail main table). The foreign
-        # emitter may have split the page's /Contents into segments, so
-        # the update rewrites the PAGE object too, pointing /Contents
+        # ~60% of docs use a FOREIGN base instead of the canonical one,
+        # drawn across all three non-table containers — the real-world
+        # life cycles "Acrobat linearizes / saves modern / saves
+        # Acrobat-6-compat hybrid, then another writer appends an
+        # update". A linearized base means the update's /Prev zigzags
+        # update -> head-of-file table -> tail main table; a modern base
+        # means a classic-TABLE update section can chain onto an
+        # xref-STREAM base; a hybrid base chains onto a table whose
+        # trailer carries /XRefStm. The foreign emitter may have split
+        # the page's /Contents into segments (and packed the catalog),
+        # so the update rewrites the PAGE object too, pointing /Contents
         # back at the replaced single stream — exactly what a real
         # stamper does.
         page_toks = None
-        if rng.random() < 0.35:
+        base_form = rng.choices(
+            ["canon", "linearized", "modern", "hybrid"],
+            weights=[40, 25, 20, 15])[0]
+        if base_form != "canon":
             from .foreign import build_foreign
-            base = build_foreign(w, catalog, f"linbase:{seed}:{doc_id}",
-                                 force_container="linearized",
+            base = build_foreign(w, catalog,
+                                 f"{base_form}base:{seed}:{doc_id}",
+                                 force_container=base_form,
                                  transport_junk=False)
             size = max(int(x) for x in
                        _re.findall(rb"/Size\s+(\d+)", base))
