@@ -367,6 +367,36 @@ def test_foreign_incremental_span_equality_strict():
     assert knobs.get("inc_w0_default", 0) > 0, knobs
 
 
+def test_foreign_encrypted_incremental():
+    """Incremental updates on an AES-256-ENCRYPTED base (§7.6.2: one
+    /Encrypt dict governs every revision, so the updater must know the
+    file key): strict parse, newest spans win, and the updated text is
+    really ciphertext — no raw deflate island in the file decompresses
+    to any golden word."""
+    import zlib as _z
+
+    from unipdf_spark.fixtures.foreign import inc_profiles_of
+
+    for i in range(16):
+        did = f"doc_{i:08d}"
+        golden, pdf = make_doc(did, "foreign_encrypted_incremental")
+        PdfDocument(pdf, relaxed=False)
+        assert extract_spans(pdf).spans == golden, did
+        ps = inc_profiles_of(pdf)
+        assert ps and all(p.get("inc_encrypted") for p in ps), did
+        assert any(p.get("encrypted_streams", 0) > 0 for p in ps), did
+        text = b"".join(s["text"].encode("latin-1", "replace")
+                        for s in golden if s["kind"] == "text")
+        words = [wd for wd in text.split() if len(wd) >= 4][:5]
+        for m in re.finditer(rb"stream\r?\n", pdf):
+            try:
+                plain = _z.decompress(pdf[m.end():m.end() + 4096])
+            except _z.error:
+                continue
+            for wd in words:
+                assert wd not in plain, (did, wd)
+
+
 def test_foreign_incremental_update_shadows_base():
     """Truncating the file at EACH revision's %%EOF yields that revision's
     view, and every revision changed the extraction — proving the whole

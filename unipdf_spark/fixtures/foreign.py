@@ -1081,8 +1081,9 @@ def profile_of(pdf: bytes) -> dict:
 
 
 def append_foreign_update(base: bytes, updates: dict[int, tuple],
-                          root_num: int, size: int,
-                          seed: str) -> tuple[bytes, int]:
+                          root_num: int, size: int, seed: str,
+                          encrypt_aes256: bytes | None = None
+                          ) -> tuple[bytes, int]:
     """Append an incremental update serialized through FOREIGN conventions
     to a (typically canonical-writer) base file — the cross-writer /Prev
     chain real files acquire when different producers touch them over
@@ -1101,9 +1102,19 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
     /Prev chains, each section possibly by a different writer). A
     `%%foreign-inc:` comment before the update's first object stamps the
     chosen knobs for corpus audits; chained updates each leave their own
-    stamp (read them all with inc_profiles_of)."""
+    stamp (read them all with inc_profiles_of).
+
+    With encrypt_aes256 (the BASE file's encryption seed), the update is
+    serialized by a writer that knows the file key — the only legal way
+    to incrementally update an encrypted file (§7.6.2: one encryption
+    dictionary governs every revision): new stream payloads and direct
+    strings are AES-256-encrypted, ObjStm-packed objects are not
+    individually encrypted (their container is), and the update's xref
+    stream stays plaintext."""
     rng = random.Random(f"inc:{seed}")
-    ser = _ForeignSerializer(rng, None)
+    ser = _ForeignSerializer(rng, encrypt_aes256)
+    if encrypt_aes256 is not None:
+        ser.aes_key = aes256_encrypt_params(encrypt_aes256)[5]
     prev = int(re.findall(rb"startxref\s+(\d+)", base)[-1])
     out = bytearray(base)
     if not out.endswith(b"\n"):
@@ -1112,7 +1123,7 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
     pending: dict[int, int] = {}
     offsets: dict[int, int] = {}
     stamp_pos = len(out)
-    out += b"%%foreign-inc: " + b" " * 160 + b"\n"
+    out += b"%%foreign-inc: " + b" " * 256 + b"\n"
 
     def emit(num: int, body: bytes) -> None:
         offsets[num] = len(out)
@@ -1134,9 +1145,10 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
         if payload is not None:
             body = ser.emit_stream(num, toks, payload, pending, next_num,
                                    indirect_len=rng.random() < 0.5,
-                                   encrypt=False)
+                                   encrypt=ser.aes_key is not None)
         else:
-            body = ser.emit_tokens(toks, num)
+            body = ser.emit_tokens(
+                toks, num, encrypt_strings=ser.aes_key is not None)
         emit(num, body)
         for ln in list(pending):
             emit(ln, str(pending.pop(ln)).encode())
@@ -1153,6 +1165,11 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
         stm_num = next_num[0]
         next_num[0] += 1
         payload0 = zlib.compress(bytes(header) + bytes(bodies), 6)
+        if ser.aes_key is not None:
+            # the ObjStm container is encrypted as a stream; its packed
+            # members are NOT individually encrypted (§7.6.3)
+            payload0 = _aes256_stream(ser.aes_key, encrypt_aes256,
+                                      stm_num, payload0)
         emit(stm_num,
              b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode"
              b" /Length %d >>" % (len(pack), len(header), len(payload0))
@@ -1161,6 +1178,8 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
     profile = dict(ser.profile)
     if pack:
         profile["inc_objstm"] = len(pack)
+    if ser.aes_key is not None:
+        profile["inc_encrypted"] = True
     new_size = next_num[0]
     profile["inc_xref"] = "stream" if use_stream else "table"
     xref_pos = len(out)
@@ -1227,7 +1246,7 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
                 + str(len(xcomp)).encode() + b" >>\nstream\n" + xcomp
                 + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_pos)
     blob = json.dumps(profile, sort_keys=True).encode()
-    assert len(blob) <= 160, f"inc profile overflow: {len(blob)}"
+    assert len(blob) <= 256, f"inc profile overflow: {len(blob)}"
     start = stamp_pos + len(b"%%foreign-inc: ")
     out[start : start + len(blob)] = blob
     return bytes(out), new_size

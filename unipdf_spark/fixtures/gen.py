@@ -119,7 +119,7 @@ FIXTURE_CLASSES = [
     "invisible", "tagged_list", "fax", "std14", "tagged_pg",
     "twotables", "jbig2", "cid_vertical", "jpeg", "arabic",
     "type1_embedded", "foreign_layout", "foreign_encrypted",
-    "foreign_incremental",
+    "foreign_incremental", "foreign_encrypted_incremental",
 ]
 
 
@@ -2112,6 +2112,9 @@ def make_doc(doc_id: str, fixture_class: str, seed: int = 42
         return _make_incremental_doc(doc_id, seed)
     if fixture_class == "foreign_incremental":
         return _make_incremental_doc(doc_id, seed, foreign=True)
+    if fixture_class == "foreign_encrypted_incremental":
+        return _make_incremental_doc(doc_id, seed, foreign=True,
+                                     encrypted=True)
     if fixture_class == "tagged_list":
         return _make_tagged_list_doc(doc_id, seed)
     if fixture_class == "tagged_pg":
@@ -2395,7 +2398,8 @@ def _make_tagged_pg_doc(doc_id: str, seed: int) -> tuple[list[dict], bytes]:
     return golden, pdf
 
 
-def _make_incremental_doc(doc_id: str, seed: int, foreign: bool = False
+def _make_incremental_doc(doc_id: str, seed: int, foreign: bool = False,
+                          encrypted: bool = False
                           ) -> tuple[list[dict], bytes]:
     """Original document + appended incremental update that REPLACES the page
     content stream (new xref section with /Prev chaining to the original).
@@ -2472,15 +2476,26 @@ def _make_incremental_doc(doc_id: str, seed: int, foreign: bool = False
         # back at the replaced single stream — exactly what a real
         # stamper does.
         page_toks = None
-        base_form = rng.choices(
-            ["canon", "linearized", "modern", "hybrid"],
-            weights=[40, 25, 20, 15])[0]
+        ekey = None
+        if encrypted:
+            # encrypted base forces the modern container; every appended
+            # revision must be written by someone who knows the file key
+            # (§7.6.2: one /Encrypt dict governs all revisions)
+            import hashlib as _h
+
+            ekey = _h.md5(doc_id.encode() + b"r8inc").digest()
+            base_form = "modern"
+        else:
+            base_form = rng.choices(
+                ["canon", "linearized", "modern", "hybrid"],
+                weights=[40, 25, 20, 15])[0]
         if base_form != "canon":
             from .foreign import build_foreign
             base = build_foreign(w, catalog,
                                  f"{base_form}base:{seed}:{doc_id}",
                                  force_container=base_form,
-                                 transport_junk=False)
+                                 transport_junk=False,
+                                 encrypt_aes256=ekey)
             size = max(int(x) for x in
                        _re.findall(rb"/Size\s+(\d+)", base))
             from .foreign import tokenize as _ftok0
@@ -2521,7 +2536,8 @@ def _make_incremental_doc(doc_id: str, seed: int, foreign: bool = False
                     + b" 0 R /PageLayout /OneColumn >>"), None)
             out, size = append_foreign_update(
                 out, updates, catalog,
-                size=size, seed=f"{seed}:{doc_id}:r{rev}")
+                size=size, seed=f"{seed}:{doc_id}:r{rev}",
+                encrypt_aes256=ekey)
     else:
         comp = _z.compress(new_content, 6)
         out = bytearray(base)
@@ -3037,6 +3053,7 @@ DEFAULT_MIX = [
     ("twotables", 2), ("jbig2", 2), ("cid_vertical", 2), ("jpeg", 2),
     ("arabic", 2), ("type1_embedded", 2), ("foreign_layout", 4),
     ("foreign_encrypted", 2), ("foreign_incremental", 2),
+    ("foreign_encrypted_incremental", 1),
 ]
 
 BENCH_MIX = [
