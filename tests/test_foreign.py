@@ -397,6 +397,42 @@ def test_foreign_encrypted_incremental():
                 assert wd not in plain, (did, wd)
 
 
+def test_foreign_incremental_freed_objects_not_resurrected():
+    """Revisions that FREE the superseded content stream and reallocate
+    at a new number (the way most real writers update): the freed number
+    must resolve to None in the final document even though an OLDER
+    revision holds a live entry for it — a reader that ignored the f
+    row / type-0 entry would resurrect the stale object."""
+    from unipdf_spark.fixtures.foreign import inc_profiles_of
+
+    proved = 0
+    for i in range(N_DOCS):
+        did = f"doc_{i:08d}"
+        golden, pdf = make_doc(did, "foreign_incremental")
+        if not any(p.get("inc_freed") for p in inc_profiles_of(pdf)):
+            continue
+        d = PdfDocument(pdf, relaxed=False)
+        zs = [n for n, e in d.xref.items() if e[0] == "z"]
+        assert zs, did
+        assert all(d.get_object(n) is None for n in zs), did
+        # at least one freed number was LIVE in some earlier revision
+        eofs = [m.end() for m in re.finditer(rb"%%EOF", pdf)]
+        was_live = False
+        for cut in eofs[:-1]:
+            try:
+                prior = PdfDocument(pdf[:cut], relaxed=False)
+            except Exception:
+                continue  # e.g. a linearized base's mid-file %%EOF
+            for n in zs:
+                ent = prior.xref.get(n)
+                if ent is not None and ent[0] in ("f", "o"):
+                    if prior.get_object(n) is not None:
+                        was_live = True
+        assert was_live, did
+        proved += 1
+    assert proved >= 5, f"free+reallocate too rare: {proved}"
+
+
 def test_foreign_incremental_update_shadows_base():
     """Truncating the file at EACH revision's %%EOF yields that revision's
     view, and every revision changed the extraction — proving the whole

@@ -1082,7 +1082,8 @@ def profile_of(pdf: bytes) -> dict:
 
 def append_foreign_update(base: bytes, updates: dict[int, tuple],
                           root_num: int, size: int, seed: str,
-                          encrypt_aes256: bytes | None = None
+                          encrypt_aes256: bytes | None = None,
+                          frees: tuple[int, ...] = ()
                           ) -> tuple[bytes, int]:
     """Append an incremental update serialized through FOREIGN conventions
     to a (typically canonical-writer) base file — the cross-writer /Prev
@@ -1110,7 +1111,13 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
     dictionary governs every revision): new stream payloads and direct
     strings are AES-256-encrypted, ObjStm-packed objects are not
     individually encrypted (their container is), and the update's xref
-    stream stays plaintext."""
+    stream stays plaintext.
+
+    `frees` lists object numbers this revision DELETES (f rows / type-0
+    entries): the other half of incremental semantics — writers that
+    free the superseded object and allocate a replacement at a new
+    number instead of overwriting in place. A newer free entry must
+    shadow any older in-use entry (no object resurrection)."""
     rng = random.Random(f"inc:{seed}")
     ser = _ForeignSerializer(rng, encrypt_aes256)
     if encrypt_aes256 is not None:
@@ -1180,12 +1187,14 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
         profile["inc_objstm"] = len(pack)
     if ser.aes_key is not None:
         profile["inc_encrypted"] = True
+    if frees:
+        profile["inc_freed"] = len(frees)
     new_size = next_num[0]
     profile["inc_xref"] = "stream" if use_stream else "table"
     xref_pos = len(out)
     if not use_stream:
         row_eol = rng.choice([b" \n", b" \r", b"\r\n"])
-        nums = sorted(offsets)
+        nums = sorted(set(offsets) | set(frees))
         sections: list[list[int]] = [[nums[0]]]
         for num in nums[1:]:
             if num != sections[-1][-1] + 1:
@@ -1200,7 +1209,10 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
                 profile["empty_subsection"] = True
             out += b"%d %d\n" % (sec[0], len(sec))
             for num in sec:
-                out += b"%010d %05d n" % (offsets[num], 0) + row_eol
+                if num in offsets:
+                    out += b"%010d %05d n" % (offsets[num], 0) + row_eol
+                else:  # freed this revision
+                    out += b"0000000000 00001 f" + row_eol
         out += (b"trailer" + ser._sep() + ser.emit_tokens(tokenize(
             b"<< /Size " + str(new_size).encode() + b" /Root "
             + str(root_num).encode() + b" 0 R /Prev "
@@ -1212,14 +1224,16 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
         offsets[xref_num] = xref_pos
         # W[0] = 0 is legal when every entry is type 1 (the type field
         # defaults to 1 per ISO 32000 §7.5.8.2, Table 17) — only possible
-        # when nothing is ObjStm-packed (type 2) in this section
-        w0 = 0 if not objstm_entries and rng.random() < 0.35 else 1
+        # when nothing is ObjStm-packed (type 2) or freed (type 0) in
+        # this section
+        w0 = (0 if not objstm_entries and not frees
+              and rng.random() < 0.35 else 1)
         if not w0:
             profile["inc_w0_default"] = True
         wsel = [w0, 4, 2]
         rows_b = bytearray()
         index: list[bytes] = []
-        nums = sorted(set(offsets) | set(objstm_entries))
+        nums = sorted(set(offsets) | set(objstm_entries) | set(frees))
         sections = [[nums[0]]]
         for num in nums[1:]:
             if num != sections[-1][-1] + 1:
@@ -1231,10 +1245,13 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
                 if num in objstm_entries:
                     rows_b += (b"\x02" + stm_num.to_bytes(4, "big")
                                + objstm_entries[num].to_bytes(2, "big"))
-                else:
+                elif num in offsets:
                     rows_b += ((b"\x01" if w0 else b"")
                                + offsets[num].to_bytes(4, "big")
                                + (0).to_bytes(2, "big"))
+                else:  # freed this revision: type 0
+                    rows_b += (b"\x00" + (0).to_bytes(4, "big")
+                               + (1).to_bytes(2, "big"))
         xcomp = zlib.compress(bytes(rows_b), 6)
         out += (str(xref_num).encode()
                 + b" 0 obj\n<< /Type /XRef /W [ %d 4 2 ]" % w0

@@ -2475,7 +2475,6 @@ def _make_incremental_doc(doc_id: str, seed: int, foreign: bool = False,
         # so the update rewrites the PAGE object too, pointing /Contents
         # back at the replaced single stream — exactly what a real
         # stamper does.
-        page_toks = None
         ekey = None
         if encrypted:
             # encrypted base forces the modern container; every appended
@@ -2498,14 +2497,17 @@ def _make_incremental_doc(doc_id: str, seed: int, foreign: bool = False,
                                  encrypt_aes256=ekey)
             size = max(int(x) for x in
                        _re.findall(rb"/Size\s+(\d+)", base))
-            from .foreign import tokenize as _ftok0
-            page_toks = _ftok0(
-                b"<< /Type /Page /Parent " + str(pages).encode()
-                + b" 0 R /MediaBox [0 0 612 792] /Resources " + res
-                + b" /Contents " + str(cnum).encode() + b" 0 R >>")
         else:
             size = len(w._objs)
+
+        def page_body(contents_num: int) -> bytes:
+            return (b"<< /Type /Page /Parent " + str(pages).encode()
+                    + b" 0 R /MediaBox [0 0 612 792] /Resources " + res
+                    + b" /Contents " + str(contents_num).encode()
+                    + b" 0 R >>")
+
         out = base
+        cur = cnum
         for rev in range(depth):
             if rev:
                 new_blocks = paras(2, 4)  # a further revision supersedes
@@ -2522,9 +2524,21 @@ def _make_incremental_doc(doc_id: str, seed: int, foreign: bool = False,
                 f = (b"[ " + b" ".join(b"/" + c.encode() for c in chain)
                      + b" ]")
             toks = _ftok(b"<< /Filter " + f + b" /Length 0 >>")
-            updates = {cnum: (toks, payload)}
-            if page_toks is not None and rev == 0:
-                updates[page] = (page_toks, None)
+            # ~40% of revisions do what most real writers do: FREE the
+            # superseded content stream and allocate its replacement at
+            # a NEW object number (the page is rewritten to point at
+            # it); otherwise overwrite in place. Only free a number that
+            # is actually LIVE in the current file — on a foreign base
+            # the split already removed cnum, so rev 0 skips the free
+            frees: tuple[int, ...] = ()
+            target = cur
+            if rng.random() < 0.4 and (rev > 0 or base_form == "canon"):
+                target = size
+                size += 1
+                frees = (cur,)
+            updates = {target: (toks, payload)}
+            if (base_form != "canon" and rev == 0) or target != cur:
+                updates[page] = (_ftok(page_body(target)), None)
             if rev == 0:
                 # the first update also rewrites the catalog (stampers
                 # do), adding a key the base lacks — when the update
@@ -2537,7 +2551,8 @@ def _make_incremental_doc(doc_id: str, seed: int, foreign: bool = False,
             out, size = append_foreign_update(
                 out, updates, catalog,
                 size=size, seed=f"{seed}:{doc_id}:r{rev}",
-                encrypt_aes256=ekey)
+                encrypt_aes256=ekey, frees=frees)
+            cur = target
     else:
         comp = _z.compress(new_content, 6)
         out = bytearray(base)
