@@ -253,6 +253,40 @@ def test_length_in_objstm_cycle_guard():
     assert PdfDocument(pdf, relaxed=True).get_object(2) == 37
 
 
+def test_length_direct_cycle_guard():
+    """DIRECT /Length cycles too: two top-level streams whose /Length
+    entries reference each other must raise a typed PdfError in strict
+    mode (not RecursionError) and degrade to the re-scan in relaxed."""
+    import zlib as _z
+
+    from unipdf_spark.pdf.cos import PdfError
+
+    body = b"hello world pay"
+    out = bytearray(b"%PDF-1.5\n")
+    off1 = len(out)
+    out += (b"1 0 obj\n<< /Length 2 0 R >>\nstream\n" + body
+            + b"\nendstream\nendobj\n")
+    off2 = len(out)
+    out += (b"2 0 obj\n<< /Length 1 0 R >>\nstream\n" + body
+            + b"\nendstream\nendobj\n")
+    rows = (b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+            + b"\x01" + off1.to_bytes(4, "big") + (0).to_bytes(2, "big")
+            + b"\x01" + off2.to_bytes(4, "big") + (0).to_bytes(2, "big"))
+    off3 = len(out)
+    rows += b"\x01" + off3.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    comp = _z.compress(rows, 6)
+    out += (b"3 0 obj\n<< /Type /XRef /W [ 1 4 2 ] /Index [ 0 4 ] /Size 4"
+            b" /Root 1 0 R /Filter /FlateDecode /Length "
+            + str(len(comp)).encode() + b" >>\nstream\n" + comp
+            + b"\nendstream\nendobj\nstartxref\n" + str(off3).encode()
+            + b"\n%%EOF\n")
+    pdf = bytes(out)
+    with pytest.raises(PdfError, match="cyclic /Length"):
+        PdfDocument(pdf, relaxed=False).get_object(1)
+    st = PdfDocument(pdf, relaxed=True).get_object(1)
+    assert bytes(st.raw) == body
+
+
 def test_hybrid_xrefstm_is_load_bearing():
     """Hybrid-container docs (classic table + /XRefStm, §7.5.8.4): the
     table marks ObjStm-packed objects FREE, so a reader that ignores

@@ -330,6 +330,58 @@ def _split_content(data: bytes, rng: random.Random,
     return [s for s in segs if s], mid_op
 
 
+def _fragment_sections(nums: list[int], rng: random.Random,
+                       fragment: float) -> list[list[int]]:
+    """Contiguous runs over sorted object numbers, randomly fragmented
+    further with probability `fragment` per number (0 = only the
+    mandatory breaks at numbering gaps)."""
+    sections: list[list[int]] = [[nums[0]]]
+    for num in nums[1:]:
+        if num != sections[-1][-1] + 1 or (
+                fragment and rng.random() < fragment):
+            sections.append([])
+        sections[-1].append(num)
+    return sections
+
+
+def _emit_xref_table(out: bytearray, rng: random.Random, profile: dict,
+                     rows: dict[int, bytes],
+                     fragment: float = 0.25) -> dict[int, int]:
+    """Append a classic `xref` section to `out`; `rows` maps object num
+    -> its full 20-byte row (terminator included). Injects legal empty
+    `N 0` subsections ~12% of the time (real producers emit them;
+    readers must just move on). Returns {num: absolute offset of its
+    row} so callers emitting placeholder rows can patch them later
+    (the linearized head table). The ONE shared implementation behind
+    every classic-table writer in this module."""
+    sections = _fragment_sections(sorted(rows), rng, fragment)
+    profile["xref_subsections"] = len(sections)
+    out += b"xref\n"
+    pos: dict[int, int] = {}
+    for sec in sections:
+        if rng.random() < 0.12:
+            out += b"%d 0\n" % sec[0]
+            profile["empty_subsection"] = True
+        out += b"%d %d\n" % (sec[0], len(sec))
+        for num in sec:
+            pos[num] = len(out)
+            out += rows[num]
+    return pos
+
+
+def _objstm_payload(members: list[tuple[int, bytes]]) -> tuple[bytes, int]:
+    """(raw ObjStm payload, /First offset) for (num, body) members —
+    the `num offset` header pairs followed by the newline-joined
+    bodies (§7.5.7). The ONE shared layout behind every ObjStm this
+    module emits (containers, packed /Length targets, update packs)."""
+    header = bytearray()
+    bodies = bytearray()
+    for num, body in members:
+        header += b"%d %d " % (num, len(bodies))
+        bodies += body + b"\n"
+    return bytes(header) + bytes(bodies), len(header)
+
+
 # --- serialization -----------------------------------------------------------
 
 
@@ -708,23 +760,10 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
         head_xref_pos = len(out)
         row_eol = rng.choice([b" \n", b" \r", b"\r\n"])
         profile["xref_row_eol"] = row_eol.decode("latin1")
-        hsections: list[list[int]] = [[head_set[0]]]
-        for num in head_set[1:]:
-            if num != hsections[-1][-1] + 1 or rng.random() < 0.25:
-                hsections.append([])
-            hsections[-1].append(num)
-        profile["xref_subsections"] = len(hsections)
-        row_pos: dict[int, int] = {}
-        out += b"xref\n"
-        for sec in hsections:
-            if rng.random() < 0.12:
-                out += b"%d 0\n" % sec[0]
-                profile["empty_subsection"] = True
-            out += b"%d %d\n" % (sec[0], len(sec))
-            for num in sec:
-                row_pos[num] = len(out)
-                out += (b"0000000000 %05d n" % (1 if num in bumped else 0)
-                        + row_eol)
+        hrows = {num: (b"0000000000 %05d n"
+                       % (1 if num in bumped else 0) + row_eol)
+                 for num in head_set}
+        row_pos = _emit_xref_table(out, rng, profile, hrows)
         out += b"trailer\n<< /Size "
         patch["Size"] = len(out)
         out += b"0000000000 /Prev "
@@ -769,22 +808,7 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
                 continue
             mrows[num] = (b"%010d %05d n"
                           % (off, 1 if num in bumped else 0) + row_eol)
-        nums = sorted(mrows)
-        sections = [[nums[0]]]
-        for num in nums[1:]:
-            if num != sections[-1][-1] + 1 or rng.random() < 0.25:
-                sections.append([])
-            sections[-1].append(num)
-        out += b"xref\n"
-        for sec in sections:
-            if rng.random() < 0.12:
-                # empty subsection (`N 0` header, zero rows) — legal and
-                # emitted by real producers; readers must just move on
-                out += b"%d 0\n" % sec[0]
-                profile["empty_subsection"] = True
-            out += b"%d %d\n" % (sec[0], len(sec))
-            for num in sec:
-                out += mrows[num]
+        _emit_xref_table(out, rng, profile, mrows)
         out += (b"trailer" + ser._sep()
                 + ser.emit_tokens(tokenize(
                     b"<< /Size " + str(size).encode() + b" /Root "
@@ -828,26 +852,7 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
             rows[num] = (b"%010d %05d n"
                          % (off, 1 if num in bumped else 0) + row_eol)
         rows[free_num] = b"0000000000 00001 f" + row_eol
-        # multiple subsections: contiguous runs over the present numbers,
-        # randomly fragmented
-        nums = sorted(rows)
-        sections: list[list[int]] = [[]]
-        for i, num in enumerate(nums):
-            if sections[-1] and (num != sections[-1][-1] + 1
-                                 or rng.random() < 0.25):
-                sections.append([])
-            sections[-1].append(num)
-        profile["xref_subsections"] = len(sections)
-        out += b"xref\n"
-        for sec in sections:
-            if rng.random() < 0.12:
-                # empty subsection (`N 0` header, zero rows) — legal and
-                # emitted by real producers; readers must just move on
-                out += b"%d 0\n" % sec[0]
-                profile["empty_subsection"] = True
-            out += b"%d %d\n" % (sec[0], len(sec))
-            for num in sec:
-                out += rows[num]
+        _emit_xref_table(out, rng, profile, rows)
         out += (b"trailer" + ser._sep()
                 + ser.emit_tokens(tokenize(
                     b"<< /Size " + str(size).encode() + b" /Root "
@@ -874,19 +879,16 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
         for g in groups:
             stm_num = next_num[0]
             next_num[0] += 1
-            header = bytearray()
-            bodies = bytearray()
             for idx, num in enumerate(g):
-                body = ser.emit_tokens(objs[num].toks, num,
-                                       encrypt_strings=False)
-                header += b"%d %d " % (num, len(bodies))
-                bodies += body + b"\n"
                 objstm_entries[num] = (stm_num, idx)
-            payload = bytes(header) + bytes(bodies)
+            payload, first = _objstm_payload(
+                [(num, ser.emit_tokens(objs[num].toks, num,
+                                       encrypt_strings=False))
+                 for num in g])
             chain = rng.choice(_FILTER_CHAINS)
             toks = tokenize(
                 b"<< /Type /ObjStm /N " + str(len(g)).encode()
-                + b" /First " + str(len(header)).encode()
+                + b" /First " + str(first).encode()
                 + b" /Length 0 >>")
             if len(chain) == 1:
                 ftoks = [b"/" + chain[0].encode()]
@@ -921,21 +923,17 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
             # be direct, §7.5.8.2; the reference resolves /Length
             # through its full xref, core/core.go:1181)
             g = sorted(pending_lengths)
-            header = bytearray()
-            bodies = bytearray()
-            for num in g:
-                body = str(pending_lengths.pop(num)).encode()
-                header += b"%d %d " % (num, len(bodies))
-                bodies += body + b"\n"
+            payload, first = _objstm_payload(
+                [(num, str(pending_lengths.pop(num)).encode())
+                 for num in g])
             stm_num2 = next_num[0]
             next_num[0] += 1
             for idx, num in enumerate(g):
                 objstm_entries[num] = (stm_num2, idx)
-            payload = bytes(header) + bytes(bodies)
             chain = rng.choice(_FILTER_CHAINS)
             toks = tokenize(
                 b"<< /Type /ObjStm /N " + str(len(g)).encode()
-                + b" /First " + str(len(header)).encode()
+                + b" /First " + str(first).encode()
                 + b" /Length 0 >>")
             if len(chain) == 1:
                 ftoks = [b"/" + chain[0].encode()]
@@ -971,12 +969,7 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
             entries[num] = row(2, stm, idx)
         entries[free_num] = row(0, 0, 1)
         entries[xref_num] = row(1, xref_pos, 0)
-        nums = sorted(entries)
-        sections = [[nums[0]]]
-        for num in nums[1:]:
-            if num != sections[-1][-1] + 1 or rng.random() < 0.25:
-                sections.append([])
-            sections[-1].append(num)
+        sections = _fragment_sections(sorted(entries), rng, 0.25)
         profile["xref_index_pairs"] = len(sections)
         rows_b = bytearray()
         index: list[bytes] = []
@@ -1022,21 +1015,7 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
                               % (off, 1 if num in bumped else 0) + row_eol)
             for num in objstm_entries:
                 trows[num] = b"0000000000 00001 f" + row_eol
-            tnums = sorted(trows)
-            tsections = [[tnums[0]]]
-            for num in tnums[1:]:
-                if num != tsections[-1][-1] + 1 or rng.random() < 0.25:
-                    tsections.append([])
-                tsections[-1].append(num)
-            profile["xref_subsections"] = len(tsections)
-            out += b"xref\n"
-            for sec in tsections:
-                if rng.random() < 0.12:
-                    out += b"%d 0\n" % sec[0]
-                    profile["empty_subsection"] = True
-                out += b"%d %d\n" % (sec[0], len(sec))
-                for num in sec:
-                    out += trows[num]
+            _emit_xref_table(out, rng, profile, trows)
             out += (b"trailer" + ser._sep()
                     + ser.emit_tokens(tokenize(
                         b"<< /Size " + str(size).encode() + b" /Root "
@@ -1062,6 +1041,10 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
         profile["trailing_junk"] = len(tail_junk)
 
     # patch the profile into the reserved comment (length-preserving)
+    # `size` = next free object number — consumers appending incremental
+    # updates read it from here instead of regexing /Size out of raw
+    # bytes (which would also scan compressed/encrypted payloads)
+    profile["size"] = next_num[0]
     if "chains" in profile:
         profile["chains"] = sorted(set(profile["chains"]))
     blob = json.dumps(profile, sort_keys=True).encode()
@@ -1162,16 +1145,14 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
 
     stm_num = None
     if pack:
-        header = bytearray()
-        bodies = bytearray()
         for idx, num in enumerate(sorted(pack)):
-            body = ser.emit_tokens(pack[num][0], num)
-            header += b"%d %d " % (num, len(bodies))
-            bodies += body + b"\n"
             objstm_entries[num] = idx
+        payload0, first = _objstm_payload(
+            [(num, ser.emit_tokens(pack[num][0], num))
+             for num in sorted(pack)])
         stm_num = next_num[0]
         next_num[0] += 1
-        payload0 = zlib.compress(bytes(header) + bytes(bodies), 6)
+        payload0 = zlib.compress(payload0, 6)
         if ser.aes_key is not None:
             # the ObjStm container is encrypted as a stream; its packed
             # members are NOT individually encrypted (§7.6.3)
@@ -1179,7 +1160,7 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
                                       stm_num, payload0)
         emit(stm_num,
              b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode"
-             b" /Length %d >>" % (len(pack), len(header), len(payload0))
+             b" /Length %d >>" % (len(pack), first, len(payload0))
              + b"\nstream\n" + payload0 + b"\nendstream")
 
     profile = dict(ser.profile)
@@ -1194,25 +1175,11 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
     xref_pos = len(out)
     if not use_stream:
         row_eol = rng.choice([b" \n", b" \r", b"\r\n"])
-        nums = sorted(set(offsets) | set(frees))
-        sections: list[list[int]] = [[nums[0]]]
-        for num in nums[1:]:
-            if num != sections[-1][-1] + 1:
-                sections.append([])
-            sections[-1].append(num)
-        out += b"xref\n"
-        for sec in sections:
-            if rng.random() < 0.12:
-                # empty subsection (`N 0` header, zero rows) — legal and
-                # emitted by real producers; readers must just move on
-                out += b"%d 0\n" % sec[0]
-                profile["empty_subsection"] = True
-            out += b"%d %d\n" % (sec[0], len(sec))
-            for num in sec:
-                if num in offsets:
-                    out += b"%010d %05d n" % (offsets[num], 0) + row_eol
-                else:  # freed this revision
-                    out += b"0000000000 00001 f" + row_eol
+        urows = {num: (b"%010d %05d n" % (offsets[num], 0) + row_eol)
+                 if num in offsets
+                 else b"0000000000 00001 f" + row_eol  # freed this revision
+                 for num in sorted(set(offsets) | set(frees))}
+        _emit_xref_table(out, rng, profile, urows, fragment=0.0)
         out += (b"trailer" + ser._sep() + ser.emit_tokens(tokenize(
             b"<< /Size " + str(new_size).encode() + b" /Root "
             + str(root_num).encode() + b" 0 R /Prev "
@@ -1230,15 +1197,11 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
               and rng.random() < 0.35 else 1)
         if not w0:
             profile["inc_w0_default"] = True
-        wsel = [w0, 4, 2]
         rows_b = bytearray()
         index: list[bytes] = []
-        nums = sorted(set(offsets) | set(objstm_entries) | set(frees))
-        sections = [[nums[0]]]
-        for num in nums[1:]:
-            if num != sections[-1][-1] + 1:
-                sections.append([])
-            sections[-1].append(num)
+        sections = _fragment_sections(
+            sorted(set(offsets) | set(objstm_entries) | set(frees)),
+            rng, 0.0)
         for sec in sections:
             index += [str(sec[0]).encode(), str(len(sec)).encode()]
             for num in sec:
@@ -1267,11 +1230,6 @@ def append_foreign_update(base: bytes, updates: dict[int, tuple],
     start = stamp_pos + len(b"%%foreign-inc: ")
     out[start : start + len(blob)] = blob
     return bytes(out), new_size
-
-
-def inc_profile_of(pdf: bytes) -> dict:
-    m = re.search(rb"%%foreign-inc: (.+)", pdf)
-    return json.loads(m.group(1)) if m else {}
 
 
 def inc_profiles_of(pdf: bytes) -> list[dict]:

@@ -2489,14 +2489,13 @@ def _make_incremental_doc(doc_id: str, seed: int, foreign: bool = False,
                 ["canon", "linearized", "modern", "hybrid"],
                 weights=[40, 25, 20, 15])[0]
         if base_form != "canon":
-            from .foreign import build_foreign
+            from .foreign import build_foreign, profile_of
             base = build_foreign(w, catalog,
                                  f"{base_form}base:{seed}:{doc_id}",
                                  force_container=base_form,
                                  transport_junk=False,
                                  encrypt_aes256=ekey)
-            size = max(int(x) for x in
-                       _re.findall(rb"/Size\s+(\d+)", base))
+            size = profile_of(base)["size"]
         else:
             size = len(w._objs)
 

@@ -660,17 +660,20 @@ class PdfDocument:
         in-progress guard breaks crafted /Length -> ObjStm -> /Length
         cycles instead of recursing forever."""
         ent = self.xref.get(ref.num)
-        if ent is not None and ent[0] == "f":
-            return self._parse_at(ent[1], ref.num)
-        if ent is not None and ent[0] == "o":
-            if ref.num in self._len_in_progress:
-                raise PdfError(f"cyclic /Length via objstm (obj {ref.num})")
-            self._len_in_progress.add(ref.num)
-            try:
-                return self.get_object(ref.num)
-            finally:
-                self._len_in_progress.discard(ref.num)
-        raise PdfError(f"no entry for /Length obj {ref.num}")
+        if ent is None or ent[0] not in ("f", "o"):
+            raise PdfError(f"no entry for /Length obj {ref.num}")
+        # the guard covers BOTH branches: direct cycles ("2 0 obj with
+        # /Length 3 0 R" <-> "3 0 obj with /Length 2 0 R") recurse
+        # through _parse_at just like ObjStm ones do through get_object
+        if ref.num in self._len_in_progress:
+            raise PdfError(f"cyclic /Length (obj {ref.num})")
+        self._len_in_progress.add(ref.num)
+        try:
+            if ent[0] == "f":
+                return self._parse_at(ent[1], ref.num)
+            return self.get_object(ref.num)
+        finally:
+            self._len_in_progress.discard(ref.num)
 
     def _parse_at(self, offset: int, expect_num: int):
         m = _OBJ_RE.match(self.data, offset)
