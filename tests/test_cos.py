@@ -73,15 +73,18 @@ def test_strict_mode_raises_on_garbage():
 
 
 def _mini_pdf(extra_objs: dict[int, bytes] | None = None,
-              trailer_extra: bytes = b"") -> bytes:
-    """Hand-assembled minimal PDF: 1=Catalog 2=Pages 3=Page, plus extras."""
+              trailer_extra: bytes = b"",
+              prefix: bytes = b"") -> bytes:
+    """Hand-assembled minimal PDF: 1=Catalog 2=Pages 3=Page, plus extras.
+    `prefix` bytes go BEFORE %PDF- but are included in the stored offsets
+    (file-start-relative, the spec-conformant convention)."""
     objs: dict[int, bytes] = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
         3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>",
     }
     objs.update(extra_objs or {})
-    out = bytearray(b"%PDF-1.7\n")
+    out = bytearray(prefix + b"%PDF-1.7\n")
     offsets = {}
     for num in sorted(objs):
         offsets[num] = len(out)
@@ -397,6 +400,41 @@ def test_trailing_junk_after_eof_strict():
     doc = PdfDocument(pdf + b"\n--mime-boundary--\n" + b"." * 600,
                       relaxed=False)
     assert len(doc.pages()) == 1
+
+
+def test_leading_whitespace_filestart_offsets_strict():
+    """A file that merely begins with whitespace, whose producer stored
+    FILE-START-relative offsets (the spec-conformant convention): the
+    reader must try the offsets as written before rebasing at the header.
+    Pre-r9 the unconditional header slice shifted every offset and strict
+    mode raised on a file it previously parsed (r9 ADVICE regression)."""
+    pdf = _mini_pdf(prefix=b" \r\n\t \n")
+    doc = PdfDocument(pdf, relaxed=False)
+    assert len(doc.pages()) == 1
+
+
+def test_leading_junk_header_relative_offsets_still_rebase():
+    """The rebase retry must still fire for transport wrappers whose
+    offsets are HEADER-relative (the try-as-is attempt fails, the sliced
+    retry succeeds) — in both strict and relaxed mode."""
+    junk = b"MIME-Version: 1.0\r\n\r\n" + b"Q" * 64
+    pdf = junk + _mini_pdf()  # offsets relative to %PDF-, not file start
+    for relaxed in (False, True):
+        assert len(PdfDocument(pdf, relaxed=relaxed).pages()) == 1
+
+
+def test_stream_overpad_with_endstream_bytes_in_payload():
+    """CORRECT /Length + over-padding beyond the 4-byte adjacency window +
+    the literal bytes 'endstream' inside the binary payload: the pad probe
+    must scan from the DECLARED extent, not the stream start — probing
+    from the start judges padding against the in-payload hit and silently
+    truncates a correctly-declared stream (r9 ADVICE regression)."""
+    payload = b"AAAAendstreamBBBB"
+    body = (b"<< /Length " + str(len(payload)).encode() + b" >>\nstream\n"
+            + payload + b"      \nendstream")
+    pdf = _mini_pdf({4: body})
+    st = PdfDocument(pdf, relaxed=False).get_object(4)
+    assert st.raw == payload
 
 
 def test_stream_overpadded_but_correct_length_kept():

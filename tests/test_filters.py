@@ -1194,6 +1194,16 @@ def test_jpeg_stream_precision_and_lossless_cap():
         assert norm.max() == 1.0 and norm.min() == 0.0
     with pytest.raises(JpegError):
         stream_precision(b"\xff\xd8\xff\xd9")
+    # TEM (0xFF01) is a standalone marker: falling through to the
+    # segment-length branch reads a bogus 16-bit length from the next
+    # marker's bytes and skips past the real SOF (r9 ADVICE)
+    d8 = jpeg_gray_encode(img8)
+    assert stream_precision(d8[:2] + b"\xff\x01" + d8[2:]) == 8
+    # the walk stops at EOI: a marker-shaped byte run in trailing garbage
+    # must not be read as an SOF (pre-fix this returned 12)
+    with pytest.raises(JpegError):
+        stream_precision(b"\xff\xd8\xff\xd9"
+                         b"\xff\xc0\x00\x08\x0c\x00\x01\x00\x01\x01")
     # a crafted SOF3 header over the per-sample budget fails fast
     big = bytearray(jpeg_lossless_encode([[1, 2], [3, 4]]))
     i = big.index(b"\xff\xc3")

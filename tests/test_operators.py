@@ -816,6 +816,36 @@ def test_html_class_hint_and_smoothing_units():
     assert main_content(html2) == ""
 
 
+def test_html_void_tags_never_open_boiler_scope():
+    """r9 ADVICE (medium): void elements have no end tag, so a hinted
+    <img class="ad-banner"> must not push a boiler frame that never pops
+    (pre-fix: every block after it was flagged boilerplate and
+    main_content returned ''), and a hint-less void tag inside an open
+    scope must not bump the same-name nesting counter (its end never
+    arrives to decrement it)."""
+    import re
+
+    from unipdf_spark.html_extract import main_content
+
+    art = ("The article body follows the banner image and is long "
+           "enough prose to pass the block length gate. ") * 2
+    html = f'<body><img class="ad-banner"><p>{art}</p></body>'
+    assert art.strip() in re.sub(r"\s+", " ", main_content(html))
+    # a hinted void followed by hint-less voids: pre-fix the later <img>
+    # tags incremented the stuck [img, 0] frame
+    html3 = f'<body><img class="advert"><img><p>{art}</p><img></body>'
+    assert art.strip() in re.sub(r"\s+", " ", main_content(html3))
+    # hint-less void INSIDE a real open scope: the scope must still close
+    # at its real end tag, keeping the promo in and the article out of it
+    html2 = (
+        '<body><div class="sidebar-promo"><img><p>subscribe now while '
+        "the promotion lasts and save twenty percent today</p></div>"
+        f"<p>{art}</p></body>"
+    )
+    m2 = re.sub(r"\s+", " ", main_content(html2))
+    assert "subscribe" not in m2 and art.strip() in m2
+
+
 def test_oversized_doc_split_roundtrip(spark):
     """Scale path for heavy-tailed corpora (r6 VERDICT #3): a text beyond
     PART_CHARS splits into bounded word-boundary parts that extract as

@@ -45,6 +45,20 @@ def main(argv: list[str] | None = None) -> int:
     li.add_argument("--in", dest="inp", required=True)
     li.add_argument("--out", required=True)
 
+    c = sub.add_parser(
+        "corpus",
+        help="ingest a directory of arbitrary PDF/HTML files: per-doc "
+             "outcome rows + a one-page parse/extract report")
+    c.add_argument("--in", dest="inp", required=True,
+                   help="directory of real-world files (recursed)")
+    c.add_argument("--report", default=None,
+                   help="write the markdown report here (default: stdout)")
+    c.add_argument("--out", default=None,
+                   help="also write per-doc outcome rows as parquet")
+    c.add_argument("--spans-out", default=None,
+                   help="also write full span payloads as parquet")
+    c.add_argument("--glob", default=None, help="pathGlobFilter pattern")
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -113,6 +127,27 @@ def main(argv: list[str] | None = None) -> int:
             out.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"items": spark.read.parquet(args.out).count(),
                               "out": args.out}))
+        elif args.cmd == "corpus":
+            from . import real_corpus
+
+            corpus = real_corpus.read_corpus_dir(spark, args.inp, args.glob)
+            outcomes = real_corpus.extract_corpus(corpus)
+            if args.out:
+                outcomes.write.mode("overwrite").parquet(args.out)
+                outcomes = spark.read.parquet(args.out)
+            report = real_corpus.corpus_report(outcomes, args.inp)
+            if args.report:
+                with open(args.report, "w") as fh:
+                    fh.write(report)
+            else:
+                print(report)
+            if args.spans_out:
+                real_corpus.extract_corpus_spans(corpus).write.mode(
+                    "overwrite").parquet(args.spans_out)
+            bad = outcomes.filter(~F.col("ok")).count()
+            total = outcomes.count()
+            print(json.dumps({"files": total, "ok": total - bad,
+                              "errors": bad}))
         elif args.cmd == "bench":
             import time
 

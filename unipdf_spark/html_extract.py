@@ -42,6 +42,14 @@ BLOCK_TAGS = {
 }
 # semantic containers whose subtree is boilerplate context
 BOILER_TAGS = {"nav", "aside", "footer", "header"}
+# HTML void elements (no end tag ever arrives): excluded from boiler-scope
+# frames — a hinted <img class="ad-banner"> must not open a scope that can
+# never close, and a hint-less <img> inside an open scope must not bump the
+# same-name nesting counter (its "end" never comes to decrement it)
+VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
 # Readability-style unlikely-candidates lexicon over class/id attributes
 UNLIKELY_RE = re.compile(
     r"banner|breadcrumb|\bcrumb|byline|combx|comment|community|cookie|"
@@ -66,8 +74,10 @@ class _BlockSegmenter(HTMLParser):
     </p></div> keeps the promo inside the sidebar scope). Well-formed
     subtrees scope exactly; malformed markup degrades gracefully
     (mismatched closers pop only a matching open scope). Void elements
-    (br, img, …) never match a scope tag name, so they cannot desync the
-    counters."""
+    (br, img, …) are skipped before any frame push or same-name counter
+    bump — their end tag never arrives, so either would stick forever
+    (a hinted <img class="ad-banner"> must not black-hole the rest of
+    the page)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -95,6 +105,10 @@ class _BlockSegmenter(HTMLParser):
             self._a_depth += 1
         if tag in BLOCK_TAGS:
             self._flush()
+        if tag in VOID_TAGS:
+            # void elements have no end tag: never open a scope frame and
+            # never bump a same-name counter — either would stick forever
+            return
         hints = " ".join(
             v for k, v in attrs if k in ("class", "id") and v)
         if tag in BOILER_TAGS or (hints and UNLIKELY_RE.search(hints)):

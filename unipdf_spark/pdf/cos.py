@@ -417,16 +417,22 @@ class PdfDocument:
     # -- xref loading -------------------------------------------------------
     def _load(self) -> None:
         # Leading junk before the %PDF- header (HTTP/mail wrappers prepended
-        # by a transport): all stored offsets are relative to the header, not
-        # the file start, so rebase by slicing at the header position found
-        # within the first 1 KiB (the reference repairs such files by
+        # by a transport): transport writers usually store offsets relative
+        # to the header, but a spec-conformant producer whose file merely
+        # begins with whitespace stores FILE-START-relative offsets — both
+        # exist in the wild, so try the offsets as written first and only
+        # rebase (slice at the header position found within the first 1 KiB)
+        # when that load fails (the reference repairs such files by
         # re-locating objects, core/core.go:532; rebasing keeps the fast
-        # xref point-read path instead of a full top-down rebuild).
+        # xref point-read path instead of a full top-down rebuild). Strict
+        # mode gets the rebase retry too — it is offset arithmetic, not a
+        # structural repair — but never the top-down rebuild.
+        rebase = 0
         if not self.data.startswith(b"%PDF-"):
             h = self.data.find(b"%PDF-", 0, 1024)
             if h > 0:
-                self.data = self.data[h:]
-            elif not self.relaxed:
+                rebase = h
+            elif h < 0 and not self.relaxed:
                 raise PdfError("missing %PDF header")
         try:
             start = self._find_startxref()
@@ -434,9 +440,23 @@ class PdfDocument:
             if not self.xref:
                 raise PdfError("empty xref")
         except Exception:
-            if not self.relaxed:
-                raise
-            self._rebuild_xref_topdown()
+            recovered = False
+            if rebase:
+                self.data = self.data[rebase:]
+                self.xref.clear()
+                self.trailer = PdfDict()
+                try:
+                    start = self._find_startxref()
+                    self._load_xrefs_from(start)
+                    recovered = bool(self.xref)
+                except Exception:
+                    recovered = False
+            if not recovered:
+                if not self.relaxed:
+                    raise
+                self.xref.clear()
+                self.trailer = PdfDict()
+                self._rebuild_xref_topdown()
         if "Root" not in self.trailer:
             self._recover_trailer()
 
@@ -719,17 +739,28 @@ class PdfDocument:
                 if _ENDSTREAM_ADJ_RE.match(self.data, endpos):
                     repaired = False
                 else:
-                    e = self.data.find(b"endstream", data_start)
                     # keep the declared extent when only a whitespace run
                     # (longer than the adjacency window) separates it from
                     # the keyword — the length was right, the producer
-                    # over-padded; repair only otherwise
+                    # over-padded. The pad probe must scan from ENDPOS, not
+                    # data_start: a binary payload may itself contain the
+                    # bytes "endstream", and probing from data_start would
+                    # judge padding against that in-payload hit and truncate
+                    # a correctly-declared stream mid-payload (r9 fix).
+                    e_after = self.data.find(b"endstream", endpos)
                     pad_only = (
-                        e > endpos
-                        and not self.data[endpos:e].strip(b" \t\r\n\x0c\x00")
+                        e_after >= 0
+                        and not self.data[endpos:e_after].strip(
+                            b" \t\r\n\x0c\x00")
                     )
-                    if e >= 0 and not pad_only:
-                        raw = _strip_one_eol(self.data[data_start:e])
+                    if not pad_only:
+                        # declared length is wrong in one direction or the
+                        # other; repair to the first keyword occurrence from
+                        # the stream start (handles too-LARGE declarations,
+                        # whose true terminator lies before endpos)
+                        e = self.data.find(b"endstream", data_start)
+                        if e >= 0:
+                            raw = _strip_one_eol(self.data[data_start:e])
             else:
                 e = self.data.find(b"endstream", data_start)
                 raw = _strip_one_eol(

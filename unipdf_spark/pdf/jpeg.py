@@ -562,7 +562,12 @@ def stream_precision(data: bytes) -> int:
             pos += 1
             continue
         marker = data[pos + 1]
-        if marker in (0xFF, 0x00) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI: anything after is trailing garbage
+            break
+        # standalone markers carry no length word: fill byte, stuffed 0x00,
+        # TEM (0x01), RSTn, SOI — falling through would read a bogus 16-bit
+        # "length" from the following bytes and skip past the real SOF
+        if marker in (0xFF, 0x00, 0x01) or 0xD0 <= marker <= 0xD8:
             pos += 2 if marker != 0xFF else 1
             continue
         if pos + 4 > n:
