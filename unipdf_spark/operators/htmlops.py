@@ -47,7 +47,7 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
-        from ..fixtures.foreign_html import foreign_html
+        from ..fixtures.foreign_html import foreign_html, tag_soup
         from ..fixtures.gen import make_html_doc
         from ..html_extract import main_content
 
@@ -62,6 +62,12 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # permutations) — the oracle is unchanged, so the value
                     # hash proves extraction is markup-convention invariant
                     html = foreign_html(html, doc_id)
+                elif int(doc_id[4:]) % 3 == 2:
+                    # …and another third broken into TAG SOUP (unclosed
+                    # <p>/<li>, stray closes, misnested inline, bare &,
+                    # attribute junk; r9 VERDICT #2) — html.parser's
+                    # recovery is the defined semantics, oracle unchanged
+                    html = tag_soup(html, doc_id)
                 main = ws.sub(" ", main_content(html)).strip()
                 ids.append(int(doc_id[4:]))
                 hashes.append(hashlib.md5(main.encode()).hexdigest())
