@@ -484,3 +484,76 @@ def test_foreign_incremental_update_shadows_base():
         if all(a != b for a, b in zip(views, views[1:])):
             changed += 1
     assert changed == 12  # every update replaces the content stream
+
+
+def test_foreign_corruption_cross_fuzz():
+    """Foreign × corruption cross-fuzz (r9 VERDICT #4): the corruption
+    fuzzer predates the exotic layouts, so mutate the foreign /
+    linearized / hybrid / incremental / encrypted docs specifically —
+    truncations, bit flips, zeroed blocks, and TARGETED offset smashes
+    (startxref value, xref-row offsets, /Prev, /Length) — and assert the
+    typed-error/degrade guarantees hold: no hangs (wall-time bounded like
+    the 360-case JBIG2 fuzz), no RecursionError, strict mode raises
+    typed errors only (PdfError/FilterError), relaxed-mode extraction
+    always returns a result row (the /Length-cycle RecursionError class
+    of bug, found by review in r8, is exactly what this sweeps for)."""
+    import random
+    import time
+
+    from unipdf_spark.pdf.cos import PdfError
+    from unipdf_spark.pdf.filters import FilterError
+
+    classes = ["foreign_layout", "foreign_encrypted", "foreign_incremental",
+               "foreign_encrypted_incremental", "incremental", "objstm",
+               "encrypted_aes256"]
+    rng = random.Random(99)
+    t0 = time.monotonic()
+    seeds: dict = {}
+    n_relaxed_err = n_strict_err = n_targeted = 0
+    N = 322
+    for trial in range(N):
+        cls = classes[trial % len(classes)]
+        key = (cls, trial % 7)
+        if key not in seeds:
+            seeds[key] = make_doc(f"doc_{trial % 7:08d}", cls,
+                                  seed=trial % 7)[1]
+        b = bytearray(seeds[key])
+        mode = rng.randrange(7)
+        if mode == 0:  # truncation
+            b = b[: rng.randrange(1, len(b))]
+        elif mode == 1:  # bit flips
+            for _ in range(rng.randrange(1, 24)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        elif mode == 2:  # zeroed block
+            s = rng.randrange(len(b))
+            e = min(len(b), s + rng.randrange(1, 400))
+            b[s:e] = bytes(e - s)
+        else:  # targeted offset smashes over the container structures
+            pats = [rb"startxref\s*\n(\d+)", rb"\n(\d{10}) 00000 n",
+                    rb"/Prev (\d+)", rb"/Length (\d+)"]
+            ms = list(re.finditer(pats[mode - 3], bytes(b)))
+            if not ms:
+                continue
+            m = ms[rng.randrange(len(ms))]
+            lo, hi = m.span(1)
+            smash = str(rng.randrange(10 ** (hi - lo))).zfill(hi - lo)
+            b[lo:hi] = smash.encode()
+            n_targeted += 1
+        blob = bytes(b)
+        # relaxed: extraction degrades to a result (error string or a
+        # best-effort span list), NEVER raises — corpus-scale contract
+        res = extract_spans(blob)
+        if res.error:
+            n_relaxed_err += 1
+        # strict: success or a TYPED error; RecursionError or a raw
+        # ValueError/KeyError/IndexError escaping is an engine bug
+        try:
+            PdfDocument(blob, relaxed=False).pages()
+        except (PdfError, FilterError):
+            n_strict_err += 1
+    assert time.monotonic() - t0 < 120, "cross-fuzz too slow (hang?)"
+    # the corruption actually bit: strict rejected a large share, relaxed
+    # degraded on a meaningful share, and the targeted smashes fired
+    assert n_strict_err > 100, n_strict_err
+    assert n_relaxed_err > 20, n_relaxed_err
+    assert n_targeted > 60, n_targeted

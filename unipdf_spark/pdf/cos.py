@@ -163,7 +163,10 @@ class Lexer:
 
     def parse_name(self) -> Name:
         data, n = self.data, len(self.data)
-        assert data[self.pos] == 0x2F
+        if data[self.pos] != 0x2F:
+            # reachable from parse_dict on corrupt bytes (a dict key that
+            # is not a name): must be the TYPED parse error, not an assert
+            raise PdfError(f"expected name at {self.pos}")
         i = self.pos + 1
         out = bytearray()
         while i < n:
@@ -519,6 +522,8 @@ class PdfDocument:
             lx.pos = m.end()
             lx.skip_ws()
             m = _NUM_RE.match(self.data, lx.pos)
+            if not m:
+                raise PdfError(f"xref subsection: bad count at {lx.pos}")
             count = int(m.group())
             lx.pos = m.end()
             lx.skip_ws()
@@ -526,7 +531,13 @@ class PdfDocument:
                 row = self.data[lx.pos : lx.pos + 20]
                 parts = row.split()
                 if len(parts) >= 3:
-                    off, _gen, typ = int(parts[0]), int(parts[1]), parts[2][:1]
+                    try:
+                        off, _gen = int(parts[0]), int(parts[1])
+                    except ValueError as e:
+                        # corrupt row bytes must surface as the TYPED
+                        # parse error in strict mode (r9 cross-fuzz)
+                        raise PdfError(f"bad xref row at {lx.pos}") from e
+                    typ = parts[2][:1]
                     num = first + i
                     # record free ("z") entries too: the Prev chain is walked
                     # newest-first, so a newer free entry must shadow an older
@@ -547,19 +558,28 @@ class PdfDocument:
         if not (isinstance(obj, tuple) and isinstance(obj[0], PdfDict)):
             raise PdfError("xref stream: not a stream")
         d, data_start = obj
-        length = d.get("Length")
-        if isinstance(length, Ref):
-            length = self._fetch_direct(length)
-        raw = self.data[data_start : data_start + int(length)]
-        st = Stream(d, raw)
-        content = st.decoded(self.resolve)
-        w = [int(x) for x in d["W"]]
-        size = int(d.get("Size", 0))
-        index = d.get("Index") or [0, size]
-        index = [int(x) for x in index]
+        try:
+            # corrupt /Length, /W, /Size, /Index values (wrong type, not
+            # numeric, missing) must surface as the TYPED parse error, not
+            # raw ValueError/TypeError/KeyError (r9 cross-fuzz)
+            length = d.get("Length")
+            if isinstance(length, Ref):
+                length = self._fetch_direct(length)
+            raw = self.data[data_start : data_start + int(length)]
+            st = Stream(d, raw)
+            content = st.decoded(self.resolve)
+            w = [int(x) for x in d["W"]]
+            size = int(d.get("Size", 0))
+            index = d.get("Index") or [0, size]
+            index = [int(x) for x in index]
+        except PdfError:
+            raise
+        except (ValueError, TypeError, KeyError) as e:
+            raise PdfError(f"xref stream: bad dict ({e})") from e
         rw = sum(w)
         pos = 0
-        for k in range(0, len(index), 2):
+        # len-1 bound: a corrupt odd-length /Index must not IndexError
+        for k in range(0, len(index) - 1, 2):
             first, count = index[k], index[k + 1]
             for i in range(count):
                 row = content[pos : pos + rw]
@@ -616,9 +636,16 @@ class PdfDocument:
             from .crypt import StdSecurityHandler
 
             self._crypt = StdSecurityHandler(enc, fid, self.resolve)
-        except Exception:
+        except (PdfError, RecursionError):
+            # typed already / a cycle bug that must stay visible to fuzzing
             if not self.relaxed:
                 raise
+        except Exception as e:
+            # corrupt /Encrypt dicts surface handler-internal ValueErrors
+            # (e.g. R6 password validation); strict mode's contract is the
+            # TYPED document error (r9 cross-fuzz)
+            if not self.relaxed:
+                raise PdfError(f"encryption init failed: {e}") from e
 
     def _decrypt_obj(self, obj, num: int, gen: int):
         """Deep-copy decrypt: fresh containers so shared cached objects are
@@ -807,16 +834,25 @@ class PdfDocument:
             if not isinstance(st, Stream):
                 raise PdfError(f"objstm {stm_num} is not a stream")
             content = st.decoded(self.resolve)
-            n = int(self.resolve(st.dict.get("N", 0)))
-            first = int(self.resolve(st.dict.get("First", 0)))
+            try:
+                # corrupt /N, /First, or header pairs (decoded garbage)
+                # must surface as the TYPED error (r9 cross-fuzz)
+                n = int(self.resolve(st.dict.get("N", 0)))
+                first = int(self.resolve(st.dict.get("First", 0)))
+            except (ValueError, TypeError) as e:
+                raise PdfError(f"objstm {stm_num}: bad dict ({e})") from e
             hdr = Lexer(content, 0)
             pairs = []
             for _ in range(n):
                 hdr.skip_ws()
                 m1 = _NUM_RE.match(content, hdr.pos)
+                if m1 is None:
+                    raise PdfError(f"objstm {stm_num}: bad header pair")
                 hdr.pos = m1.end()
                 hdr.skip_ws()
                 m2 = _NUM_RE.match(content, hdr.pos)
+                if m2 is None:
+                    raise PdfError(f"objstm {stm_num}: bad header pair")
                 hdr.pos = m2.end()
                 pairs.append((int(m1.group()), int(m2.group())))
             objs = {}

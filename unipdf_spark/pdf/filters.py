@@ -98,8 +98,13 @@ def flate_decode(data: bytes, parms: dict | None = None) -> bytes:
         raw = zlib.decompress(data)
     except zlib.error:
         # relaxed mode: tolerate trailing garbage / truncated streams
-        d = zlib.decompressobj()
-        raw = d.decompress(data)
+        try:
+            d = zlib.decompressobj()
+            raw = d.decompress(data)
+        except zlib.error as e:
+            # genuinely corrupt deflate bytes: the TYPED filter error,
+            # never a raw zlib.error (r9 cross-fuzz)
+            raise FilterError(f"FlateDecode: {e}") from e
     return _undo_predictor(raw, parms or {})
 
 
@@ -162,7 +167,10 @@ def ascii_hex_decode(data: bytes, parms: dict | None = None) -> bytes:
     hexstr = b"".join(data.split())
     if len(hexstr) % 2 == 1:
         hexstr += b"0"
-    return binascii.unhexlify(hexstr)
+    try:
+        return binascii.unhexlify(hexstr)
+    except binascii.Error as e:
+        raise FilterError(f"ASCIIHexDecode: {e}") from e
 
 
 def ascii85_decode(data: bytes, parms: dict | None = None) -> bytes:
@@ -173,7 +181,10 @@ def ascii85_decode(data: bytes, parms: dict | None = None) -> bytes:
     if end >= 0:
         s = s[:end]
     s = b"".join(s.split())
-    return base64.a85decode(s)
+    try:
+        return base64.a85decode(s)
+    except ValueError as e:
+        raise FilterError(f"ASCII85Decode: {e}") from e
 
 
 def run_length_decode(data: bytes, parms: dict | None = None) -> bytes:
