@@ -35,88 +35,103 @@ def main() -> None:
     elif "0.01" in sf_dir:
         sf = 0.01
     n_docs = int(os.environ.get("BENCH_N_DOCS", {0.001: 60, 0.01: 600}.get(sf, 6000)))
+    # tier isolation (r9 VERDICT #3): BENCH_ONLY = "soak" | "integrated"
+    # runs JUST that tier in this process, so a fresh-process launcher
+    # (bench/isolated.py) can capture each latency-shaped tier at true
+    # idle — the in-run loadavg of earlier tiers otherwise contaminates
+    # the straggler/throughput numbers. Default "" = full run (the
+    # driver's per-round contract, unchanged).
+    only = os.environ.get("BENCH_ONLY", "")
 
     spark = pipeline.get_spark("unipdf-bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    docs_per_sec = pass_rate = 0.0
+    n_ok = 0
 
     # warm-up: python worker spawn + imports are one-time costs; pay them
     # outside every timed section (steady-state throughput is the metric)
     pipeline.gen_docs_pdf(spark, cpus * 8, mix="bench", partitions=cpus).count()
 
-    # --- headline: extraction throughput + span equality -------------------
-    t0 = time.perf_counter()
-    docs_pdf = pipeline.gen_docs_pdf(
-        spark, n_docs, mix="bench", partitions=cpus * 2
-    ).persist()
-    docs_pdf.count()  # materialize generation outside the extraction timing
-    t_gen = time.perf_counter() - t0
-    timings["fixture_generation"] = round(t_gen, 3)
-
-    pipeline.run_extraction(docs_pdf.limit(cpus * 8)).count()  # extract warm-up
-    # steady-state throughput: best of 2 full passes (same policy as the
-    # query timings; pass 1 still pays residual JIT on the full mix)
-    t0 = time.perf_counter()
-    pipeline.run_extraction(docs_pdf, partitions=cpus * 2).filter(
-        F.col("error").isNull()
-    ).count()
-    t_first = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    spans_out = pipeline.run_extraction(docs_pdf, partitions=cpus * 2).persist()
-    n_ok = spans_out.filter(F.col("error").isNull()).count()
-    t_extract = min(t_first, time.perf_counter() - t0)
-    timings["extract_spans"] = round(t_extract, 3)
-    docs_per_sec = n_docs / t_extract if t_extract > 0 else 0.0
-
-    t0 = time.perf_counter()
-    eq = pipeline.span_equality(docs_pdf, spans_out)
-    n_match = eq.filter(F.col("match")).count()
-    timings["span_equality_join"] = round(time.perf_counter() - t0, 3)
-    pass_rate = n_match / n_docs if n_docs else 0.0
-    spans_out.unpersist()
-    docs_pdf.unpersist()
-
-    # --- analytics operator suite ------------------------------------------
-    headline = [
-        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-        "q6_forecast_revenue", "top_customers_per_segment", "events_sessionize",
-        "token_counts", "quality_scores", "doc_fingerprints", "dedup_exact",
-        "minhash_lsh_pairs", "simhash_fingerprints", "ann_bruteforce_topk",
-        "embedding_near_dup_pairs",
-        # r6: the integrated render→extract→reassemble→dedup pipeline and
-        # the HTML boilerplate-strip leg
-        "extracted_text_dedup", "html_main_content",
-    ]
-    # Per-query timing = steady-state (best of 2 back-to-back runs). The
-    # first run of a plan shape pays one-time janino/JIT expression
-    # compilation (measured ~7 s for the 32-family MinHash projection
-    # REGARDLESS of data size: 8.0 s at 500 docs vs 1.5 s for 10x the rows
-    # once compiled) — a per-executor constant that vanishes at production
-    # scale. Cold first-run times are reported alongside as queries_cold.
-    cold: dict[str, float] = {}
-    qs = all_queries()
-
-    def _run(name: str) -> float:
+    if only == "":
+        # --- headline: extraction throughput + span equality ---------------
         t0 = time.perf_counter()
-        try:
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            qs[name](spark, sf_dir).count()  # noop sink unavailable
-        return time.perf_counter() - t0
+        docs_pdf = pipeline.gen_docs_pdf(
+            spark, n_docs, mix="bench", partitions=cpus * 2
+        ).persist()
+        docs_pdf.count()  # materialize generation outside the extract timing
+        t_gen = time.perf_counter() - t0
+        timings["fixture_generation"] = round(t_gen, 3)
 
-    for name in headline:
-        try:
-            cold[name] = round(_run(name), 3)
-            warm = _run(name)
-            if warm > cold[name] * 0.98:
-                # warm ≈/≥ cold is the documented signature of concurrent
-                # host load (r4's BENCH artifact recorded 2× inflation);
-                # one retry gives the steady state a fair shot
-                warm = min(warm, _run(name))
-            timings[name] = round(min(cold[name], warm), 3)
-        except Exception as e:  # noqa: BLE001
-            timings[name] = -1.0
-            print(f"bench error {name}: {e}", file=sys.stderr)
+        pipeline.run_extraction(docs_pdf.limit(cpus * 8)).count()  # warm-up
+        # steady-state throughput: best of 2 full passes (same policy as the
+        # query timings; pass 1 still pays residual JIT on the full mix)
+        t0 = time.perf_counter()
+        pipeline.run_extraction(docs_pdf, partitions=cpus * 2).filter(
+            F.col("error").isNull()
+        ).count()
+        t_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        spans_out = pipeline.run_extraction(
+            docs_pdf, partitions=cpus * 2).persist()
+        n_ok = spans_out.filter(F.col("error").isNull()).count()
+        t_extract = min(t_first, time.perf_counter() - t0)
+        timings["extract_spans"] = round(t_extract, 3)
+        docs_per_sec = n_docs / t_extract if t_extract > 0 else 0.0
+
+        t0 = time.perf_counter()
+        eq = pipeline.span_equality(docs_pdf, spans_out)
+        n_match = eq.filter(F.col("match")).count()
+        timings["span_equality_join"] = round(time.perf_counter() - t0, 3)
+        pass_rate = n_match / n_docs if n_docs else 0.0
+        spans_out.unpersist()
+        docs_pdf.unpersist()
+
+        # --- analytics operator suite ---------------------------------------
+        headline = [
+            "q1_pricing_summary", "q3_shipping_priority",
+            "q5_local_supplier_volume",
+            "q6_forecast_revenue", "top_customers_per_segment",
+            "events_sessionize",
+            "token_counts", "quality_scores", "doc_fingerprints", "dedup_exact",
+            "minhash_lsh_pairs", "simhash_fingerprints", "ann_bruteforce_topk",
+            "embedding_near_dup_pairs",
+            # r6: the integrated render→extract→reassemble→dedup pipeline and
+            # the HTML boilerplate-strip leg
+            "extracted_text_dedup", "html_main_content",
+        ]
+        # Per-query timing = steady-state (best of 2 back-to-back runs). The
+        # first run of a plan shape pays one-time janino/JIT expression
+        # compilation (measured ~7 s for the 32-family MinHash projection
+        # REGARDLESS of data size: 8.0 s at 500 docs vs 1.5 s for 10x the
+        # rows once compiled) — a per-executor constant that vanishes at
+        # production scale. Cold first-run times are reported as
+        # queries_cold.
+        qs = all_queries()
+
+        def _run(name: str) -> float:
+            t0 = time.perf_counter()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite").save()
+            except Exception:
+                qs[name](spark, sf_dir).count()  # noop sink unavailable
+            return time.perf_counter() - t0
+
+        for name in headline:
+            try:
+                cold[name] = round(_run(name), 3)
+                warm = _run(name)
+                if warm > cold[name] * 0.98:
+                    # warm ≈/≥ cold is the documented signature of concurrent
+                    # host load (r4's BENCH artifact recorded 2× inflation);
+                    # one retry gives the steady state a fair shot
+                    warm = min(warm, _run(name))
+                timings[name] = round(min(cold[name], warm), 3)
+            except Exception as e:  # noqa: BLE001
+                timings[name] = -1.0
+                print(f"bench error {name}: {e}", file=sys.stderr)
 
     # --- 100k-doc full-mix soak tier (r5 VERDICT #8: the 6k headline is
     # mostly fixed overhead; the soak is the real throughput signal).
@@ -126,7 +141,7 @@ def main() -> None:
     soak_default = 100000 if sf >= 0.1 else 0
     soak_n = int(os.environ.get("BENCH_SOAK_DOCS", soak_default))
     soak = None
-    if soak_n > 0:
+    if soak_n > 0 and only in ("", "soak"):
         soak_load = os.getloadavg()
         t0 = time.perf_counter()
         soak_docs = pipeline.gen_docs_pdf(
@@ -170,7 +185,7 @@ def main() -> None:
     int_default = 100000 if sf >= 0.1 else 0
     int_n = int(os.environ.get("BENCH_INTEGRATED_DOCS", int_default))
     integrated = None
-    if int_n > 0:
+    if int_n > 0 and only in ("", "integrated"):
         from unipdf_spark.operators.dedup import (
             MAX_BUCKET, band_table, minhash_signatures_pandas)
         from unipdf_spark.operators.extracted import (
