@@ -986,3 +986,80 @@ def test_extract_spans_apply_area():
     empty = extract_spans(pdf, area=(0.0, 0.0, 10.0, 10.0))
     assert empty.spans == [] or all(
         not s["text"].strip() for s in empty.spans)
+
+
+def test_deeptree_inheritance_is_load_bearing():
+    """deeptree (r9 VERDICT #5): /Resources and /MediaBox live ONLY on the
+    ROOT Pages node, 3 levels above the first pages. Length-preserving
+    byte patches that break each inherited attribute must CHANGE the
+    extraction — proving the Parent-walk inheritance is load-bearing, not
+    decorative. The taller inherited box (612x1000) matters because the
+    top paragraphs sit above y=792: without inheritance the interpreter's
+    default box clips them."""
+    from unipdf_spark.fixtures.gen import _plan_doc, render_doc
+
+    plan = _plan_doc("doc_00000042", "deeptree", 42)
+    plan.foreign = False  # canonical serializer: dicts patchable as bytes
+    pdf, golden = render_doc(plan)
+    got = extract_spans(pdf)
+    assert got.error is None and got.spans == golden
+    base_text = "".join(s["text"] for s in golden)
+
+    # shrink the inherited MediaBox to the default (length-preserving):
+    # marks above y=792 are clipped -> extraction loses text
+    assert pdf.count(b"/MediaBox [0 0 612 1000]") == 1
+    short = extract_spans(
+        pdf.replace(b"/MediaBox [0 0 612 1000]", b"/MediaBox [0 0 612  792]"))
+    short_text = "".join(s["text"] for s in short.spans)
+    assert len(short_text) < len(base_text)
+
+    # break the inherited /Resources name: pages resolve no fonts, the
+    # show ops cannot decode -> extraction degrades (misses or no text)
+    assert pdf.count(b"/Resources") == 1
+    nores = extract_spans(pdf.replace(b"/Resources", b"/ResourceZ"))
+    assert nores.n_misses > 0 or not nores.spans
+
+    # page dicts themselves carry NEITHER attribute (inheritance is the
+    # only source)
+    import re as _re
+
+    for m in _re.finditer(rb"<< /Type /Page /Parent[^>]*>>", pdf):
+        assert b"/MediaBox" not in m.group(0)
+        assert b"/Resources" not in m.group(0)
+
+
+def test_deeptree_parent_and_kids_cycles_degrade_bounded():
+    """Corrupted page trees: a /Parent self-cycle (inheritance walk) and a
+    /Kids back-edge to the root (page enumeration walk) must neither hang
+    nor raise — the walks are depth-bounded/visited-guarded and degrade to
+    defaults (buildPageList cycle detection, model/model.go:2547)."""
+    import time as _t
+
+    from unipdf_spark.fixtures.gen import _plan_doc, render_doc
+    from unipdf_spark.pdf.cos import PdfDocument
+
+    plan = _plan_doc("doc_00000042", "deeptree", 42)
+    plan.foreign = False
+    pdf, golden = render_doc(plan)
+    # the intermediate node B (parent of pages 0/1) is object 8 under 7
+    assert pdf.count(b"<< /Type /Pages /Parent 7 0 R /Kids [ 3 0 R 5 0 R ] "
+                     b"/Count 2 >>") == 1
+
+    t0 = _t.monotonic()
+    # (a) /Parent self-cycle at node B: pages still enumerate via Kids,
+    # but inheritance walks from pages 0/1 loop at B -> depth bound ->
+    # default box/resources; never an exception, in both modes
+    cyc = pdf.replace(b"/Parent 7 0 R /Kids [ 3 0 R 5 0 R ]",
+                      b"/Parent 8 0 R /Kids [ 3 0 R 5 0 R ]")
+    res = extract_spans(cyc)
+    assert res.spans is not None  # degrade, not raise
+    assert len(PdfDocument(cyc, relaxed=False).pages()) == len(
+        PdfDocument(pdf).pages())
+    # (b) /Kids back-edge to the ROOT node: the visited guard must stop
+    # the enumeration loop; pages under the other branch still extract
+    back = pdf.replace(b"/Kids [ 3 0 R 5 0 R ]", b"/Kids [ 3 0 R 2 0 R ]")
+    res2 = extract_spans(back)
+    assert res2.spans is not None
+    pages2 = PdfDocument(back, relaxed=False).pages()
+    assert 0 < len(pages2) <= len(PdfDocument(pdf).pages())
+    assert _t.monotonic() - t0 < 20, "cycle walk not bounded"

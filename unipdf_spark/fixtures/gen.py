@@ -24,6 +24,7 @@ from .render import PdfFileWriter, esc_string
 
 PAGE_W, PAGE_H = 612.0, 792.0
 MARGIN = 72.0
+DEEP_H = 1000.0  # deeptree class: taller inherited /MediaBox (see below)
 FS = 12.0
 LEADING = 14.4  # 1.2 × FS: within-para pitch < engine's (1+1.0)·fs cap
 PARA_SKIP = 36.0  # ≥ 3 × FS: between-para pitch > the cap
@@ -119,7 +120,7 @@ FIXTURE_CLASSES = [
     "invisible", "tagged_list", "fax", "std14", "tagged_pg",
     "twotables", "jbig2", "cid_vertical", "jpeg", "arabic",
     "type1_embedded", "foreign_layout", "foreign_encrypted",
-    "foreign_incremental", "foreign_encrypted_incremental",
+    "foreign_incremental", "foreign_encrypted_incremental", "deeptree",
 ]
 
 
@@ -256,6 +257,7 @@ class DocPlan:
     encrypt_aes256: bytes | None = None  # R6/AES-256 handler (seed)
     foreign: bool = False  # serialize via the foreign-layout emitter
     foreign_seed: str = ""  # deterministic profile seed for the above
+    deep_tree: bool = False  # nested unbalanced Pages tree w/ inheritance
 
 
 # --- text planning ------------------------------------------------------------
@@ -618,6 +620,31 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
     plan = DocPlan()
     width = PAGE_W - 2 * MARGIN
     v = PAGE_H - MARGIN
+
+    if fixture_class == "deeptree":
+        # deep unbalanced Pages tree (r9 VERDICT #5): 3-5 pages whose
+        # /Resources, /MediaBox and /Rotate live ONLY on the ROOT Pages
+        # node, inherited through intermediate nodes (depth 3 for the
+        # first two pages) — buildPageList + inherited attributes,
+        # model/model.go:2547. The MediaBox is TALLER than the default
+        # (612x1000 vs 612x792) and the top paragraphs sit ABOVE y=792:
+        # if inheritance broke, the interpreter's default page box would
+        # clip those marks and the roundtrip would fail (load-bearing).
+        # ~35% serialize through the foreign emitter (exotic containers
+        # over the nested graph).
+        plan.deep_tree = True
+        if rng.random() < 0.35:
+            plan.foreign = True
+            plan.foreign_seed = f"{seed}:{doc_id}:deep"
+        for pg in range(rng.randint(3, 5)):
+            v = DEEP_H - MARGIN
+            for _ in range(rng.randint(2, 4)):
+                p, v = _para(rng, MARGIN, v, width, (4, 10))
+                p.page = pg
+                plan.blocks.append(p)
+                if v < MARGIN + 60:
+                    break
+        return plan
 
     if fixture_class == "foreign_layout":
         # same object graph as an interleaved doc (text + image XObjects +
@@ -2072,25 +2099,64 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         res += b"/XObject << " + xobj_res + b">> "
     res += b">>"
     page_nums = [page] + [w.reserve() for _ in range(n_pages - 1)]
-    for pi, pnum in enumerate(page_nums):
-        cnum, _ = w.add_stream(b"", bytes(page_content[pi]), compress=True,
-                               filters=plan.content_filters)
-        annots = b""
-        if pi == 0 and annot_refs:
-            annots = (b" /Annots [ "
-                      + b" ".join(b"%d 0 R" % a for a in annot_refs) + b" ]")
+    if plan.deep_tree and n_pages >= 3:
+        # unbalanced nested tree: root → A → B → [p0, p1]; A → p2;
+        # root → p3, p4…  Pages carry ONLY /Parent and /Contents;
+        # /Resources, /MediaBox (612x1000) and /Rotate inherit from the
+        # ROOT node — depth 3 for p0/p1, depth 2 for p2, depth 1 for the
+        # rest (inherited attributes, model/model.go:2547)
+        node_a = w.reserve()
+        node_b = w.reserve()
+        parent_of = {0: node_b, 1: node_b, 2: node_a}
+        for pi, pnum in enumerate(page_nums):
+            cnum, _ = w.add_stream(b"", bytes(page_content[pi]),
+                                   compress=True,
+                                   filters=plan.content_filters)
+            w.set_obj(
+                pnum,
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R >>"
+                % (parent_of.get(pi, pages), cnum),
+            )
         w.set_obj(
-            pnum,
-            b"<< /Type /Page /Parent " + str(pages).encode() + b" 0 R "
-            b"/MediaBox [0 0 612 792] /Resources " + res + b" /Contents "
-            + str(cnum).encode() + b" 0 R" + annots + b" >>",
+            node_b,
+            b"<< /Type /Pages /Parent %d 0 R /Kids [ %d 0 R %d 0 R ] "
+            b"/Count 2 >>" % (node_a, page_nums[0], page_nums[1]),
         )
-    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
-    w.set_obj(
-        pages,
-        b"<< /Type /Pages /Kids [ " + kids + b" ] /Count "
-        + str(n_pages).encode() + b" >>",
-    )
+        w.set_obj(
+            node_a,
+            b"<< /Type /Pages /Parent %d 0 R /Kids [ %d 0 R %d 0 R ] "
+            b"/Count 3 >>" % (pages, node_b, page_nums[2]),
+        )
+        kids = b" ".join(b"%d 0 R" % p
+                         for p in [node_a] + page_nums[3:])
+        w.set_obj(
+            pages,
+            b"<< /Type /Pages /Kids [ " + kids + b" ] /Count "
+            + str(n_pages).encode() + b" /Resources " + res
+            + b" /MediaBox [0 0 612 1000] /Rotate 0 >>",
+        )
+    else:
+        for pi, pnum in enumerate(page_nums):
+            cnum, _ = w.add_stream(b"", bytes(page_content[pi]),
+                                   compress=True,
+                                   filters=plan.content_filters)
+            annots = b""
+            if pi == 0 and annot_refs:
+                annots = (b" /Annots [ "
+                          + b" ".join(b"%d 0 R" % a for a in annot_refs)
+                          + b" ]")
+            w.set_obj(
+                pnum,
+                b"<< /Type /Page /Parent " + str(pages).encode() + b" 0 R "
+                b"/MediaBox [0 0 612 792] /Resources " + res + b" /Contents "
+                + str(cnum).encode() + b" 0 R" + annots + b" >>",
+            )
+        kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+        w.set_obj(
+            pages,
+            b"<< /Type /Pages /Kids [ " + kids + b" ] /Count "
+            + str(n_pages).encode() + b" >>",
+        )
     w.set_obj(catalog, b"<< /Type /Catalog /Pages " + str(pages).encode() + b" 0 R >>")
     if plan.foreign:
         from .foreign import build_foreign
@@ -3067,7 +3133,7 @@ DEFAULT_MIX = [
     ("twotables", 2), ("jbig2", 2), ("cid_vertical", 2), ("jpeg", 2),
     ("arabic", 2), ("type1_embedded", 2), ("foreign_layout", 4),
     ("foreign_encrypted", 2), ("foreign_incremental", 2),
-    ("foreign_encrypted_incremental", 1),
+    ("foreign_encrypted_incremental", 1), ("deeptree", 2),
 ]
 
 BENCH_MIX = [
