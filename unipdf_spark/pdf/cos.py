@@ -448,6 +448,11 @@ class PdfDocument:
                 self.data = self.data[rebase:]
                 self.xref.clear()
                 self.trailer = PdfDict()
+                # the failed as-written attempt may have resolved objects
+                # (e.g. an indirect xref-stream /Length) at offsets that
+                # mean something different after the slice — drop them
+                self._cache.clear()
+                self._objstm_cache.clear()
                 try:
                     start = self._find_startxref()
                     self._load_xrefs_from(start)
@@ -459,6 +464,8 @@ class PdfDocument:
                     raise
                 self.xref.clear()
                 self.trailer = PdfDict()
+                self._cache.clear()
+                self._objstm_cache.clear()
                 self._rebuild_xref_topdown()
         if "Root" not in self.trailer:
             self._recover_trailer()
