@@ -1063,3 +1063,75 @@ def test_deeptree_parent_and_kids_cycles_degrade_bounded():
     pages2 = PdfDocument(back, relaxed=False).pages()
     assert 0 < len(pages2) <= len(PdfDocument(pdf).pages())
     assert _t.monotonic() - t0 < 20, "cycle walk not bounded"
+
+
+def test_cid_astral_supplementary_plane_end_to_end():
+    """Supplementary-plane text through the full CID path (r9): astral
+    chars ride private-use charcodes whose ToUnicode bfchar destination is
+    the 4-byte UTF-16BE surrogate pair (ISO 32000 §9.10.3; reference
+    cmap.go bfchar parse)."""
+    from unipdf_spark.fixtures.gen import ASTRAL_CODES
+    from unipdf_spark.pdf.cos import PdfDocument
+
+    astral = set(ASTRAL_CODES)
+    seen: set[str] = set()
+    hit_doc = None
+    for i in range(24):
+        golden, pdf = make_doc(f"doc_astral_{i:04d}", "cid")
+        res = extract_spans(pdf)
+        assert res.error is None
+        assert res.spans == golden
+        got = {ch for s in golden if s["kind"] == "text"
+               for ch in s["text"] if ch in astral}
+        seen |= got
+        if got and hit_doc is None:
+            hit_doc = pdf
+    # the pool mixes astral words in: a 24-doc sweep must draw all 4
+    assert seen == astral, f"astral chars never drawn: {astral - seen}"
+
+    # the emitted ToUnicode carries real 8-hex-digit destinations that
+    # decode to supplementary-plane code points (not two lone BMP values)
+    import re as _re
+
+    doc = PdfDocument(hit_doc)
+    tu_raw = None
+    for num in list(doc.xref):
+        try:
+            obj = doc.get_object(num)
+        except Exception:
+            continue
+        if hasattr(obj, "decoded"):
+            try:
+                payload = obj.decoded()
+            except Exception:
+                continue
+            if b"beginbfchar" in payload:
+                tu_raw = payload
+                break
+    assert tu_raw is not None, "ToUnicode stream not found"
+    dests = _re.findall(rb"<([0-9A-F]{8})>", tu_raw)
+    assert dests, "no 4-byte (surrogate-pair) bfchar destination emitted"
+    for d in dests:
+        s = bytes.fromhex(d.decode()).decode("utf-16-be")
+        assert len(s) == 1 and ord(s) > 0xFFFF
+
+
+def test_cmap_bfchar_surrogate_pair_destinations():
+    """bfchar destination semantics at the parser level: a 4-byte UTF-16BE
+    destination yields the astral char; a LONE high surrogate (the shape a
+    2-byte-only reader would produce) yields the missing rune, never an
+    exception; bfrange increment across a surrogate-pair base stays on the
+    supplementary plane."""
+    from unipdf_spark.pdf.fonts import MISSING_RUNE, CMap
+
+    cm = CMap.parse(
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar\n<E002> <D83DDE00>\n<E004> <D83D>\nendbfchar\n"
+        b"1 beginbfrange\n<E010> <E012> <D834DD1E>\nendbfrange\n"
+    )
+    assert cm.to_unicode[0xE002] == "\U0001F600"
+    assert cm.to_unicode[0xE004] == MISSING_RUNE  # lone surrogate: invalid
+    # last-byte increment walks the low surrogate: U+1D11E, U+1D11F, U+1D120
+    assert cm.to_unicode[0xE010] == "\U0001D11E"
+    assert cm.to_unicode[0xE011] == "\U0001D11F"
+    assert cm.to_unicode[0xE012] == "\U0001D120"

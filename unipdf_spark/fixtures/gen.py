@@ -86,6 +86,15 @@ WORDS = (
     "metric golden render wrap column rotate glyph font width advance state"
 ).split()
 CID_WORDS = WORDS[:20] + ["café", "naïve", "résumé", "データ", "解析", "引擎", "数据", "模型"]
+# Supplementary-plane words for the F2 (Identity-H + ToUnicode) cid class
+# ONLY: a 2-byte charcode cannot equal an astral code point, so each astral
+# char gets a private-use charcode (ASTRAL_CODES) and its ToUnicode bfchar
+# destination is the 4-byte UTF-16BE surrogate pair (ISO 32000 §9.10.3;
+# reference parity: cmap.go bfchar parse + model.go:547 CharcodesToStrings).
+# The UCS-2 predefined-CMap fonts (F5/F8) keep the BMP-only CID_WORDS pool —
+# UCS-2 cannot express these.
+ASTRAL_CODES = {"𠀋": 0xE000, "𝄞": 0xE001, "😀": 0xE002, "𐐷": 0xE003}
+CID_ASTRAL_WORDS = CID_WORDS + ["𠀋丈", "樂𝄞譜", "hi😀", "𐐷ok"]
 RTL_WORDS = ["שלום", "עולם", "ספר", "מידע", "נתונים", "بيانات", "تحليل", "نص"]
 MAC_WORDS = WORDS[:16] + ["café", "naïve", "résumé", "señor", "garçon",
                           "über", "crème", "brûlée"]
@@ -931,7 +940,7 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
     if fixture_class == "cid":
         for _ in range(rng.randint(2, 4)):
             p, v = _para(rng, MARGIN, v, width, (5, 12), font="F2",
-                         pool=CID_WORDS)
+                         pool=CID_ASTRAL_WORDS)
             plan.blocks.append(p)
         return plan
 
@@ -1417,7 +1426,10 @@ def _para_content(p: ParaPlan, theta: int) -> bytes:
             else:
                 out += b"T*\n"
         if p.font in ("F2", "F5", "F8"):
-            hexes = "".join("%04X" % ord(ch) for seg in segs for ch in seg.text)
+            # F2 astral chars show via their private-use charcode; the
+            # predefined-CMap fonts (F5/F8) never carry astral text
+            hexes = "".join("%04X" % ASTRAL_CODES.get(ch, ord(ch))
+                            for seg in segs for ch in seg.text)
             out += b"<" + hexes.encode() + b"> Tj\n"
             continue
         enc = "mac_roman" if p.font == "F4" else "latin-1"
@@ -1614,18 +1626,24 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
     )
     font_res = b"/F1 " + str(f1).encode() + b" 0 R "
 
-    used_cid_codes: set[int] = set()
+    used_cid_chars: set[str] = set()
     for b in plan.blocks:
         if isinstance(b, ParaPlan) and b.font == "F2":
             for segs in b.lines:
                 for seg in segs:
-                    used_cid_codes.update(ord(ch) for ch in seg.text)
-    if used_cid_codes:
+                    used_cid_chars.update(seg.text)
+    if used_cid_chars:
         bf = bytearray()
-        codes = sorted(used_cid_codes)
-        bf += b"%d beginbfchar\n" % len(codes)
-        for cde in codes:
-            bf += b"<%04X> <%04X>\n" % (cde, cde)
+        # (charcode, char): identity for BMP, private-use for astral chars
+        pairs = sorted((ASTRAL_CODES.get(ch, ord(ch)), ch)
+                       for ch in used_cid_chars)
+        assert all(c <= 0xFFFF for c, _ in pairs), \
+            "supplementary-plane char missing from ASTRAL_CODES"
+        bf += b"%d beginbfchar\n" % len(pairs)
+        for cde, ch in pairs:
+            # astral destinations are the 4-byte UTF-16BE surrogate pair
+            dst = ch.encode("utf-16-be").hex().upper()
+            bf += b"<%04X> <%s>\n" % (cde, dst.encode("ascii"))
         bf += b"endbfchar\n"
         cmap = (
             b"/CIDInit /ProcSet findresource begin 12 dict begin begincmap\n"
@@ -1635,8 +1653,11 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
         )
         tounicode, _ = w.add_stream(b"", cmap, compress=True)
         wranges = bytearray(b"[ ")
-        for cde in codes:
-            wranges += b"%d %d %d " % (cde, cde, int(_cid_char_w(chr(cde))))
+        for cde, ch in pairs:
+            # /W keyed by CHARCODE (Identity-H: cid == charcode); the width
+            # value stays a function of the unicode char so layout math in
+            # _cid_text_w and the engine's /W lookup agree for astral chars
+            wranges += b"%d %d %d " % (cde, cde, int(_cid_char_w(ch)))
         wranges += b"]"
         desc = w.add(
             b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /FixtureCID "
