@@ -20,6 +20,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def collect_violations(eq_df, tier: str, limit: int = 25) -> list[dict]:
+    """Collect (and print to stderr) every span-equality failure in a tier.
+
+    r9 shipped a 0→1 soak-error flip silently (span_equality_pass_rate
+    0.99999 was in the artifact, but nothing named the failing doc or
+    surfaced the flip); the north rule requires exactly 1.0, so ANY
+    inequality is a hard violation the artifact must carry loudly. The
+    returned dicts land in the top-level ``span_equality_violations``
+    field; the stderr lines give a human the doc_id + error to reproduce
+    with ``make_doc`` directly.
+
+    `eq_df` is a pipeline.span_equality frame (doc_id, fixture_class,
+    error, match); rows with match NULL (extraction produced no row at
+    all) count as violations too.
+    """
+    from pyspark.sql import functions as F
+
+    rows = (
+        eq_df.filter(~F.coalesce(F.col("match"), F.lit(False)))
+        .select("doc_id", "fixture_class", "error")
+        .limit(limit)
+        .collect()
+    )
+    out = []
+    for r in rows:
+        v = {
+            "tier": tier,
+            "doc_id": r["doc_id"],
+            "fixture_class": r["fixture_class"],
+            "error": r["error"],
+        }
+        out.append(v)
+        print(
+            f"SPAN EQUALITY VIOLATION [{tier}] {r['doc_id']} "
+            f"({r['fixture_class']}): {r['error']!r}",
+            file=sys.stderr,
+        )
+    return out
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -49,6 +89,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     docs_per_sec = pass_rate = 0.0
     n_ok = 0
+    violations: list[dict] = []  # any tier's span equality < 1.0 → entries
 
     # warm-up: python worker spawn + imports are one-time costs; pay them
     # outside every timed section (steady-state throughput is the metric)
@@ -85,6 +126,8 @@ def main() -> None:
         n_match = eq.filter(F.col("match")).count()
         timings["span_equality_join"] = round(time.perf_counter() - t0, 3)
         pass_rate = n_match / n_docs if n_docs else 0.0
+        if n_match < n_docs:
+            violations += collect_violations(eq, "headline")
         spans_out.unpersist()
         docs_pdf.unpersist()
 
@@ -153,10 +196,10 @@ def main() -> None:
         s_out = pipeline.run_extraction(soak_docs).persist()
         s_err = s_out.filter(F.col("error").isNotNull()).count()
         soak_extract = time.perf_counter() - t0
-        s_match = (
-            pipeline.span_equality(soak_docs, s_out)
-            .filter(F.col("match")).count()
-        )
+        s_eq = pipeline.span_equality(soak_docs, s_out)
+        s_match = s_eq.filter(F.col("match")).count()
+        if s_match < soak_n:
+            violations += collect_violations(s_eq, "soak")
         s_out.unpersist()
         soak_docs.unpersist()
         soak = {
@@ -293,6 +336,9 @@ def main() -> None:
                 "loadavg_start": [round(x, 2) for x in load_start],
                 "loadavg_end": [round(x, 2) for x in load_end],
                 "noisy": noisy,
+                # empty list == every tier at exactly 1.0 (the north-rule
+                # requirement); any entry here means the round is NOT clean
+                "span_equality_violations": violations,
                 "soak": soak,
                 "integrated_soak": integrated,
             }

@@ -14,7 +14,7 @@ import pytest
 
 from unipdf_spark.fixtures.foreign import profile_of, safe_split_points, tokenize
 from unipdf_spark.fixtures.gen import make_doc
-from unipdf_spark.pdf.cos import PdfDocument
+from unipdf_spark.pdf.cos import PdfDocument, PdfError
 from unipdf_spark.pdf.extract import extract_spans
 
 N_DOCS = 40  # per class; profiles are doc_id-seeded so this spans knobs
@@ -313,6 +313,36 @@ def test_hybrid_xrefstm_is_load_bearing():
     assert n_broken == n_hybrid, "table-only view reproduced the goldens"
 
 
+def test_transport_junk_hybrid_spurious_aswritten_load():
+    """r9 regression (doc_00058110, 100k-soak class): hybrid container +
+    leading transport junk where the header-relative startxref value lands
+    on the /XRefStm object's own `N G obj` header in UNSHIFTED coordinates
+    — the as-written xref load spuriously succeeds with every offset
+    shifted by the junk length, and the failure only surfaced at first
+    lazy fetch as a whole-doc error. The r10 fix validates probed offsets
+    against their object headers before accepting an as-written load, so
+    the deferred rebase runs and extraction matches the golden exactly."""
+    golden, pdf = make_doc("doc_00058110", "foreign_layout", 42)
+    p = profile_of(pdf)
+    # the fixture recipe must still draw the triggering shape; if the
+    # generator changes, this guard fails loudly instead of silently
+    # testing nothing
+    assert p["container"] == "hybrid" and p.get("leading_junk", 0) > 0, p
+    r = extract_spans(pdf)
+    assert r.error is None, r.error
+    assert r.spans == golden
+
+    # generalize: EVERY foreign_layout doc with leading junk must extract
+    # its golden spans (the class the 100k soak draws from)
+    n_junk = 0
+    for did, g, b in _docs("foreign_layout"):
+        if profile_of(b).get("leading_junk", 0) > 0:
+            n_junk += 1
+            rr = extract_spans(b)
+            assert rr.error is None and rr.spans == g, did
+    assert n_junk >= 3, f"junk-prefixed docs too rare: {n_junk}"
+
+
 def test_foreign_linearized_structure_and_head_xref_is_live():
     """Linearized-container docs have the Annex F shape in the bytes —
     /Linearized param dict first, TWO startxref/%%EOF groups, the final
@@ -336,15 +366,28 @@ def test_foreign_linearized_structure_and_head_xref_is_live():
         main_xref = int(m.group(1))
         assert main_xref > head_xref, "main table must FOLLOW the head"
         assert body[main_xref:main_xref + 4] == b"xref", did
-        # corrupt the first in-use row of the HEAD table only
+        # corrupt the first in-use row of the HEAD table only. The head
+        # rows must be CONSUMED (not decoration the parser skips): in
+        # strict mode — no repair fallbacks — the corruption must be fatal.
+        # Relaxed mode now REPAIRS this via the r10 lazy top-down rebuild
+        # (a wrong offset surfaces at first object fetch and falls back to
+        # the full scan), so the relaxed leg asserts recovery instead.
         mm = re.search(rb"(\d{10}) (\d{5}) n", body[head_xref:])
         cut = p.get("leading_junk", 0) + head_xref + mm.start()
         broken = pdf[:cut] + b"9999999999" + pdf[cut + 10:]
+        strict_ok = True
         try:
-            ok = extract_spans(broken).spans == golden
-        except Exception:
-            ok = False
-        assert not ok, f"{did}: head xref corruption went unnoticed"
+            d = PdfDocument(broken, relaxed=False)
+            # strict load may defer the bad offset to fetch time; touching
+            # every object forces it without any relaxed fallback
+            for num in list(d.xref):
+                d.get_object(num)
+        except PdfError:
+            strict_ok = False
+        assert not strict_ok, f"{did}: head xref row is not load-bearing"
+        r = extract_spans(broken)
+        assert r.error is None and r.spans == golden, (
+            f"{did}: relaxed rebuild failed to repair head-row corruption")
     assert n_lin >= 5, f"linearized too rare in corpus: {n_lin}"
 
 

@@ -414,6 +414,7 @@ class PdfDocument:
         self._len_in_progress: set[int] = set()
         self._crypt = None
         self._encrypt_num = -1
+        self._rebuilt = False  # top-down rebuild already ran (do it once)
         self._load()
         self._init_crypt()
 
@@ -442,6 +443,20 @@ class PdfDocument:
             self._load_xrefs_from(start)
             if not self.xref:
                 raise PdfError("empty xref")
+            if rebase:
+                # An as-written load can SPURIOUSLY succeed: with
+                # header-relative offsets the startxref value may land on a
+                # *different but valid* object header in unshifted
+                # coordinates (seen with hybrid /XRefStm layouts, where the
+                # shifted startxref hits the xref-stream object's own `N G
+                # obj` line), so the xref parses but every recorded offset
+                # is off by the junk length and the failure only surfaces
+                # at first lazy fetch. Before accepting an as-written load
+                # with a rebase candidate pending, probe a few entries: each
+                # must have an `N G obj` header with the MATCHING object
+                # number at its recorded offset (the reference validates
+                # repaired offsets the same way, core/core.go:532).
+                self._validate_xref_offsets()
         except Exception:
             recovered = False
             if rebase:
@@ -466,9 +481,33 @@ class PdfDocument:
                 self.trailer = PdfDict()
                 self._cache.clear()
                 self._objstm_cache.clear()
+                self._rebuilt = True
                 self._rebuild_xref_topdown()
         if "Root" not in self.trailer:
             self._recover_trailer()
+
+    def _validate_xref_offsets(self, max_probe: int = 4) -> None:
+        """Probe up to `max_probe` direct xref entries: each recorded offset
+        must point at an `N G obj` header whose object number matches the
+        entry (whitespace-tolerant, same leniency as _parse_at). Raises the
+        typed PdfError on the first mismatch so _load's rebase retry runs."""
+        probed = 0
+        for num, ent in self.xref.items():
+            if ent[0] != "f":
+                continue
+            off = ent[1]
+            m = _OBJ_RE.match(self.data, off) if 0 <= off < len(
+                self.data) else None
+            if m is None and 0 <= off < len(self.data):
+                lx = Lexer(self.data, off)
+                lx.skip_ws()
+                m = _OBJ_RE.match(self.data, lx.pos)
+            if m is None or int(m.group(1)) != num:
+                raise PdfError(
+                    f"xref offset validation: obj {num} not at {off}")
+            probed += 1
+            if probed >= max_probe:
+                return
 
     def _find_startxref(self) -> int:
         tail = self.data[-_EOF_TAIL:]
@@ -823,16 +862,48 @@ class PdfDocument:
             raise PdfError(f"object {num} not in xref")
         if ent[0] == "z":  # freed in the newest revision that mentions it
             return None
+        try:
+            obj = self._fetch_entry(ent, num)
+        except PdfError:
+            # Deferred repair (relaxed only): an xref load that passed the
+            # offset probes can still carry wrong offsets for unprobed
+            # entries — the failure surfaces here, at lazy fetch. Fall back
+            # to the top-down rebuild (repairRebuildXrefsTopDown,
+            # core/core.go:532) once instead of surfacing a doc error.
+            if not self.relaxed or self._rebuilt:
+                raise
+            self._lazy_rebuild()
+            ent = self.xref.get(num)
+            if ent is None or ent[0] == "z":
+                return None
+            obj = self._fetch_entry(ent, num)
+        self._cache[num] = obj
+        return obj
+
+    def _fetch_entry(self, ent: tuple, num: int):
         if ent[0] == "f":
             obj = self._parse_at(ent[1], num)
             if self._crypt is not None and num != self._encrypt_num:
                 obj = self._decrypt_obj(obj, num, 0)
-        else:
-            # objects inside object streams are NOT individually encrypted
-            # (the containing ObjStm stream already was)
-            obj = self._get_from_objstm(ent[1], ent[2], num)
-        self._cache[num] = obj
-        return obj
+            return obj
+        # objects inside object streams are NOT individually encrypted
+        # (the containing ObjStm stream already was)
+        return self._get_from_objstm(ent[1], ent[2], num)
+
+    def _lazy_rebuild(self) -> None:
+        """Relaxed-mode fallback when a lazy fetch fails after a load that
+        looked clean: rebuild the xref by full scan (offsets recorded at
+        their TRUE byte positions, so any leading junk is irrelevant) and
+        re-derive the trailer if the catalog pointer was lost."""
+        self._rebuilt = True
+        self._cache.clear()
+        self._objstm_cache.clear()
+        self._rebuild_xref_topdown()
+        if "Root" not in self.trailer:
+            try:
+                self._recover_trailer()
+            except PdfError:
+                pass
 
     def _get_from_objstm(self, stm_num: int, idx: int, want_num: int):
         objs = self._objstm_cache.get(stm_num)
