@@ -16,7 +16,7 @@ lesson):
 
 The three JSON lines are merged into ONE bench-contract-shaped object
 (tier provenance under "tier_isolation") and written to out.json
-(default BENCH/IDLE_R9.json).
+(default BENCH/IDLE_R10.json).
 """
 
 from __future__ import annotations
@@ -81,9 +81,18 @@ def gate(tag: str) -> dict:
 
 def run_tier(tag: str, env_extra: dict) -> dict:
     env = dict(os.environ)
+    # a stray BENCH_ONLY / BENCH_*_DOCS exported in the caller's shell must
+    # not leak into a tier (BENCH_ONLY=soak would silently skip the whole
+    # queries suite); every knob a tier doesn't set is explicitly cleared
+    for k in ("BENCH_ONLY", "BENCH_SOAK_DOCS", "BENCH_INTEGRATED_DOCS",
+              "BENCH_N_DOCS"):
+        env.pop(k, None)  # absent == bench.py's documented defaults
     env.update({k: str(v) for k, v in env_extra.items()})
     p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                        env=env, capture_output=True, text=True, cwd=REPO)
+    if p.returncode != 0:
+        raise SystemExit(f"tier {tag}: bench.py exited {p.returncode}\n"
+                         f"{p.stderr[-2000:]}")
     for line in reversed(p.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
@@ -92,7 +101,7 @@ def run_tier(tag: str, env_extra: dict) -> dict:
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        REPO, "BENCH", "IDLE_R9.json")
+        REPO, "BENCH", "IDLE_R10.json")
     gates = []
 
     gates.append(gate("queries"))

@@ -447,3 +447,52 @@ def test_stream_overpadded_but_correct_length_kept():
     pdf = _mini_pdf({4: body})
     st = PdfDocument(pdf, relaxed=False).get_object(4)
     assert st.raw == payload
+
+
+def test_xref_stream_odd_index_strict_typed_relaxed_recovers():
+    """A corrupt odd-length /Index follows the same contract as every other
+    corrupt xref-stream field (r9 ADVICE): strict mode raises the TYPED
+    error; relaxed mode silently drops the dangling value and still
+    extracts the golden spans."""
+    import re
+
+    from unipdf_spark.pdf.extract import extract_spans
+
+    found = 0
+    for i in range(40):
+        golden, pdf = make_doc(f"doc_{i:08d}", "foreign_layout")
+        ms = list(re.finditer(rb"/Index\s*\[([\d ]+)\]", pdf))
+        if len(ms) != 1:
+            # a second /Index means a second xref stream whose header the
+            # +2-byte insertion would shift — that tests offset breakage,
+            # not the odd-/Index contract
+            continue
+        m = ms[0]
+        vals = m.group(1).split()
+        if len(vals) % 2:
+            continue
+        # the /Index-bearing stream must be the startxref TARGET — if the
+        # load path walks another section first (linearized head, hybrid
+        # table), the insertion's +2 shift breaks that walk before the
+        # odd-/Index check is ever reached
+        from unipdf_spark.fixtures.foreign import profile_of
+        junk = profile_of(pdf).get("leading_junk", 0)
+        sx = [int(x.group(1))
+              for x in re.finditer(rb"startxref\s+(\d+)", pdf)]
+        hdr = max(h.start() for h in
+                  re.finditer(rb"\d+\s+\d+\s+obj", pdf[:m.start()]))
+        if len(sx) != 1 or junk != 0 or sx[-1] != hdr:
+            # with leading junk, strict's as-written-first probe fails
+            # BEFORE the odd-/Index check and that earlier typed error is
+            # the one reported — still typed, but not the contract under
+            # test here
+            continue
+        broken = pdf[:m.end(1)] + b" 7" + pdf[m.end(1):]
+        with pytest.raises(PdfError, match="odd /Index"):
+            PdfDocument(broken, relaxed=False)
+        r = extract_spans(broken)
+        assert r.error is None and r.spans == golden, f"doc_{i:08d}"
+        found += 1
+        if found >= 3:
+            return
+    raise AssertionError(f"no /Index-bearing fixtures drawn ({found})")

@@ -600,3 +600,120 @@ def test_foreign_corruption_cross_fuzz():
     assert n_strict_err > 100, n_strict_err
     assert n_relaxed_err > 20, n_relaxed_err
     assert n_targeted > 60, n_targeted
+
+
+# --- wrong-answer oracle legs (r9 VERDICT #4) --------------------------------
+# The 322-trial cross-fuzz above asserts ERROR CONTRACTS (typed errors, no
+# hangs, always-a-row). The r9 regression was the opposite class: a
+# *spuriously successful* load that extracted nothing — invisible to any
+# contract that only checks "returns a row". These legs assert VALUE
+# recovery: for mutations a reader is expected to absorb (transport junk
+# prefixes, tail padding, offset-shifting whitespace/EOL rewrites), relaxed
+# extraction must reproduce the unmutated golden spans EXACTLY.
+
+_JUNK_ALPHABET = b"#<>/\\-=+;:,. \tABCDEFGHIKLMNQRSUVWXYZ"  # no digits, no 'obj'
+
+
+def _junk(rng, n: int) -> bytes:
+    # HTTP-ish transport garbage: headers then filler; never contains
+    # '%PDF', 'obj', 'startxref', or a digit (so it can't fake an xref row
+    # or an object header anywhere a probe might land)
+    head = b"POST /ingest HTTP/x.y\r\nContent-Type: application/pdf\r\n\r\n"
+    head = head.replace(b"obj", b"o-j")
+    if n <= len(head):
+        return head[:n]
+    return head + bytes(rng.choice(_JUNK_ALPHABET) for _ in range(n - len(head)))
+
+
+def test_recoverable_mutation_span_oracle():
+    """Mutations with EXPECTED FULL RECOVERY (relaxed mode), asserted
+    against the unmutated golden — the oracle leg the r9 regression class
+    needs. Three recovery families per fixture class:
+
+    - junk-prefix: 1..800 bytes of transport garbage before %PDF (the
+      header rebase window is 1024; existing fixture junk counts against
+      the budget);
+    - tail-pad: 1..1500 bytes of garbage after the final %%EOF (the
+      startxref tail search window is 2048);
+    - offset-shift: whitespace injected after an `endobj` / header-EOL
+      rewritten \\n -> \\r\\n + a binary comment line — every later xref
+      offset goes stale, so extraction only matches if the stale-offset
+      repair path (rebase / lazy top-down rebuild) actually works.
+    """
+    import random
+
+    classes = ["foreign_layout", "foreign_encrypted", "foreign_incremental",
+               "foreign_encrypted_incremental", "incremental", "objstm",
+               "encrypted_aes256"]
+    rng = random.Random(1234)
+    n_trials = 0
+    for cls in classes:
+        for i in range(6):
+            did = f"doc_{i:08d}"
+            golden, pdf = make_doc(did, cls)
+            existing = profile_of(pdf).get("leading_junk", 0)
+
+            muts = {}
+            budget = 1000 - existing
+            if budget > 1:
+                muts["junk_prefix"] = _junk(
+                    rng, rng.randrange(1, min(801, budget))) + pdf
+            muts["tail_pad"] = pdf + _junk(rng, rng.randrange(1, 1501))
+            cut = pdf.find(b"endobj")
+            if cut >= 0:
+                cut += len(b"endobj")
+                muts["ws_shift"] = pdf[:cut] + b" \r\n \r\n" + pdf[cut:]
+            hdr = pdf.find(b"\n", pdf.find(b"%PDF"))
+            if hdr >= 0:
+                muts["eol_shift"] = (pdf[:hdr] + b"\r\n%\xe2\xe3\xcf\xd3\r\n"
+                                     + pdf[hdr + 1:])
+
+            for name, blob in muts.items():
+                r = extract_spans(blob)
+                assert r.error is None, (cls, did, name, r.error)
+                assert r.spans == golden, (cls, did, name)
+                n_trials += 1
+    assert n_trials >= 150, n_trials
+
+
+def test_hybrid_aligned_junk_prefix_oracle():
+    """Deterministic reconstruction of the r9 spurious-as-written-success
+    class on EVERY hybrid doc, not just the one soak draw: prepend exactly
+    L = startxref - /XRefStm - existing_junk bytes of junk, so the
+    as-written (unrebased) startxref lands precisely on the /XRefStm
+    object's own `N G obj` header — the xref stream parses, every recorded
+    offset is stale by the junk length, and only offset validation +
+    rebase-retry (or the lazy rebuild) recovers. Under r9 code this
+    surfaced as a whole-doc `no obj header` error; the oracle demands
+    exact golden spans. (Demonstrated to fail on pre-fix code — see the
+    commit message / COVERAGE note.)"""
+    import random
+
+    rng = random.Random(77)
+    n_aligned = 0
+    for i in range(400):
+        if n_aligned >= 12:
+            break
+        did = f"doc_{i:08d}"
+        golden, pdf = make_doc(did, "foreign_layout")
+        p = profile_of(pdf)
+        if p.get("container") != "hybrid":
+            continue
+        h = p.get("leading_junk", 0)
+        sx = [int(m.group(1)) for m in re.finditer(rb"startxref\s+(\d+)", pdf)]
+        xs = [int(m.group(1)) for m in re.finditer(rb"/XRefStm (\d+)", pdf)]
+        if not xs:
+            continue
+        L = sx[-1] - xs[-1] - h
+        if L <= 0 or h + L > 1000:
+            continue
+        # alignment precondition: the engineered prefix really does put the
+        # XRefStm header at the as-written startxref position
+        blob = _junk(rng, L) + pdf
+        m = re.match(rb"(\d+) \d+ obj", blob[sx[-1]:sx[-1] + 24])
+        assert m, (did, "alignment construction broke — fixture changed?")
+        r = extract_spans(blob)
+        assert r.error is None, (did, r.error)
+        assert r.spans == golden, did
+        n_aligned += 1
+    assert n_aligned >= 8, f"aligned-junk construction too rare: {n_aligned}"

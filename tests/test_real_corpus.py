@@ -44,7 +44,16 @@ def _populate(tmp: Path) -> dict[str, int]:
     # legitimately recovers whole objects from the surviving prefix)
     (tmp / "broken.pdf").write_bytes(b"%PDF-1.7\n" + b"\x00" * 300)
     (tmp / "noise.dat").write_bytes(bytes(range(256)) * 4)
-    return {"pdf": 4, "html": 2, "unknown": 1}
+    # sniff-order locks (r9 ADVICE): an HTML page that MENTIONS %PDF-
+    # early must stay html (root tags are checked first)...
+    (tmp / "mentions.html").write_text(
+        "<!doctype html><html><body><p>Serve files whose magic is %PDF-1.4"
+        " via the viewer.</p><p>" + "Long enough body text. " * 20
+        + "</p></body></html>")
+    # ...and a PDF behind MORE transport junk than the parser's 1024-byte
+    # header-rebase window is unknown, not a guaranteed-to-fail pdf row
+    (tmp / "deepjunk.bin").write_bytes(b"#" * 1500 + pdf_a)
+    return {"pdf": 4, "html": 3, "unknown": 2}
 
 
 def test_corpus_ingest_turnkey(spark, tmp_path):
@@ -55,13 +64,21 @@ def test_corpus_ingest_turnkey(spark, tmp_path):
 
     expected = _populate(tmp_path)
     outcomes, report = ingest_report(spark, str(tmp_path))
-    rows = {r["doc_id"]: r for r in outcomes.collect()}
+    collected = outcomes.collect()
+    # doc_id == full path in the outcomes table (same key as the spans
+    # table, so the two join; basename ids collide across subdirectories)
+    assert all(r["doc_id"] == r["path"] for r in collected)
+    rows = {r["doc_id"].rsplit("/", 1)[-1]: r for r in collected}
     assert len(rows) == sum(expected.values())
     # kind sniff: recursion found nested/b.pdf; magic beat .bin's extension
     kinds = {d: r["kind"] for d, r in rows.items()}
     assert kinds["c.bin"] == "pdf" and kinds["b.pdf"] == "pdf"
     assert kinds["page.html"] == "html" and kinds["frag.htm"] == "html"
     assert kinds["noise.dat"] == "unknown"
+    # sniff order: HTML root tags beat an early %PDF- mention; junk beyond
+    # the parser's 1024-byte rebase window means NOT pdf
+    assert kinds["mentions.html"] == "html"
+    assert kinds["deepjunk.bin"] == "unknown"
     # intact PDFs extract; every row is (ok XOR error), never an exception
     for d in ("a.pdf", "b.pdf", "c.bin"):
         assert rows[d]["ok"] and rows[d]["n_spans"] > 0, rows[d]
@@ -71,7 +88,7 @@ def test_corpus_ingest_turnkey(spark, tmp_path):
     for r in rows.values():
         assert r["ok"] == (r["error"] is None)
     # report is one page, carries the headline counts and the error class
-    assert "7 files, 5 ok" in report
+    assert "9 files, 6 ok" in report
     assert "| pdf | 4 | 3 " in report and "Error taxonomy" in report
     # spans variant: doc_id = path, intact docs carry real spans
     spans = {r["doc_id"].rsplit("/", 1)[-1]: r

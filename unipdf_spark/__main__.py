@@ -131,21 +131,27 @@ def main(argv: list[str] | None = None) -> int:
             from . import real_corpus
 
             corpus = real_corpus.read_corpus_dir(spark, args.inp, args.glob)
-            outcomes = real_corpus.extract_corpus(corpus)
-            if args.out:
-                outcomes.write.mode("overwrite").parquet(args.out)
-                outcomes = spark.read.parquet(args.out)
-            report = real_corpus.corpus_report(outcomes, args.inp)
-            if args.report:
-                with open(args.report, "w") as fh:
-                    fh.write(report)
-            else:
-                print(report)
-            if args.spans_out:
-                real_corpus.extract_corpus_spans(corpus).write.mode(
-                    "overwrite").parquet(args.spans_out)
-            bad = outcomes.filter(~F.col("ok")).count()
-            total = outcomes.count()
+            # one extraction pass feeds the parquet sink, the report, and
+            # the ok/error counts (corpus_report leaves a caller-persisted
+            # frame cached); only --spans-out re-reads the files, because
+            # full span payloads are a different, heavier computation
+            outcomes = real_corpus.extract_corpus(corpus).persist()
+            try:
+                if args.out:
+                    outcomes.write.mode("overwrite").parquet(args.out)
+                report = real_corpus.corpus_report(outcomes, args.inp)
+                if args.report:
+                    with open(args.report, "w") as fh:
+                        fh.write(report)
+                else:
+                    print(report)
+                if args.spans_out:
+                    real_corpus.extract_corpus_spans(corpus).write.mode(
+                        "overwrite").parquet(args.spans_out)
+                bad = outcomes.filter(~F.col("ok")).count()
+                total = outcomes.count()
+            finally:
+                outcomes.unpersist()
             print(json.dumps({"files": total, "ok": total - bad,
                               "errors": bad}))
         elif args.cmd == "bench":

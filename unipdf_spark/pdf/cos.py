@@ -400,6 +400,28 @@ def _obj_cache_insert(data: bytes, start: int, end: int, obj) -> None:
     _OBJ_CACHE.setdefault(probe, []).append((digest, end - start, obj))
 
 
+def _parse_objstm_pairs(content: bytes, n: int,
+                        stm_num: int) -> list[tuple[int, int]]:
+    """Parse the N (objnum, offset) header pairs of a decoded ObjStm
+    payload. Corrupt /N or decoded garbage must surface as the TYPED
+    error (r9 cross-fuzz contract)."""
+    hdr = Lexer(content, 0)
+    pairs: list[tuple[int, int]] = []
+    for _ in range(n):
+        hdr.skip_ws()
+        m1 = _NUM_RE.match(content, hdr.pos)
+        if m1 is None:
+            raise PdfError(f"objstm {stm_num}: bad header pair")
+        hdr.pos = m1.end()
+        hdr.skip_ws()
+        m2 = _NUM_RE.match(content, hdr.pos)
+        if m2 is None:
+            raise PdfError(f"objstm {stm_num}: bad header pair")
+        hdr.pos = m2.end()
+        pairs.append((int(m1.group()), int(m2.group())))
+    return pairs
+
+
 class PdfDocument:
     """Parsed PDF with lazy object fetch (xref point reads, not full scans —
     the per-document analog of storage-index pruning, SURVEY §4)."""
@@ -415,8 +437,18 @@ class PdfDocument:
         self._crypt = None
         self._encrypt_num = -1
         self._rebuilt = False  # top-down rebuild already ran (do it once)
+        self._crypt_ready = False  # _init_crypt has run (gates ObjStm index)
         self._load()
         self._init_crypt()
+        self._crypt_ready = True
+        if self._rebuilt:
+            # a rebuild that ran during _load couldn't index encrypted
+            # ObjStm members yet (no crypt handler), and _recover_trailer's
+            # object scan cached pre-decryption streams — drop those before
+            # indexing or the ciphertext fails to decode
+            self._cache.clear()
+            self._objstm_cache.clear()
+            self._index_objstm_members()
 
     # -- xref loading -------------------------------------------------------
     def _load(self) -> None:
@@ -622,6 +654,11 @@ class PdfDocument:
             raise
         except (ValueError, TypeError, KeyError) as e:
             raise PdfError(f"xref stream: bad dict ({e})") from e
+        if len(index) % 2 and not self.relaxed:
+            # same typed-error contract as every other corrupt xref-stream
+            # field; relaxed mode silently drops the dangling value (the
+            # len-1 loop bound below)
+            raise PdfError("xref stream: odd /Index")
         rw = sum(w)
         pos = 0
         # len-1 bound: a corrupt odd-length /Index must not IndexError
@@ -651,10 +688,59 @@ class PdfDocument:
 
     def _rebuild_xref_topdown(self) -> None:
         """Full-file scan for `N G obj` markers (repair path,
-        core/core.go:532). Later occurrences win (incremental updates)."""
+        core/core.go:532). Later occurrences win (incremental updates).
+        Objects living only inside object streams (type-2 entries) are
+        invisible to the marker scan; `_index_objstm_members` recovers
+        them — called here when decryption is already initialized, else
+        deferred to `__init__` right after `_init_crypt` (an encrypted
+        ObjStm payload can't be decoded before the crypt handler exists)."""
         self.xref.clear()
         for m in _OBJ_RE.finditer(self.data):
             self.xref[int(m.group(1))] = ("f", m.start())
+        if self._crypt_ready:
+            self._index_objstm_members()
+
+    def _index_objstm_members(self) -> None:
+        """Add ("o", stm_num, idx) entries for every member of every
+        object stream found by the top-down scan. A member entry loses to
+        a DIRECT occurrence of the same number at a later byte position
+        than its container (same later-revision-wins rule as the scan);
+        between two containers, the later one wins. Corrupt containers
+        are skipped — repair keeps whatever it can prove."""
+        direct = {num: ent[1] for num, ent in self.xref.items()
+                  if ent[0] == "f"}
+        # Fixpoint: an ObjStm's indirect /Length (or its /N) may itself live
+        # in ANOTHER ObjStm, so a container undecodable in pass 1 can become
+        # decodable once pass 1's members are visible. Caches are dropped
+        # between passes because streams parsed while their /Length was
+        # unresolvable carry probe-derived (possibly wrong) raw extents.
+        # No byte-level "/ObjStm" pre-filter — name escapes (#4F etc.) make
+        # the literal spelling unreliable; this is the repair path, the full
+        # parse is affordable.
+        for _pass in range(4):
+            added = False
+            for num, p in sorted(direct.items(), key=lambda kv: kv[1]):
+                try:
+                    st = self.get_object(num)
+                    if not (isinstance(st, Stream)
+                            and self.resolve(st.dict.get("Type")) == "ObjStm"):
+                        continue
+                    content = st.decoded(self.resolve)
+                    n = int(self.resolve(st.dict.get("N", 0)))
+                    pairs = _parse_objstm_pairs(content, n, num)
+                except Exception:
+                    continue
+                for idx, (onum, _ooff) in enumerate(pairs):
+                    dp = direct.get(onum)
+                    if dp is None or dp < p:
+                        ent = ("o", num, idx)
+                        if self.xref.get(onum) != ent:
+                            self.xref[onum] = ent
+                            added = True
+            if not added:
+                return
+            self._cache.clear()
+            self._objstm_cache.clear()
 
     def _init_crypt(self) -> None:
         """Standard security handler init (PdfCrypt, core/core.go:1916) —
@@ -712,29 +798,45 @@ class PdfDocument:
         return obj
 
     def _recover_trailer(self) -> None:
-        # find trailer dict anywhere, else find the Catalog object
+        """Rebuild the trailer from every fragment the bytes still carry:
+        classic `trailer` dicts AND /Type/XRef stream dicts (a modern
+        container has no `trailer` keyword — the xref stream's dict IS the
+        trailer, ISO 32000 §7.5.8). Fragments merge newest-byte-position
+        first, so a late incremental trailer that only carries Size/Root/
+        /Prev still inherits /Encrypt and /ID from the base revision's
+        fragment — losing /Encrypt silently yields ciphertext text. Last
+        resort: point /Root at any /Type/Catalog object found by scan."""
+        frags: list[tuple[int, dict]] = []
         idx = self.data.rfind(b"trailer")
         while idx >= 0:
             try:
                 lx = Lexer(self.data, idx + len(b"trailer"))
-                t = lx.parse_dict()
-                if "Root" in t:
-                    for k, v in t.items():
-                        self.trailer.setdefault(k, v)
-                    return
+                frags.append((idx, lx.parse_dict()))
             except PdfError:
                 pass
             idx = self.data.rfind(b"trailer", 0, idx)
-        for num in sorted(self.xref):
+        cat_num = None
+        for num, ent in sorted(self.xref.items()):
             try:
                 obj = self.get_object(num)
             except PdfError:
                 continue
             d = obj.dict if isinstance(obj, Stream) else obj
-            if isinstance(d, dict) and d.get("Type") == "Catalog":
-                self.trailer["Root"] = Ref(num, 0)
-                return
-        raise PdfError("no document catalog found")
+            if not isinstance(d, dict):
+                continue
+            t = d.get("Type")
+            if t == "XRef" and ent[0] == "f":
+                frags.append((ent[1], d))
+            elif t == "Catalog" and cat_num is None:
+                cat_num = num
+        for _, d in sorted(frags, key=lambda x: -x[0]):
+            for k in ("Root", "Encrypt", "Info", "ID", "Size"):
+                if k in d:
+                    self.trailer.setdefault(k, d[k])
+        if "Root" not in self.trailer and cat_num is not None:
+            self.trailer["Root"] = Ref(cat_num, 0)
+        if "Root" not in self.trailer:
+            raise PdfError("no document catalog found")
 
     # -- object fetch --------------------------------------------------------
     def _fetch_direct(self, ref: Ref):
@@ -919,20 +1021,7 @@ class PdfDocument:
                 first = int(self.resolve(st.dict.get("First", 0)))
             except (ValueError, TypeError) as e:
                 raise PdfError(f"objstm {stm_num}: bad dict ({e})") from e
-            hdr = Lexer(content, 0)
-            pairs = []
-            for _ in range(n):
-                hdr.skip_ws()
-                m1 = _NUM_RE.match(content, hdr.pos)
-                if m1 is None:
-                    raise PdfError(f"objstm {stm_num}: bad header pair")
-                hdr.pos = m1.end()
-                hdr.skip_ws()
-                m2 = _NUM_RE.match(content, hdr.pos)
-                if m2 is None:
-                    raise PdfError(f"objstm {stm_num}: bad header pair")
-                hdr.pos = m2.end()
-                pairs.append((int(m1.group()), int(m2.group())))
+            pairs = _parse_objstm_pairs(content, n, stm_num)
             objs = {}
             for onum, ooff in pairs:
                 lx = Lexer(content, first + ooff)

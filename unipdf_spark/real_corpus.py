@@ -53,22 +53,26 @@ def read_corpus_dir(spark: SparkSession, corpus_dir: str,
     """Distributed binaryFile scan over a directory tree, with a JVM-side
     format sniff: (path, kind ∈ {pdf, html, unknown}, content, n_bytes).
 
-    Magic bytes win over extension (``%PDF-`` anywhere in the first 2 KiB
-    covers transport-wrapped files, which PdfDocument rebases); extension
-    breaks the tie for HTML fragments that lack a doctype/<html> root."""
+    HTML root-tag checks run FIRST (an HTML page merely mentioning
+    ``%PDF-`` early must not be routed to the PDF parser); then ``%PDF-``
+    anywhere in the first 1024 bytes — exactly the parser's header-rebase
+    window, so every file classified pdf is one PdfDocument can actually
+    rebase (a 2 KiB sniff window classified transport-junk-heavy files as
+    pdf only for the fast parse path to fail); extension breaks the tie
+    for HTML fragments that lack a doctype/<html> root."""
     reader = (spark.read.format("binaryFile")
               .option("recursiveFileLookup", "true"))
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     df = reader.load(corpus_dir)
-    head = F.lower(F.col("content").substr(1, 2048).cast("string"))
+    head = F.lower(F.col("content").substr(1, 1024).cast("string"))
     ext = F.lower(F.regexp_extract("path", r"\.([A-Za-z0-9]+)$", 1))
     kind = (
-        F.when(head.contains("%pdf-"), F.lit("pdf"))
-        .when(ext.isin("html", "htm", "xhtml"), F.lit("html"))
-        .when(
+        F.when(
             head.contains("<!doctype html") | head.contains("<html")
             | head.contains("<body"), F.lit("html"))
+        .when(head.contains("%pdf-"), F.lit("pdf"))
+        .when(ext.isin("html", "htm", "xhtml"), F.lit("html"))
         .otherwise(F.lit("unknown"))
     )
     return df.select(
@@ -115,7 +119,10 @@ def _extract_outcome_batch(batches: Iterator[pd.DataFrame]
                     err = "unknown format (no %PDF- magic, no HTML root)"
             except Exception as e:  # harness guarantee: rows, not raises
                 err, ok = f"{type(e).__name__}: {e}", False
-            rows.append((path, path.rsplit("/", 1)[-1], kind, int(n_bytes),
+            # doc_id == full path in BOTH the outcome and spans tables so
+            # they join on doc_id; a basename id collides for same-named
+            # files in different subdirectories
+            rows.append((path, path, kind, int(n_bytes),
                          ok, err, n_spans, n_text, n_media, n_miss,
                          (time.perf_counter() - t0) * 1000.0))
         yield pd.DataFrame(rows, columns=[
@@ -167,8 +174,14 @@ def extract_corpus_spans(corpus: DataFrame) -> DataFrame:
 
 def corpus_report(outcomes: DataFrame, corpus_dir: str = "") -> str:
     """One-page markdown report of parse/extract outcomes. Aggregation is
-    DataFrame-side; only ~a dozen aggregate rows reach the driver."""
-    outcomes = outcomes.persist()
+    DataFrame-side; only ~a dozen aggregate rows reach the driver. An
+    already-persisted input is left persisted (callers that also need
+    counts — the CLI — persist once and reuse; re-extracting a
+    million-file corpus per aggregate is the failure mode this avoids)."""
+    lvl = outcomes.storageLevel
+    caller_persisted = lvl.useMemory or lvl.useDisk
+    if not caller_persisted:
+        outcomes = outcomes.persist()
     try:
         per_kind = (
             outcomes.groupBy("kind")
@@ -227,7 +240,8 @@ def corpus_report(outcomes: DataFrame, corpus_dir: str = "") -> str:
             lines.append("")
         return "\n".join(lines)
     finally:
-        outcomes.unpersist()
+        if not caller_persisted:
+            outcomes.unpersist()
 
 
 def ingest_report(spark: SparkSession, corpus_dir: str,
