@@ -1135,3 +1135,66 @@ def test_cmap_bfchar_surrogate_pair_destinations():
     assert cm.to_unicode[0xE010] == "\U0001D11E"
     assert cm.to_unicode[0xE011] == "\U0001D11F"
     assert cm.to_unicode[0xE012] == "\U0001D120"
+
+
+def test_inventory_coverage_floor_tracks_class_list():
+    """INV_N must equal len(FIXTURE_CLASSES): the doc_inventory fonts+images
+    leg is documented as 'every fixture class once', and the DEFAULT_MIX
+    coverage floor assigns exactly the first len(FIXTURE_CLASSES) doc ids
+    one class each. Before r10 this had silently drifted (INV_N=38 with 40
+    classes — foreign_encrypted_incremental and deeptree were missing from
+    the inventory leg)."""
+    from unipdf_spark.fixtures import golden
+
+    assert golden.INV_N == len(FIXTURE_CLASSES)
+    classes = {c for _, c in golden.corpus_classes(golden.INV_N)}
+    assert classes == set(FIXTURE_CLASSES)
+
+
+def test_page_rotation_entry_is_extraction_invariant():
+    """The reference's extractor package never consumes the page /Rotate
+    entry (grep 'Rotate' over extractor/extractor.go: zero hits — rotation
+    is consumed only by the renderer, render/render.go:200, and write-side
+    pdfutil.NormalizePage): extracted text orientation is derived from the
+    content-stream matrices alone, so two byte-identical documents that
+    differ ONLY in the inherited /Rotate value must extract identical
+    spans. Patches are length-preserving (no offset goes stale, isolating
+    rotation semantics), and each is verified LOAD-BEARING by reading the
+    inherited value back through the page tree before extracting."""
+    from unipdf_spark.pdf.cos import PdfDocument, Ref
+
+    def inherited_rotate(pdf: bytes) -> int:
+        doc = PdfDocument(pdf, relaxed=True)
+        node = doc.pages()[0]
+        depth = 0
+        while node is not None and depth < 64:
+            r = doc.resolve(node.get("Rotate"))
+            if r is not None:
+                return int(r)
+            parent = node.get("Parent")
+            node = doc.resolve(parent) if isinstance(parent, Ref) else None
+            depth += 1
+        return 0
+
+    patches = [
+        (b"/Rotate 0 >>", b"/Rotate 90>>", 90),
+        (b" /Rotate 0 >>", b"/Rotate 180>>", 180),
+        (b"] /Rotate 0 >>", b"]/Rotate 270>>", 270),
+    ]
+    n_patched = 0
+    for i in range(40):
+        if n_patched >= 9:
+            break
+        doc_id = f"doc_{i:08d}"
+        golden, pdf = make_doc(doc_id, "deeptree")
+        for old, new, deg in patches:
+            assert len(old) == len(new)
+            if old not in pdf:
+                continue  # foreign-serialized: Pages dict reflowed/packed
+            patched = pdf.replace(old, new, 1)
+            assert inherited_rotate(patched) == deg, (doc_id, deg)
+            res = extract_spans(patched)
+            assert res.error is None, (doc_id, deg, res.error)
+            assert res.spans == golden, (doc_id, deg)
+            n_patched += 1
+    assert n_patched >= 9, n_patched

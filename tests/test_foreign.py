@@ -717,3 +717,57 @@ def test_hybrid_aligned_junk_prefix_oracle():
         assert r.spans == golden, did
         n_aligned += 1
     assert n_aligned >= 8, f"aligned-junk construction too rare: {n_aligned}"
+
+
+def test_deeptree_encrypted_cross_product():
+    """r9 VERDICT #7: the transport-junk hybrid regression lived in an
+    untested deeptree × junk × encrypted intersection. The r10 class draws
+    that full cross product: deeptree inherited-attribute geometry, AES-256
+    body, ~half HYBRID containers (classic table + /XRefStm whose classic
+    trailer carries /Encrypt — §7.5.8.4), emitter's usual transport-junk
+    draws. Every cell of the (container × junk) matrix must actually be
+    drawn, and every doc must extract its exact golden spans."""
+    from collections import Counter
+
+    cells = Counter()
+    for i in range(48):
+        did = f"doc_{i:08d}"
+        golden, pdf = make_doc(did, "deeptree_encrypted")
+        p = profile_of(pdf)
+        assert p.get("encrypted") is True, did
+        assert p.get("container") in ("modern", "hybrid"), did
+        cells[(p["container"], p.get("leading_junk", 0) > 0)] += 1
+        r = extract_spans(pdf)
+        assert r.error is None, (did, p["container"], r.error)
+        assert r.spans == golden, (did, p["container"])
+    # all four (container, junk?) cells drawn — incl. the regression cell
+    assert len(cells) == 4, cells
+    assert cells[("hybrid", True)] >= 5, cells
+
+
+def test_encrypted_hybrid_classic_trailer_carries_encrypt():
+    """A table-walking reader consults the hybrid file's CLASSIC trailer;
+    if /Encrypt lived only in the xref stream's dict, such a reader would
+    silently emit ciphertext. Assert the emitter writes /Encrypt + /ID into
+    the classic trailer of every encrypted hybrid."""
+    n = 0
+    for i in range(60):
+        if n >= 6:
+            break
+        did = f"doc_{i:08d}"
+        _, pdf = make_doc(did, "deeptree_encrypted")
+        p = profile_of(pdf)
+        if p.get("container") != "hybrid":
+            continue
+        t = pdf.rfind(b"trailer")
+        assert t >= 0, did
+        # the emitter name-escapes keys (/Encryp#74) and interleaves
+        # comments — parse with the engine lexer, don't grep bytes
+        from unipdf_spark.pdf.cos import Lexer
+
+        td = Lexer(pdf, t + len(b"trailer")).parse_dict()
+        assert "XRefStm" in td, did
+        assert "Encrypt" in td, did
+        assert "ID" in td, did
+        n += 1
+    assert n >= 6, n

@@ -508,8 +508,11 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
                   force_container: str | None = None,
                   transport_junk: bool = True) -> bytes:
     """Serialize the writer's object graph with foreign conventions.
-    Deterministic in (seed, encrypt_aes256). Encryption forces the modern
-    container (AES-256 + object streams, judge r7 #8). force_container
+    Deterministic in (seed, encrypt_aes256). Encryption defaults to the
+    modern container (AES-256 + object streams, judge r7 #8) but hybrid
+    may be forced (r10: the §7.5.8.4 table+/XRefStm shape with an
+    encrypted body is exactly the intersection the r9 regression lived
+    in — Acrobat emits such files). force_container
     pins the layout ('table'/'modern'/'linearized'); transport_junk=False
     suppresses the leading/trailing wrappers (required when the output
     will serve as the BASE of an incremental update: appended sections
@@ -615,7 +618,10 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
     # stream supplies their real type-2 entries, which must claim slots
     # before the same revision's free rows do
     if force_container is not None:
-        assert not (encrypt_aes256 and force_container != "modern")
+        # encrypted bodies need the stream-capable containers (the classic
+        # table/linearized shapes would leave ObjStm packing undefined)
+        assert not (encrypt_aes256 and force_container
+                    not in ("modern", "hybrid"))
         cname = force_container
     elif encrypt_aes256 is not None:
         cname = "modern"
@@ -1016,11 +1022,18 @@ def build_foreign(w: PdfFileWriter, root_num: int, seed: str,
             for num in objstm_entries:
                 trows[num] = b"0000000000 00001 f" + row_eol
             _emit_xref_table(out, rng, profile, trows)
-            out += (b"trailer" + ser._sep()
-                    + ser.emit_tokens(tokenize(
-                        b"<< /Size " + str(size).encode() + b" /Root "
-                        + str(root_num).encode() + b" 0 R /XRefStm "
-                        + str(xref_pos).encode() + b" >>")))
+            tdict = (b"<< /Size " + str(size).encode() + b" /Root "
+                     + str(root_num).encode() + b" 0 R /XRefStm "
+                     + str(xref_pos).encode())
+            if enc_num is not None:
+                # the classic trailer is the one a table-walking reader
+                # consults (§7.5.8.4) — omitting /Encrypt there silently
+                # yields ciphertext text; mirror the xref-stream dict
+                hid = binascii.hexlify(enc_id)
+                tdict += (b" /Encrypt " + str(enc_num).encode()
+                          + b" 0 R /ID [ <" + hid + b"> <" + hid + b"> ]")
+            tdict += b" >>"
+            out += (b"trailer" + ser._sep() + ser.emit_tokens(tokenize(tdict)))
             out += b"\nstartxref\n%d\n%%%%EOF\n" % table_pos
 
     # transport wrappers: junk before %PDF- (stored offsets stay relative

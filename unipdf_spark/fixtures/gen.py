@@ -130,6 +130,7 @@ FIXTURE_CLASSES = [
     "twotables", "jbig2", "cid_vertical", "jpeg", "arabic",
     "type1_embedded", "foreign_layout", "foreign_encrypted",
     "foreign_incremental", "foreign_encrypted_incremental", "deeptree",
+    "deeptree_encrypted",
 ]
 
 
@@ -266,6 +267,7 @@ class DocPlan:
     encrypt_aes256: bytes | None = None  # R6/AES-256 handler (seed)
     foreign: bool = False  # serialize via the foreign-layout emitter
     foreign_seed: str = ""  # deterministic profile seed for the above
+    foreign_container: str | None = None  # pin the foreign container shape
     deep_tree: bool = False  # nested unbalanced Pages tree w/ inheritance
 
 
@@ -653,6 +655,26 @@ def _plan_doc(doc_id: str, fixture_class: str, seed: int) -> DocPlan:
                 plan.blocks.append(p)
                 if v < MARGIN + 60:
                     break
+        return plan
+
+    if fixture_class == "deeptree_encrypted":
+        # r9 VERDICT #7: the transport-junk hybrid regression lived in an
+        # untested deeptree × junk × encrypted intersection. Draw the full
+        # cross product as a first-class class: the deeptree geometry
+        # (inherited /Resources //MediaBox //Rotate, load-bearing above
+        # y=792), ALWAYS foreign-serialized, AES-256 (R6) encrypted, and
+        # ~half pinned to the HYBRID container (classic table + /XRefStm,
+        # §7.5.8.4 — Acrobat emits encrypted hybrids) with the emitter's
+        # usual 40% leading-transport-junk draw on top. The other half
+        # exercises encrypted modern containers over the nested tree.
+        plan = _plan_doc(doc_id, "deeptree", seed)
+        plan.foreign = True
+        plan.foreign_seed = f"{seed}:{doc_id}:deepenc"
+        plan.foreign_container = (
+            "hybrid" if random.Random(plan.foreign_seed).random() < 0.5
+            else None)
+        import hashlib as _h
+        plan.encrypt_aes256 = _h.md5(doc_id.encode() + b"r10deep").digest()
         return plan
 
     if fixture_class == "foreign_layout":
@@ -2182,7 +2204,8 @@ def render_doc(plan: DocPlan) -> tuple[bytes, list[dict]]:
     if plan.foreign:
         from .foreign import build_foreign
         pdf = build_foreign(w, catalog, plan.foreign_seed,
-                            encrypt_aes256=plan.encrypt_aes256)
+                            encrypt_aes256=plan.encrypt_aes256,
+                            force_container=plan.foreign_container)
     elif plan.modern:
         pdf = w.build_modern(catalog)
     else:
@@ -3155,6 +3178,7 @@ DEFAULT_MIX = [
     ("arabic", 2), ("type1_embedded", 2), ("foreign_layout", 4),
     ("foreign_encrypted", 2), ("foreign_incremental", 2),
     ("foreign_encrypted_incremental", 1), ("deeptree", 2),
+    ("deeptree_encrypted", 1),
 ]
 
 BENCH_MIX = [
