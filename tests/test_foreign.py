@@ -548,7 +548,7 @@ def test_foreign_corruption_cross_fuzz():
 
     classes = ["foreign_layout", "foreign_encrypted", "foreign_incremental",
                "foreign_encrypted_incremental", "incremental", "objstm",
-               "encrypted_aes256"]
+               "encrypted_aes256", "deeptree", "deeptree_encrypted"]
     rng = random.Random(99)
     t0 = time.monotonic()
     seeds: dict = {}
@@ -644,7 +644,7 @@ def test_recoverable_mutation_span_oracle():
 
     classes = ["foreign_layout", "foreign_encrypted", "foreign_incremental",
                "foreign_encrypted_incremental", "incremental", "objstm",
-               "encrypted_aes256"]
+               "encrypted_aes256", "deeptree", "deeptree_encrypted"]
     rng = random.Random(1234)
     n_trials = 0
     for cls in classes:
