@@ -496,3 +496,84 @@ def test_xref_stream_odd_index_strict_typed_relaxed_recovers():
         if found >= 3:
             return
     raise AssertionError(f"no /Index-bearing fixtures drawn ({found})")
+
+
+def _doc_with_duplicate_page_objects() -> bytes:
+    """Legal 2-page document whose two page OBJECTS are byte-identical
+    (same /Parent, same shared /Contents — a template page written twice).
+    Distinct xref slots, identical bytes."""
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [4 0 R 5 0 R] /Count 2 >>"),
+        (3, b"<< /Length 44 >>\nstream\n"
+            b"BT /F1 12 Tf 72 700 Td (Hello world) Tj ET\nendstream"),
+    ]
+    pg = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+          b"/Contents 3 0 R /Resources << /Font << /F1 6 0 R >> >> >>")
+    objs += [(4, pg), (5, pg),
+             (6, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")]
+    out = bytearray(b"%PDF-1.7\n")
+    offs = {}
+    for n, body in objs:
+        offs[n] = len(out)
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xa = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1) + b"0000000000 65535 f \n"
+    for n, _ in objs:
+        out += b"%010d 00000 n \n" % offs[n]
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xa))
+    return bytes(out)
+
+
+def test_byte_identical_sibling_objects_stay_distinct_instances():
+    """Cross-document object-cache collapse regression: two byte-identical
+    page objects at DIFFERENT xref slots of the SAME document used to come
+    back as one shared dict instance, so pages()'s id()-based cycle set
+    dropped the duplicate page and the doc extracted 1 of its 2 pages.
+    Container cache hits now return shallow copies; per-slot instance
+    stability still holds via PdfDocument._cache[num]."""
+    from unipdf_spark.pdf.extract import extract_spans
+
+    pdf = _doc_with_duplicate_page_objects()
+    # parse TWICE so the second document is guaranteed to hit the
+    # cross-document cache for every object of the first
+    for _ in range(2):
+        doc = PdfDocument(pdf)
+        pages = doc.pages()
+        assert len(pages) == 2
+        assert pages[0] is not pages[1]
+        # per-document instance stability (extract's id(page)->index map
+        # and struct-tree /Pg routing depend on it): re-resolving the same
+        # object number yields the SAME instance
+        assert doc.get_object(4) is doc.get_object(4)
+        r = extract_spans(pdf)
+        assert r.error is None
+        assert [s["text"] for s in r.spans] == ["Hello world", "Hello world"]
+
+
+def test_dict_prefix_of_stream_never_poisons_cache():
+    """Second object-cache collapse class (found via the r10 hypothesis
+    flake): a doc truncated right after a stream object's DICT parses that
+    object as a plain dict, and caching it stored a span that is a strict
+    byte-prefix of the intact doc's stream object — the intact doc then
+    resolved its image XObject to a dict instead of a Stream (media span
+    dropped / wrong media_ref in the jbig2 roundtrip). Non-stream cache
+    entries now require endobj adjacency on BOTH insert and lookup."""
+    from unipdf_spark.fixtures import make_doc
+    from unipdf_spark.pdf.extract import extract_spans
+
+    golden, pdf = make_doc("cache_prefix_probe", "jbig2")
+    # truncate immediately after each dict-close that precedes a stream
+    # keyword: the corrupt parse sees a bare dict where a stream lives
+    import re as _re
+
+    cuts = [m.start() for m in _re.finditer(rb">>\s*stream", pdf)]
+    assert cuts, "fixture has no streams?"
+    for c in cuts:
+        extract_spans(pdf[: c + 2])
+        # also with trailing garbage instead of EOF-truncation
+        extract_spans(pdf[: c + 2] + b"\nendobj\n%%EOF\n")
+    r = extract_spans(pdf)
+    assert r.error is None
+    assert r.spans == golden

@@ -340,6 +340,13 @@ _EOF_TAIL = 2048
 # producers pad with spaces/NULs — bounded so a truncating /Length cannot
 # skip real payload bytes to reach the keyword).
 _ENDSTREAM_ADJ_RE = re.compile(rb"[ \t\r\n\x0c\x00]{0,4}endstream")
+# a clean top-level NON-stream parse is followed by `endobj` (whitespace
+# apart). Cached spans end exactly where the parse stopped, so this is the
+# discriminator that a span is the WHOLE object: without it, a dict cached
+# from a doc truncated/corrupted right after the dict (its `stream` keyword
+# gone) is a strict byte-prefix of an intact doc's stream object and would
+# serve that doc a plain dict where a Stream lives.
+_ENDOBJ_ADJ_RE = re.compile(rb"[ \t\r\n\x0c\x00]{0,8}endobj")
 
 
 def _strip_one_eol(raw: bytes) -> bytes:
@@ -386,6 +393,26 @@ def _obj_cache_lookup(data: bytes, start: int):
             if isinstance(obj, Stream) and not _ENDSTREAM_ADJ_RE.match(
                     data, start + span_len):
                 continue
+            # a non-stream entry is only valid where its span is the whole
+            # object in THIS document too (endobj adjacent); see
+            # _ENDOBJ_ADJ_RE. Both sides guard: insert refuses such spans,
+            # and lookup re-checks against the consuming document's bytes.
+            if not isinstance(obj, Stream) and not _ENDOBJ_ADJ_RE.match(
+                    data, start + span_len):
+                continue
+            # container objects are returned as SHALLOW COPIES: consumers
+            # key per-document state by instance identity (pages() cycle
+            # set, extract's id(page)->index map), so two byte-identical
+            # objects at DIFFERENT slots of the same document must stay
+            # distinct instances — sharing one collapsed a duplicated page
+            # out of pages(). Per-doc instance stability is preserved by
+            # PdfDocument._cache[num], which memoizes the copy per slot.
+            # Streams stay shared: the memoized _decoded is the cache's
+            # perf win and no consumer keys per-slot state on stream id.
+            if isinstance(obj, PdfDict):
+                return PdfDict(obj)
+            if isinstance(obj, list):
+                return list(obj)
             return obj
     return None
 
@@ -950,7 +977,7 @@ class PdfDocument:
             if cacheable and not repaired and self._crypt is None:
                 _obj_cache_insert(self.data, m.end(), data_start + len(raw), st)
             return st
-        if self._crypt is None:
+        if self._crypt is None and _ENDOBJ_ADJ_RE.match(self.data, lx.pos):
             _obj_cache_insert(self.data, m.end(), lx.pos, obj)
         return obj
 
