@@ -577,3 +577,24 @@ def test_dict_prefix_of_stream_never_poisons_cache():
     r = extract_spans(pdf)
     assert r.error is None
     assert r.spans == golden
+
+
+def test_object_cache_second_pass_identical():
+    """Generic cross-document cache-consistency net: extracting every
+    fixture class TWICE in one process (second pass maximally cache-warm,
+    including cross-class sharing of fonts/resources) must yield golden
+    spans both times. Any future cache-admission bug that survives the
+    targeted adjacency/copy regressions above should trip this sweep."""
+    from unipdf_spark.fixtures import FIXTURE_CLASSES, make_doc
+    from unipdf_spark.pdf.extract import extract_spans
+
+    docs = []
+    for cls in FIXTURE_CLASSES:
+        for i in (0, 7):
+            golden, pdf = make_doc(f"doc_{i:08d}", cls)
+            docs.append((cls, golden, pdf))
+    for pass_no in (1, 2):
+        for cls, golden, pdf in docs:
+            r = extract_spans(pdf)
+            assert r.error is None, (pass_no, cls, r.error)
+            assert r.spans == golden, (pass_no, cls)
