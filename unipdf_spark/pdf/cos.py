@@ -460,6 +460,10 @@ class PdfDocument:
         self.trailer = PdfDict()
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
+        # loaded-Font memo, (num, gen)-keyed, shared by every page's
+        # interpreter (fonts repeat across pages; sound per-document
+        # because object numbers are document-unique)
+        self._font_cache: dict[tuple, object] = {}
         self._len_in_progress: set[int] = set()
         self._crypt = None
         self._encrypt_num = -1

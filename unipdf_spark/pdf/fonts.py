@@ -370,6 +370,9 @@ class Font:
         self.ttf: "truetype.TtfFont | None" = None
         self._u_cache: dict[int, tuple[str, bool]] = {}
         self._w_cache: dict[int, float] = {}
+        # fused decode memo for the interpreter's hot loop:
+        # charcode -> (width·font_matrix_scale, unicode, missed)
+        self._wu_cache: dict[int, tuple[float, str, bool]] = {}
 
     # decode chain ----------------------------------------------------------
     def bytes_to_charcodes(self, raw: bytes) -> list[int]:
@@ -682,10 +685,15 @@ def load_font(doc, font_dict) -> Font:
     if isinstance(widths, list) and first is not None:
         first = int(first)
         t3 = getattr(f, "_t3_scale", None) if f.is_type3 else None
+        scale = t3 if t3 is not None else 1.0
         for i, w in enumerate(widths):
-            w = r(w)
+            # width entries are virtually always direct numbers; only chase
+            # references when one actually appears (resolve per entry was
+            # the single hottest resolve call site, 64k calls/400 docs)
+            if not isinstance(w, (int, float)):
+                w = r(w)
             if isinstance(w, (int, float)):
-                f.widths[first + i] = float(w) * (t3 if t3 is not None else 1.0)
+                f.widths[first + i] = float(w) * scale
     elif not f.is_type3:
         # no /Widths: Standard-14 AFM metrics by BaseFont, else an embedded
         # TrueType's hmtx advances (GetCharMetrics model/model.go:3340,
@@ -781,16 +789,21 @@ def _parse_cid_widths(w_arr: list, r) -> dict[int, float]:
     i = 0
     n = len(w_arr)
     while i < n:
-        c = r(w_arr[i])
+        c = w_arr[i]
+        if not isinstance(c, (int, float)):
+            c = r(c)
         if not isinstance(c, (int, float)):
             i += 1
             continue
         c = int(c)
         if i + 1 < n:
-            nxt = r(w_arr[i + 1])
+            nxt = w_arr[i + 1]
+            if not isinstance(nxt, (int, float, list)):
+                nxt = r(nxt)
             if isinstance(nxt, list):
                 for j, w in enumerate(nxt):
-                    w = r(w)
+                    if not isinstance(w, (int, float)):
+                        w = r(w)
                     if isinstance(w, (int, float)):
                         out[c + j] = float(w)
                 i += 2

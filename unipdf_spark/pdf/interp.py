@@ -170,6 +170,11 @@ class Interpreter:
         self._mcid_stack: list[int] = []
         self._font_cache: dict[object, fonts_mod.Font] = {}
         self._form_ops_cache: dict[int, list[Operation]] = {}
+        # per-resources-dict subdict caches (Tf/Do re-resolve /Font and
+        # /XObject on every operator otherwise). Keyed by id(); the tuple
+        # holds the resources dict itself so the id cannot be reused.
+        self._res_fonts: dict[int, tuple[PdfDict, dict]] = {}
+        self._res_xobjects: dict[int, tuple[PdfDict, dict]] = {}
         self._op_index = 0
         self.mcid_actual_text = mcid_actual_text or {}
         llx, lly, urx, ury = doc.media_box(page)
@@ -220,19 +225,35 @@ class Interpreter:
 
     # -- helpers ------------------------------------------------------------
     def _get_font(self, name: str, resources: PdfDict) -> fonts_mod.Font:
-        fonts_dict = self.doc.resolve(resources.get("Font")) or {}
+        ent = self._res_fonts.get(id(resources))
+        if ent is None or ent[0] is not resources:
+            fonts_dict = self.doc.resolve(resources.get("Font")) or {}
+            self._res_fonts[id(resources)] = (resources, fonts_dict)
+        else:
+            fonts_dict = ent[1]
         ref = fonts_dict.get(name)
-        key = (ref.num, ref.gen) if isinstance(ref, Ref) else name
-        f = self._font_cache.get(key)
+        if isinstance(ref, Ref):
+            # document-level memo: the same font object feeds many pages
+            cache = self.doc._font_cache
+            key = (ref.num, ref.gen)
+        else:
+            cache = self._font_cache  # direct dict: page-scoped by name
+            key = name
+        f = cache.get(key)
         if f is None:
             f = fonts_mod.load_font(self.doc, ref)
-            self._font_cache[key] = f
+            cache[key] = f
         if f.name or f.subtype:
             self.fonts_used.add((f.name, f.subtype))
         return f
 
     def _xobject(self, name: str, resources: PdfDict):
-        xd = self.doc.resolve(resources.get("XObject")) or {}
+        ent = self._res_xobjects.get(id(resources))
+        if ent is None or ent[0] is not resources:
+            xd = self.doc.resolve(resources.get("XObject")) or {}
+            self._res_xobjects[id(resources)] = (resources, xd)
+        else:
+            xd = ent[1]
         return self.doc.resolve(xd.get(name))
 
     # -- execution ----------------------------------------------------------
@@ -509,15 +530,19 @@ class Interpreter:
         if font is None:
             return tm
         codes = font.bytes_to_charcodes(raw)
+        texts = None
         if actual_text is not None:
             # ActualText overrides the region's decoded glyphs (e:977):
             # the first show op gets the full string, later ones empty.
             texts = [
                 (actual_text if i == 0 else "", False) for i in range(len(codes))
             ]
-        else:
+        elif font.wmode == 1:
             c2u = font.charcode_to_unicode  # memoized; expands ligatures
             texts = [c2u(c) for c in codes]
+        # the common (horizontal, no-ActualText) path decodes through the
+        # fused per-charcode (width·ratio, unicode, missed) memo instead —
+        # one dict probe per glyph replaces two method calls
 
         ratio = font.font_matrix_scale  # 1/1000, Type3: 1 (e:356)
         pb0, pb1, pb2, pb3 = self.page_box
@@ -573,11 +598,53 @@ class Interpreter:
             return mmul(translation(0.0, cum_y), tm)
 
         cum = 0.0
-        for c, (u, missed) in zip(codes, texts):
-            w = widths(c) * ratio
+        cur_mcid = self.cur_mcid
+        fill_rgb = gs.fill_rgb
+        tmode = ts.tmode
+        n_misses = 0
+        if texts is not None:
+            # generic path (ActualText override)
+            for c, (u, missed) in zip(codes, texts):
+                w = widths(c) * ratio
+                dx = (w * tfs + tc
+                      + (tw if (not is_cid and c == 32) else 0.0)) * th
+                if missed:
+                    n_misses += 1
+                if u and u != "\x00":
+                    e = cum * ma + E0
+                    f = cum * mb + F0
+                    # page-bounds check (newTextMark e:712) on glyph origin
+                    if pb0 - 10 <= e <= pb2 + 10 and pb1 - 10 <= f <= pb3 + 10:
+                        # w is the advance in em units for all font kinds
+                        # (Type3 widths are FontMatrix-scaled at load time)
+                        wa, wb = w * A, w * B
+                        x0 = e + (wa if wa < 0 else 0.0) + minC
+                        x1 = e + (wa if wa > 0 else 0.0) + maxC
+                        y0 = f + (wb if wb < 0 else 0.0) + minD
+                        y1 = f + (wb if wb > 0 else 0.0) + maxD
+                        marks_append(
+                            TextMark(u, x0, y0, x1, y1, fsize, orient,
+                                     op_index, missed, cur_mcid, fill_rgb,
+                                     tmode)
+                        )
+                cum += dx
+            self.n_misses += n_misses
+            return mmul(translation(cum, 0.0), tm)
+
+        # fused fast path: same math, decode via the per-font memo
+        wu = font._wu_cache
+        wu_get = wu.get
+        c2u = font.charcode_to_unicode
+        for c in codes:
+            hit = wu_get(c)
+            if hit is None:
+                u, missed = c2u(c)
+                hit = (widths(c) * ratio, u, missed)
+                wu[c] = hit
+            w, u, missed = hit
             dx = (w * tfs + tc + (tw if (not is_cid and c == 32) else 0.0)) * th
             if missed:
-                self.n_misses += 1
+                n_misses += 1
             if u and u != "\x00":
                 e = cum * ma + E0
                 f = cum * mb + F0
@@ -592,7 +659,8 @@ class Interpreter:
                     y1 = f + (wb if wb > 0 else 0.0) + maxD
                     marks_append(
                         TextMark(u, x0, y0, x1, y1, fsize, orient, op_index,
-                                 missed, self.cur_mcid, gs.fill_rgb, ts.tmode)
+                                 missed, cur_mcid, fill_rgb, tmode)
                     )
             cum += dx
+        self.n_misses += n_misses
         return mmul(translation(cum, 0.0), tm)

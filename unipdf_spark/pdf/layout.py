@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from operator import attrgetter
 
 from .interp import MediaMark, TextMark
 
@@ -72,7 +73,7 @@ class Word:
     char_boxes: list | None = None
 
 
-@dataclass
+@dataclass(slots=True)
 class Line:
     """Bounds (u0/u1/fontsize/op0) are maintained INCREMENTALLY on
     add_word — recomputing them per access made paragraph assembly
@@ -117,7 +118,7 @@ class Line:
         U+0590–U+05F4, Arabic U+0600–U+06FF classes). Returns (logical
         text, source word) pairs so positional search can map matched
         character ranges back to word boxes."""
-        vws = sorted(self.words, key=lambda w: w.u0)
+        vws = sorted(self.words, key=attrgetter("u0"))
         out: list[tuple[str, Word]] = []
         i = 0
         n = len(vws)
@@ -138,9 +139,11 @@ class Line:
         return " ".join(t for t, _ in self.logical_words())
 
 
-@dataclass
+@dataclass(slots=True)
 class Para:
-    """Bounds are maintained incrementally on add_line (see Line)."""
+    """Bounds are maintained incrementally on add_line (see Line).
+    ``last`` caches the deepest line (first-max, exactly ``max(lines,
+    key=depth)``) — paragraph growth reads it per candidate pair."""
 
     lines: list[Line] = field(default_factory=list)
     orientation_rank: int = 0
@@ -149,6 +152,7 @@ class Para:
     depth0: float = 0.0
     depth1: float = 0.0
     min_op: int = 0
+    last: Line | None = None
 
     def __post_init__(self) -> None:
         if self.lines:
@@ -157,6 +161,7 @@ class Para:
             self.depth0 = min(ln.depth for ln in self.lines)
             self.depth1 = max(ln.depth for ln in self.lines)
             self.min_op = min(ln.op0 for ln in self.lines)
+            self.last = max(self.lines, key=attrgetter("depth"))
 
     def add_line(self, ln: Line) -> None:
         self.lines.append(ln)
@@ -164,7 +169,10 @@ class Para:
             self.u0, self.u1 = ln.u0, ln.u1
             self.depth0 = self.depth1 = ln.depth
             self.min_op = ln.op0
+            self.last = ln
             return
+        if ln.depth > self.last.depth:  # strict: keep first-max semantics
+            self.last = ln
         if ln.u0 < self.u0:
             self.u0 = ln.u0
         if ln.u1 > self.u1:
@@ -178,7 +186,7 @@ class Para:
 
     def text(self, dehyphenate: bool = True) -> str:
         parts: list[str] = []
-        for ln in sorted(self.lines, key=lambda l: l.depth):
+        for ln in sorted(self.lines, key=attrgetter("depth")):
             t = ln.text()
             if not parts:
                 parts.append(t)
@@ -217,82 +225,122 @@ def _rotate_mark(m: TextMark, orientation: int) -> tuple[float, float, float, fl
     return min(us), max(us), min(vs), max(vs)
 
 
-def make_words(marks: list[TextMark], orientation: int) -> list[Word]:
-    """Sequential scan in operator/emission order (makeTextWords e:872)."""
+def make_words(marks: list[TextMark], orientation: int,
+               with_char_boxes: bool = True) -> list[Word]:
+    """Sequential scan in operator/emission order (makeTextWords e:872).
+
+    ``with_char_boxes=False`` skips per-character box construction — only the
+    positional-search path (extract._term_boxes_for_page) consumes
+    ``Word.char_boxes``; the span-assembly hot path never reads them, and
+    the per-mark list allocation is measurable at corpus scale.
+    """
     words: list[Word] = []
+    words_append = words.append
     cur_text: list[str] = []
-    cur_cboxes: list = []
+    cur_cboxes: list | None = [] if with_char_boxes else None
     cur_u0 = cur_u1 = cur_depth = cur_fs = 0.0
     cur_bx0 = cur_by0 = cur_bx1 = cur_by1 = 0.0
     cur_op = 0
     vertical = orientation in (90, 270)
-
-    def mark_char_boxes(m) -> list:
-        n = len(m.text)
-        if n <= 1:
-            return [(m.x0, m.y0, m.x1, m.y1)]
-        # ligature expansion: equal slices along the reading axis
-        if vertical:
-            step = (m.y1 - m.y0) / n
-            return [(m.x0, m.y0 + k * step, m.x1, m.y0 + (k + 1) * step)
-                    for k in range(n)]
-        step = (m.x1 - m.x0) / n
-        return [(m.x0 + k * step, m.y0, m.x0 + (k + 1) * step, m.y1)
-                for k in range(n)]
-
-    def flush():
-        nonlocal cur_text, cur_cboxes
-        if cur_text:
-            t = "".join(cur_text)
-            if t.strip():
-                words.append(Word(t, cur_u0, cur_u1, cur_depth, cur_fs,
-                                  cur_op, cur_bx0, cur_by0, cur_bx1,
-                                  cur_by1, cur_cboxes))
-        cur_text = []
-        cur_cboxes = []
-
-    def start(m, u0, u1, depth, fs):
-        nonlocal cur_text, cur_u0, cur_u1, cur_depth, cur_fs, cur_op
-        nonlocal cur_bx0, cur_by0, cur_bx1, cur_by1, cur_cboxes
-        cur_text = [m.text]
-        cur_cboxes = mark_char_boxes(m)
-        cur_u0, cur_u1, cur_depth, cur_fs, cur_op = u0, u1, depth, fs, m.op_index
-        cur_bx0, cur_by0, cur_bx1, cur_by1 = m.x0, m.y0, m.x1, m.y1
+    rot0 = orientation == 0
+    if not rot0:
+        rc, rs = _ROT[orientation]
 
     for m in marks:
-        u0, u1, v0, v1 = _rotate_mark(m, orientation)
-        depth = -v1  # top edge; larger = further down the reading direction
-        fs = m.fontsize if m.fontsize > 0 else 1.0
-        if m.text.isspace():
-            flush()
-            continue
-        if not cur_text:
-            start(m, u0, u1, depth, fs)
-            continue
-        gap = u0 - cur_u1
-        depth_jump = abs(depth - cur_depth) / fs
-        if depth_jump > DEPTH_JUMP or gap / fs >= WORD_GAP or gap / fs < WORD_OVERLAP:
-            flush()
-            start(m, u0, u1, depth, fs)
+        mx0 = m.x0
+        my0 = m.y0
+        mx1 = m.x1
+        my1 = m.y1
+        if rot0:
+            u0 = mx0
+            u1 = mx1
+            depth = -my1  # top edge; larger = further down the reading dir
         else:
-            cur_text.append(m.text)
-            cur_cboxes.extend(mark_char_boxes(m))
-            cur_u1 = max(cur_u1, u1)
-            cur_u0 = min(cur_u0, u0)
-            cur_depth = min(cur_depth, depth)
-            cur_fs = max(cur_fs, fs)
-            cur_bx0 = min(cur_bx0, m.x0)
-            cur_by0 = min(cur_by0, m.y0)
-            cur_bx1 = max(cur_bx1, m.x1)
-            cur_by1 = max(cur_by1, m.y1)
-    flush()
+            us = (mx0 * rc - my0 * rs, mx1 * rc - my0 * rs,
+                  mx1 * rc - my1 * rs, mx0 * rc - my1 * rs)
+            vs = (mx0 * rs + my0 * rc, mx1 * rs + my0 * rc,
+                  mx1 * rs + my1 * rc, mx0 * rs + my1 * rc)
+            u0 = min(us)
+            u1 = max(us)
+            depth = -max(vs)
+        text = m.text
+        if text.isspace():
+            if cur_text:  # flush
+                t = "".join(cur_text)
+                if t.strip():
+                    words_append(Word(t, cur_u0, cur_u1, cur_depth, cur_fs,
+                                      cur_op, cur_bx0, cur_by0, cur_bx1,
+                                      cur_by1, cur_cboxes))
+                cur_text = []
+                cur_cboxes = [] if with_char_boxes else None
+            continue
+        fs = m.fontsize if m.fontsize > 0 else 1.0
+        if cur_text:
+            gap = u0 - cur_u1
+            if (abs(depth - cur_depth) / fs > DEPTH_JUMP
+                    or gap / fs >= WORD_GAP or gap / fs < WORD_OVERLAP):
+                t = "".join(cur_text)  # flush, then start fresh below
+                if t.strip():
+                    words_append(Word(t, cur_u0, cur_u1, cur_depth, cur_fs,
+                                      cur_op, cur_bx0, cur_by0, cur_bx1,
+                                      cur_by1, cur_cboxes))
+                cur_text = []
+            else:  # merge into the current word
+                cur_text.append(text)
+                if with_char_boxes:
+                    cur_cboxes.extend(_mark_char_boxes(
+                        text, mx0, my0, mx1, my1, vertical))
+                if u1 > cur_u1:
+                    cur_u1 = u1
+                if u0 < cur_u0:
+                    cur_u0 = u0
+                if depth < cur_depth:
+                    cur_depth = depth
+                if fs > cur_fs:
+                    cur_fs = fs
+                if mx0 < cur_bx0:
+                    cur_bx0 = mx0
+                if my0 < cur_by0:
+                    cur_by0 = my0
+                if mx1 > cur_bx1:
+                    cur_bx1 = mx1
+                if my1 > cur_by1:
+                    cur_by1 = my1
+                continue
+        # start a new word
+        cur_text = [text]
+        if with_char_boxes:
+            cur_cboxes = _mark_char_boxes(text, mx0, my0, mx1, my1, vertical)
+        cur_u0, cur_u1, cur_depth, cur_fs, cur_op = u0, u1, depth, fs, m.op_index
+        cur_bx0, cur_by0, cur_bx1, cur_by1 = mx0, my0, mx1, my1
+    if cur_text:  # final flush
+        t = "".join(cur_text)
+        if t.strip():
+            words_append(Word(t, cur_u0, cur_u1, cur_depth, cur_fs,
+                              cur_op, cur_bx0, cur_by0, cur_bx1,
+                              cur_by1, cur_cboxes))
     return words
+
+
+def _mark_char_boxes(text: str, mx0: float, my0: float, mx1: float,
+                     my1: float, vertical: bool) -> list:
+    n = len(text)
+    if n <= 1:
+        return [(mx0, my0, mx1, my1)]
+    # ligature expansion: equal slices along the reading axis
+    if vertical:
+        step = (my1 - my0) / n
+        return [(mx0, my0 + k * step, mx1, my0 + (k + 1) * step)
+                for k in range(n)]
+    step = (mx1 - mx0) / n
+    return [(mx0 + k * step, my0, mx0 + (k + 1) * step, my1)
+            for k in range(n)]
 
 
 def make_lines(words: list[Word]) -> list[Line]:
     """Depth-band line assembly (arrangeText e:705)."""
     lines: list[Line] = []
-    for w in sorted(words, key=lambda w: (w.depth, w.u0)):
+    for w in sorted(words, key=attrgetter("depth", "u0")):
         window = LINE_DEPTH_WINDOW * max(w.fontsize, LINE_MIN_FS)
         best = None
         for ln in lines:
@@ -324,7 +372,7 @@ def _split_line_columns(line: Line) -> list[Line]:
     """Split a depth-band line at huge horizontal gaps (column gutters).
     The reference never forms cross-column lines because paragraph bags are
     grown before lines (e:277); splitting here is our equivalent gate."""
-    ws = sorted(line.words, key=lambda w: w.u0)
+    ws = sorted(line.words, key=attrgetter("u0"))
     out: list[Line] = []
     cur: list[Word] = [ws[0]]
     cur_u1 = ws[0].u1
@@ -364,11 +412,11 @@ def make_paras(lines: list[Line], orientation_rank: int,
         return False
 
     paras: list[Para] = []
-    for ln in sorted(split, key=lambda l: (l.depth, l.u0)):
+    for ln in sorted(split, key=attrgetter("depth", "u0")):
         fs = ln.fontsize
         attached = None
         for pa in paras:
-            last = max(pa.lines, key=lambda l: l.depth)
+            last = pa.last
             pitch_cap = (1.0 + PARA_LINE_GAP) * max(fs, last.fontsize)
             if not (0 < ln.depth - last.depth <= pitch_cap):
                 continue
@@ -773,11 +821,14 @@ def assemble_spans(
         (r.pos, -r.hi, -r.lo) for r in (rulings or []) if r.kind == "v"
     ]
     ordered_paras: list[Para] = []
+    by_orient: dict[int, list[TextMark]] = {0: [], 90: [], 180: [], 270: []}
+    for m in marks:
+        by_orient[m.orientation].append(m)
     for rank, orientation in enumerate((0, 90, 180, 270)):
-        group = [m for m in marks if m.orientation == orientation]
+        group = by_orient[orientation]
         if not group:
             continue
-        words = make_words(group, orientation)
+        words = make_words(group, orientation, with_char_boxes=False)
         lines = make_lines(words)
         paras = make_paras(lines, rank, h_rulings if orientation == 0 else None)
         if orientation == 0:
@@ -792,7 +843,7 @@ def assemble_spans(
                     tables_out.extend(tables)
         ordered_paras.extend(reading_order(paras))
 
-    media_sorted = sorted(media, key=lambda m: m.op_index)
+    media_sorted = sorted(media, key=attrgetter("op_index"))
     para_ops = [p.min_op for p in ordered_paras]
 
     def paras_before(op_index: int) -> int:
