@@ -598,3 +598,44 @@ def test_object_cache_second_pass_identical():
             r = extract_spans(pdf)
             assert r.error is None, (pass_no, cls, r.error)
             assert r.spans == golden, (pass_no, cls)
+
+
+def test_content_tokenizer_matches_reference_impl():
+    """r11 optimization guard: the single-regex content tokenizer must
+    produce byte-identical Operation lists to the pre-r11 per-token Lexer
+    implementation across every fixture class (the full corpus A/B ran
+    2107 streams / 0 divergent at the time of the change)."""
+    from unipdf_spark.fixtures.gen import FIXTURE_CLASSES, make_doc
+    from unipdf_spark.pdf.content import parse_content, parse_content_reference
+    from unipdf_spark.pdf.cos import PdfDocument
+
+    n = 0
+    for cls in FIXTURE_CLASSES:
+        _, pdf = make_doc(f"doc_{cls}", cls, 42)
+        doc = PdfDocument(pdf, relaxed=True)
+        for p in doc.pages():
+            s = doc.page_content(p)
+            assert parse_content(s) == parse_content_reference(s), cls
+            n += 1
+    assert n >= len(FIXTURE_CLASSES)
+
+
+def test_content_tokenizer_edge_tokens():
+    """Edge lexemes through both tokenizer implementations: hex-escaped
+    names, comments, booleans/null, hex strings, nested arrays/dicts,
+    malformed operands (relaxed skip)."""
+    from unipdf_spark.pdf.content import parse_content, parse_content_reference
+
+    cases = [
+        b"/N#41me 1 .5 -2. +3 Tf % comment\n(str\\)par) Tj",
+        b"[(a) -12 (b) /nm true false null [1 2]] TJ",
+        b"<< /A [1 2] /B << /C (x) >> >> BDC <0041> Tj EMC",
+        b"q --5 } ] ) # Q",  # malformed operands: relaxed one-byte skips
+        b"(unterminated",
+        b"[1 2",  # unterminated array
+        b"/ Tf",  # empty name
+        b"%only a comment",
+        b"",
+    ]
+    for s in cases:
+        assert parse_content(s) == parse_content_reference(s), s

@@ -37,7 +37,9 @@ _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 # match replaces the skip_ws + dispatch + per-kind regex of the per-token
 # Lexer path (~16% of single-core extraction before this change).
 _CTOK = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)*"
+    # possessive quantifier: at EOF the engine must NOT backtrack into a
+    # trailing comment and fabricate a token from its tail
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)*+"
     rb"(?:([+-]?(?:\d+\.?\d*|\.\d+))"
     rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%#]*)"
     rb"|([A-Za-z'\"][A-Za-z0-9*'\"]*)"
