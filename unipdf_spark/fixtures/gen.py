@@ -134,13 +134,20 @@ FIXTURE_CLASSES = [
 ]
 
 
+_W_FALLBACK: dict[str, float] = {}  # NFD-fallback memo (unicodedata is slow)
+
+
 def _char_w(ch: str) -> float:
     w = _W.get(ch)
     if w is not None:
         return float(w)
-    import unicodedata
-    base = unicodedata.normalize("NFD", ch)[:1]
-    return float(_W.get(base, 500))
+    v = _W_FALLBACK.get(ch)
+    if v is None:
+        import unicodedata
+        base = unicodedata.normalize("NFD", ch)[:1]
+        v = float(_W.get(base, 500))
+        _W_FALLBACK[ch] = v
+    return v
 
 
 T3_W = 500.0  # Type3 glyph width in glyph units (FontMatrix 0.001 scale)
@@ -276,16 +283,60 @@ class DocPlan:
 
 def _wrap(words: list[str], fs: float, width: float, tc: float, th: float,
           cid: bool, tw: float = 0.0, font: str = "F1") -> list[str]:
+    """Greedy line wrap. The candidate width is maintained as a running
+    left-to-right per-char sum instead of re-summing the whole line per
+    word — bit-identical to ``_text_w(cand, …)`` / ``_cid_text_w(cand, …)``
+    because Python's ``sum`` accumulates left-to-right (same FP addition
+    sequence), but O(chars) per line instead of O(chars²)."""
+    if cid:
+        def ext(acc, s):
+            for c in s:
+                acc += _cid_char_w(c)
+            return acc
+
+        def w_of(acc):
+            return acc / 1000.0 * fs
+    else:
+        if font == "F3":
+            def term(c):
+                return T3_W / 1000.0 * fs + tc + (tw if c == " " else 0.0)
+        elif font == "F6":
+            def term(c):
+                return (_W_TIMES_BOLD.get(c, 500) / 1000.0 * fs + tc
+                        + (tw if c == " " else 0.0))
+        elif font == "F9":
+            def term(c):
+                return T1_W / 1000.0 * fs + tc + (tw if c == " " else 0.0)
+        else:
+            def term(c):
+                return (_char_w(c) / 1000.0 * fs + tc
+                        + (tw if c == " " else 0.0))
+
+        def ext(acc, s):
+            for c in s:
+                acc += term(c)
+            return acc
+
+        def w_of(acc):
+            return acc * th
+
     lines: list[str] = []
     cur = ""
+    acc = 0  # int 0 start mirrors sum()'s default start value exactly
     for w in words:
-        cand = w if not cur else cur + " " + w
-        cw = _cid_text_w(cand, fs) if cid else _text_w(cand, fs, tc, th, tw, font)
-        if cw <= width or not cur:
+        if cur:
+            cand_acc = ext(acc, " " + w)
+            cand = cur + " " + w
+        else:
+            cand_acc = ext(0, w)
+            cand = w
+        if w_of(cand_acc) <= width or not cur:
             cur = cand
+            acc = cand_acc
         else:
             lines.append(cur)
             cur = w
+            acc = ext(0, w)
     if cur:
         lines.append(cur)
     return lines
