@@ -33,6 +33,7 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from unipdf_spark import pipeline
 from unipdf_spark.operators.dedup import (MAX_BUCKET, band_table,
+                                          lsh_armor_stats,
                                           minhash_signatures_pandas)
 from unipdf_spark.operators.extracted import (reassemble_parts,
                                               render_extract_parts)
@@ -91,19 +92,20 @@ def once():
         .count()
     )
     t["lsh_pairs"] = time.perf_counter() - t0
+    armor = lsh_armor_stats(bt)  # untimed: armor-engagement observability
     for df in (pe, ext, sig, bt):
         df.unpersist()
     spark.catalog.clearCache()
     corpus.persist().count()
-    return t, n_err, n_pairs
+    return t, n_err, n_pairs, armor
 
 
 once()  # warm-up: worker spawn + janino JIT outside the timed passes
-a, err, pairs = once()
-b, _e, _p = once()
+a, err, pairs, armor = once()
+b, _e, _p, _a = once()
 best = {{k: min(a[k], b[k]) for k in a}}
 print(json.dumps({{"cores": cores, "n_docs": n_docs, "errors": err,
-                   "n_pairs": pairs,
+                   "n_pairs": pairs, "armor": armor,
                    "stages": {{k: round(v, 2) for k, v in best.items()}},
                    "total": round(sum(best.values()), 2)}}))
 spark.stop()
@@ -164,6 +166,11 @@ def main() -> None:
         "eff_samples": eff_samples,
         "errors": sum(s["errors"] for s in los + his),
         "n_pairs_agree": len({s["n_pairs"] for s in los + his}) == 1,
+        # skew-armor engagement (r10 VERDICT #4): dropped-bucket /
+        # dropped-membership counts from the MAX_BUCKET gate, per level
+        "armor": los[0].get("armor"),
+        "armor_agree": len({json.dumps(s.get("armor"), sort_keys=True)
+                            for s in los + his}) == 1,
         "loadavg_start": [round(x, 2) for x in load],
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
@@ -190,6 +197,9 @@ def main() -> None:
         f"- extraction errors at both levels: {res['errors']};",
         f"  candidate-pair counts agree across levels: "
         f"{res['n_pairs_agree']}",
+        f"- skew-armor engagement (buckets > MAX_BUCKET dropped by the",
+        f"  count gate): {res['armor']} (levels agree: "
+        f"{res['armor_agree']})",
         f"- loadavg at start {res['loadavg_start']}; measured {res['ts']}",
         "",
         "Reading: the render+extract stage (the north-rule workload)",

@@ -883,3 +883,31 @@ def test_oversized_doc_split_roundtrip(spark):
     pe.unpersist()
     assert out[1] == ws.sub(" ", base).strip()
     assert out[2] == ws.sub(" ", mega).strip()
+
+
+def test_lsh_armor_stats_engagement(spark, tmp_path):
+    """r10 VERDICT #4: skew-armor engagement must be visible as a metric.
+    A planted 100x-duplicate corpus sets dropped_buckets/dropped_doc_slots
+    nonzero; a swarm-free corpus reports exact zeros."""
+    from unipdf_spark.operators import dedup
+    from unipdf_spark.operators.dedup import band_table, lsh_armor_stats, \
+        minhash_signatures_pandas
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 6
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    n_hot = 100
+    sf = _write_docs(spark, tmp_path, [boiler] * n_hot + [a])
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bt = band_table(minhash_signatures_pandas(docs))
+    armor = lsh_armor_stats(bt)
+    # every band's boilerplate bucket holds all 100 clones > MAX_BUCKET
+    assert armor["dropped_buckets"] == dedup.N_HASHES // dedup.BAND_SIZE
+    assert armor["dropped_doc_slots"] == \
+        n_hot * (dedup.N_HASHES // dedup.BAND_SIZE)
+
+    clean = _write_docs(
+        spark, tmp_path / "clean",
+        [f"unique words {i} {i*7} {i*13} content block {i}" for i in range(12)])
+    docs2 = spark.read.parquet(f"{clean}/documents.parquet")
+    armor2 = lsh_armor_stats(band_table(minhash_signatures_pandas(docs2)))
+    assert armor2 == {"dropped_buckets": 0, "dropped_doc_slots": 0}

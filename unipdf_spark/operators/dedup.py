@@ -401,6 +401,26 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_armor_stats(bt: DataFrame) -> dict:
+    """Skew-armor engagement metric (r10 VERDICT #4 — observability, not a
+    behavior change): how many LSH band buckets exceeded MAX_BUCKET, and
+    how many (doc, band) memberships they carried — exactly what the
+    minhash_lsh_pairs count gate dropped from pair generation. Zero means
+    the armor never engaged; nonzero tells a 100 TB operator boilerplate
+    swarms are present and lsh_dropped_clusters carries the cluster rows.
+    One map-side-combinable aggregation over the band table, 1-row result."""
+    row = (
+        bt.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > MAX_BUCKET)
+        .agg(F.count(F.lit(1)).alias("dropped_buckets"),
+             F.coalesce(F.sum("n"), F.lit(0)).alias("dropped_doc_slots"))
+        .collect()[0]
+    )
+    return {"dropped_buckets": int(row["dropped_buckets"]),
+            "dropped_doc_slots": int(row["dropped_doc_slots"])}
+
+
 def bounded_min_sample(df: DataFrame, keys: list[str], col: str = "doc_id",
                        k: int = 8, salt_buckets: int = 64) -> DataFrame:
     """The k smallest `col` values per key group WITHOUT sorting a whole

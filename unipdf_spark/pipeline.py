@@ -29,9 +29,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import schema
 
 # Arrow batch sizing: docs are fat rows, but too-small batches pay per-batch
-# serialization overhead; 256 measured best at 2-10 KB/doc (see BENCH notes).
+# serialization overhead. r11 re-measured at 50k-doc extraction scale:
+# 256 → 7.54 s, 1024 → 6.38 s, 64 → 7.53 s same-session best-of-2 (and
+# 512/1024/2048 statistically indistinguishable across interleaved runs on
+# this host, all ahead of 256). 1024 keeps batches ≤ ~10 MB at 2-10 KB/doc
+# and a 65 KB part-row ceiling (~66 MB worst case on the oversized-doc
+# split path) — bounded worker memory at any corpus scale.
 ARROW_BATCH_CONF = {
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
     "spark.sql.adaptive.enabled": "true",
 }
 
