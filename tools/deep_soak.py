@@ -82,6 +82,13 @@ def main() -> None:
         }
         eq.unpersist(); out.unpersist(); docs.unpersist()
 
+        n_bad = int(agg["n"]) - int(agg["ok"])
+        if n_bad > len(bad):
+            print(
+                f"SPAN EQUALITY: showing {len(bad)} of {n_bad} violations "
+                f"(sample capped at 50)",
+                file=sys.stderr, flush=True,
+            )
         for r in bad:
             print(
                 f"SPAN EQUALITY VIOLATION seed={seed} doc={r['doc_id']} "
