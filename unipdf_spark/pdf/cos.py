@@ -87,6 +87,25 @@ class Stream:
 
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 
+# parse_array fast path: leading whitespace (comments excluded — they force
+# the generic path) then one of: 1=']', (2,3)='N G R' indirect reference
+# (R must be followed by whitespace/delimiter/EOF, exactly as
+# parse_number_or_ref checks), 4=real, 5=integer.  The two negative
+# lookaheads on the integer alternative reject any element where a '%'
+# comment could hide a reference's generation number or R keyword — the
+# generic path treats comments as whitespace there (ISO 32000 §7.2.4), so
+# those runs must keep taking it.
+_ARR_FAST_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]*+"
+    rb"(?:(\])"
+    rb"|([+-]?\d++)[\x00\t\n\x0c\r ]*+([+-]?\d++)(?!\.)[\x00\t\n\x0c\r ]*+R"
+    rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+    rb"|([+-]?(?:\d+\.\d*|\.\d+))"
+    rb"|([+-]?\d++)(?!\.)(?![\x00\t\n\x0c\r ]*+%)"
+    rb"(?![\x00\t\n\x0c\r ]*+[+-]?\d++(?![.\d])[\x00\t\n\x0c\r ]*+%)"
+    rb")"
+)
+
 
 class Lexer:
     """Positioned tokenizer over the raw file bytes."""
@@ -255,14 +274,38 @@ class Lexer:
     def parse_array(self) -> list:
         self.pos += 1  # [
         out = []
+        append = out.append
+        data = self.data
+        fast = _ARR_FAST_RE.match
         while True:
+            # fast path: one C-level match per numeric element / reference /
+            # close bracket — /Widths, /W and kerning arrays are long runs of
+            # plain numbers, and the generic per-element route costs four
+            # calls and two regex matches each.  The pattern is exact w.r.t.
+            # the generic path (incl. the "N G R" lookahead); any element it
+            # cannot prove unambiguous (comments near a potential reference,
+            # strings, names, nested containers) falls through unconsumed.
+            m = fast(data, self.pos)
+            if m is not None:
+                self.pos = m.end()
+                li = m.lastindex
+                if li == 5:  # plain integer
+                    append(int(m.group(5)))
+                    continue
+                if li == 4:  # real
+                    append(float(m.group(4)))
+                    continue
+                if li == 1:  # ]
+                    return out
+                append(Ref(int(m.group(2)), int(m.group(3))))  # indirect ref
+                continue
             self.skip_ws()
             if self.peek() == b"]":
                 self.pos += 1
                 return out
             if self.pos >= len(self.data):
                 raise PdfError("EOF in array")
-            out.append(self.parse_object())
+            append(self.parse_object())
 
     def parse_dict_or_stream(self):
         d = self.parse_dict()

@@ -12,7 +12,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from .cos import PdfDocument, PdfError
-from .interp import Interpreter
+from .interp import (M_MCID, M_OP, M_ORIENT, M_RGB, M_RMODE, M_TEXT,
+                     M_X0, M_X1, M_Y0, M_Y1, Interpreter)
 from .layout import assemble_spans
 
 
@@ -126,7 +127,7 @@ def extract_spans(pdf_bytes: bytes, dehyphenate: bool = True,
                     return x0 <= ax1 and ax0 <= x1 and y0 <= ay1 and ay0 <= y1
 
                 marks = [m for m in marks
-                         if _hits(m.x0, m.y0, m.x1, m.y1)]
+                         if _hits(m[M_X0], m[M_Y0], m[M_X1], m[M_Y1])]
                 media = [m for m in media
                          if _hits(min(m.x, m.x1), min(m.y, m.y1),
                                   max(m.x, m.x1), max(m.y, m.y1))]
@@ -156,7 +157,7 @@ def _term_boxes_for_page(marks: list, terms: list[str],
 
     out: list[dict] = []
     for orientation in (0, 90, 180, 270):
-        group = [m for m in marks if m.orientation == orientation]
+        group = [m for m in marks if m[M_ORIENT] == orientation]
         if not group:
             continue
         for line in make_lines(make_words(group, orientation)):
@@ -246,9 +247,9 @@ def extract_document_profile(pdf_bytes: bytes,
                     "x0": m.x, "y0": m.y, "x1": m.x1, "y1": m.y1,
                 })
             for m in interp.marks:
-                n = len(m.text)
+                n = len(m[M_TEXT])
                 n_chars += n
-                if m.render_mode == 3 or min(m.fill_rgb) >= 0.99:
+                if m[M_RMODE] == 3 or min(m[M_RGB]) >= 0.99:
                     n_invisible += n
             if terms:
                 term_boxes.extend(
@@ -437,10 +438,10 @@ def extract_lists(pdf_bytes: bytes) -> list[dict]:
         for page_idx, page in enumerate(pages):
             interp = Interpreter(doc, page)
             interp.run(include_annotations=False)
-            for m in sorted(interp.marks, key=lambda m: m.op_index):
-                if m.mcid >= 0:
-                    key = (page_idx, m.mcid)
-                    mcid_text[key] = mcid_text.get(key, "") + m.text
+            for m in sorted(interp.marks, key=lambda m: m[M_OP]):
+                if m[M_MCID] >= 0:
+                    key = (page_idx, m[M_MCID])
+                    mcid_text[key] = mcid_text.get(key, "") + m[M_TEXT]
 
         def text_of(mcids: list[_PgMcid]) -> str:
             parts: list[str] = []

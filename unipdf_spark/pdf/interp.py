@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 from .. import schema
 from .content import InlineImage, Operation, parse_content
@@ -65,9 +66,15 @@ def _placed_box(ctm: Matrix) -> tuple[float, float, float, float]:
 
 
 
-@dataclass(slots=True)
-class TextMark:
-    """One positioned glyph-cluster (textMark, extractor/extractor.go:815)."""
+class TextMark(NamedTuple):
+    """One positioned glyph-cluster (textMark, extractor/extractor.go:815).
+
+    Marks are PLAIN TUPLES at runtime: the per-glyph constructor is the
+    single hottest allocation in span extraction (~1 mark per visible
+    glyph), and a tuple literal builds ~10x faster than any class with an
+    ``__init__`` (dataclass or NamedTuple alike).  This NamedTuple only
+    documents the layout and serves hand-built marks in tests — consumers
+    index/unpack by position (``M_TEXT`` .. ``M_RMODE`` below)."""
 
     text: str
     x0: float
@@ -84,6 +91,11 @@ class TextMark:
     # (render mode 3 / white-on-white) in downstream cleanup
     fill_rgb: tuple = (0.0, 0.0, 0.0)
     render_mode: int = 0
+
+
+# positional indices into a mark tuple, for consumers outside hot loops
+(M_TEXT, M_X0, M_Y0, M_X1, M_Y1, M_FS, M_ORIENT, M_OP,
+ M_MISSED, M_MCID, M_RGB, M_RMODE) = range(12)
 
 
 @dataclass(slots=True)
@@ -590,9 +602,9 @@ class Interpreter:
                         y0 = f + min(0.0, wb) + min(0.0, vy)
                         y1 = f + max(0.0, wb) + max(0.0, vy)
                         marks_append(
-                            TextMark(u, x0, y0, x1, y1, fsize, orient,
-                                     op_index, missed, self.cur_mcid,
-                                     gs.fill_rgb, ts.tmode)
+                            (u, x0, y0, x1, y1, fsize, orient,
+                             op_index, missed, self.cur_mcid,
+                             gs.fill_rgb, ts.tmode)
                         )
                 cum_y -= dy
             return mmul(translation(0.0, cum_y), tm)
@@ -623,9 +635,9 @@ class Interpreter:
                         y0 = f + (wb if wb < 0 else 0.0) + minD
                         y1 = f + (wb if wb > 0 else 0.0) + maxD
                         marks_append(
-                            TextMark(u, x0, y0, x1, y1, fsize, orient,
-                                     op_index, missed, cur_mcid, fill_rgb,
-                                     tmode)
+                            (u, x0, y0, x1, y1, fsize, orient,
+                             op_index, missed, cur_mcid, fill_rgb,
+                             tmode)
                         )
                 cum += dx
             self.n_misses += n_misses
@@ -658,8 +670,8 @@ class Interpreter:
                     y0 = f + (wb if wb < 0 else 0.0) + minD
                     y1 = f + (wb if wb > 0 else 0.0) + maxD
                     marks_append(
-                        TextMark(u, x0, y0, x1, y1, fsize, orient, op_index,
-                                 missed, cur_mcid, fill_rgb, tmode)
+                        (u, x0, y0, x1, y1, fsize, orient, op_index,
+                         missed, cur_mcid, fill_rgb, tmode)
                     )
             cum += dx
         self.n_misses += n_misses

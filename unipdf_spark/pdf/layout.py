@@ -23,7 +23,7 @@ import math
 from dataclasses import dataclass, field
 from operator import attrgetter
 
-from .interp import MediaMark, TextMark
+from .interp import M_ORIENT, MediaMark, TextMark
 
 # thresholds (values from the reference const block, extractor/extractor.go:16)
 DEPTH_JUMP = 0.04  # _becf
@@ -213,18 +213,6 @@ _ROT = {
 }
 
 
-def _rotate_mark(m: TextMark, orientation: int) -> tuple[float, float, float, float]:
-    """Rotate bbox into the reading frame (baseline → +u, depth grows down)."""
-    if orientation == 0:
-        return m.x0, m.x1, m.y0, m.y1
-    c, s = _ROT[orientation]
-    us = (m.x0 * c - m.y0 * s, m.x1 * c - m.y0 * s,
-          m.x1 * c - m.y1 * s, m.x0 * c - m.y1 * s)
-    vs = (m.x0 * s + m.y0 * c, m.x1 * s + m.y0 * c,
-          m.x1 * s + m.y1 * c, m.x0 * s + m.y1 * c)
-    return min(us), max(us), min(vs), max(vs)
-
-
 def make_words(marks: list[TextMark], orientation: int,
                with_char_boxes: bool = True) -> list[Word]:
     """Sequential scan in operator/emission order (makeTextWords e:872).
@@ -246,11 +234,10 @@ def make_words(marks: list[TextMark], orientation: int,
     if not rot0:
         rc, rs = _ROT[orientation]
 
-    for m in marks:
-        mx0 = m.x0
-        my0 = m.y0
-        mx1 = m.x1
-        my1 = m.y1
+    # marks are plain tuples (see interp.TextMark): one UNPACK_SEQUENCE
+    # replaces seven attribute loads per mark
+    for (text, mx0, my0, mx1, my1, m_fs, _o, m_op,
+         _missed, _mcid, _rgb, _rm) in marks:
         if rot0:
             u0 = mx0
             u1 = mx1
@@ -263,7 +250,6 @@ def make_words(marks: list[TextMark], orientation: int,
             u0 = min(us)
             u1 = max(us)
             depth = -max(vs)
-        text = m.text
         if text.isspace():
             if cur_text:  # flush
                 t = "".join(cur_text)
@@ -274,7 +260,7 @@ def make_words(marks: list[TextMark], orientation: int,
                 cur_text = []
                 cur_cboxes = [] if with_char_boxes else None
             continue
-        fs = m.fontsize if m.fontsize > 0 else 1.0
+        fs = m_fs if m_fs > 0 else 1.0
         if cur_text:
             gap = u0 - cur_u1
             if (abs(depth - cur_depth) / fs > DEPTH_JUMP
@@ -311,7 +297,7 @@ def make_words(marks: list[TextMark], orientation: int,
         cur_text = [text]
         if with_char_boxes:
             cur_cboxes = _mark_char_boxes(text, mx0, my0, mx1, my1, vertical)
-        cur_u0, cur_u1, cur_depth, cur_fs, cur_op = u0, u1, depth, fs, m.op_index
+        cur_u0, cur_u1, cur_depth, cur_fs, cur_op = u0, u1, depth, fs, m_op
         cur_bx0, cur_by0, cur_bx1, cur_by1 = mx0, my0, mx1, my1
     if cur_text:  # final flush
         t = "".join(cur_text)
@@ -823,7 +809,7 @@ def assemble_spans(
     ordered_paras: list[Para] = []
     by_orient: dict[int, list[TextMark]] = {0: [], 90: [], 180: [], 270: []}
     for m in marks:
-        by_orient[m.orientation].append(m)
+        by_orient[m[M_ORIENT]].append(m)
     for rank, orientation in enumerate((0, 90, 180, 270)):
         group = by_orient[orientation]
         if not group:
