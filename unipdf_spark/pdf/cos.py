@@ -106,6 +106,29 @@ _ARR_FAST_RE = re.compile(
     rb")"
 )
 
+# parse_dict fast path: one C-level match per `/Key value` pair (or `>>`),
+# for keys without '#' escapes and simple values — the same reference /
+# real / integer alternatives as _ARR_FAST_RE (same lookahead discipline),
+# plus a name value (no '#') and the three keyword literals.  Everything
+# else — comments anywhere in the pair, escaped names, strings, nested
+# containers — leaves the pair to the generic route unconsumed.
+_DICT_FAST_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]*+"
+    rb"(?:(>>)"
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%#]*+)[\x00\t\n\x0c\r ]*+"
+    rb"(?:"
+    rb"([+-]?\d++)[\x00\t\n\x0c\r ]*+([+-]?\d++)(?!\.)[\x00\t\n\x0c\r ]*+R"
+    rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+    rb"|([+-]?(?:\d+\.\d*|\.\d+))"
+    rb"|([+-]?\d++)(?!\.)(?![\x00\t\n\x0c\r ]*+%)"
+    rb"(?![\x00\t\n\x0c\r ]*+[+-]?\d++(?![.\d])[\x00\t\n\x0c\r ]*+%)"
+    rb"|/([^\x00\t\n\x0c\r ()<>\[\]{}/%#]*+)(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+    rb"|(true|false|null)(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+    rb")"
+    rb")"
+)
+_DICT_KEYWORDS = {b"true": True, b"false": False, b"null": None}
+
 
 class Lexer:
     """Positioned tokenizer over the raw file bytes."""
@@ -327,7 +350,27 @@ class Lexer:
     def parse_dict(self) -> PdfDict:
         self.expect(b"<<")
         d = PdfDict()
+        data = self.data
+        fast = _DICT_FAST_RE.match
         while True:
+            m = fast(data, self.pos)
+            if m is not None:
+                self.pos = m.end()
+                li = m.lastindex
+                if li == 1:  # >>
+                    return d
+                key = m.group(2).decode("latin-1")
+                if li == 6:  # plain integer
+                    d[key] = int(m.group(6))
+                elif li == 4:  # indirect reference
+                    d[key] = Ref(int(m.group(3)), int(m.group(4)))
+                elif li == 7:  # name
+                    d[key] = Name(m.group(7).decode("latin-1"))
+                elif li == 5:  # real
+                    d[key] = float(m.group(5))
+                else:  # true / false / null
+                    d[key] = _DICT_KEYWORDS[m.group(8)]
+                continue
             self.skip_ws()
             if self.data.startswith(b">>", self.pos):
                 self.pos += 2
