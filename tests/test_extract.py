@@ -1198,3 +1198,59 @@ def test_page_rotation_entry_is_extraction_invariant():
             assert res.spans == golden, (doc_id, deg)
             n_patched += 1
     assert n_patched >= 9, n_patched
+
+
+def test_make_lines_bisect_matches_full_scan():
+    """r11 optimization guard: make_lines' bisected window scan must pick
+    exactly the line the original full first-match scan picked, including
+    FP window-boundary words and duplicate-word removal."""
+    import random
+
+    from unipdf_spark.pdf.layout import (DUP_TOL, LINE_DEPTH_WINDOW,
+                                         LINE_MIN_FS, Line, Word, make_lines)
+    from operator import attrgetter
+
+    def make_lines_reference(words):
+        lines = []
+        for w in sorted(words, key=attrgetter("depth", "u0")):
+            window = LINE_DEPTH_WINDOW * max(w.fontsize, LINE_MIN_FS)
+            best = None
+            for ln in lines:
+                if abs(ln.depth - w.depth) <= window:
+                    dup = any(
+                        ow.text == w.text
+                        and abs(ow.u0 - w.u0) < DUP_TOL * w.fontsize
+                        and abs(ow.depth - w.depth) < DUP_TOL * w.fontsize
+                        for ow in ln.words
+                    )
+                    if dup:
+                        best = "dup"
+                        break
+                    best = ln
+                    break
+            if best == "dup":
+                continue
+            if best is None:
+                lines.append(Line(words=[w], depth=w.depth))
+            else:
+                best.add_word(w)
+        return lines
+
+    rng = random.Random(4242)
+    for trial in range(200):
+        n = rng.randint(0, 60)
+        words = []
+        for i in range(n):
+            fs = rng.choice([6.0, 10.0, 12.0, 24.0])
+            # depths engineered to land on and around the exact 0.5*max(fs,12)
+            # window boundary, plus duplicates for the overprint path
+            base = rng.choice([0.0, 6.0, 12.0, 18.0, 100.0 / 3.0])
+            depth = base * rng.randint(0, 8) + rng.choice(
+                [0.0, 0.5 * max(fs, LINE_MIN_FS), -0.5 * max(fs, LINE_MIN_FS)])
+            u0 = float(rng.randint(0, 400))
+            text = rng.choice(["a", "bb", "a"])
+            words.append(Word(text, u0, u0 + 8.0, depth, fs, i))
+        got = [(ln.depth, [w.text for w in ln.words]) for ln in make_lines(words)]
+        want = [(ln.depth, [w.text for w in ln.words])
+                for ln in make_lines_reference(words)]
+        assert got == want, trial

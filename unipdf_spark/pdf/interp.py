@@ -647,6 +647,13 @@ class Interpreter:
         wu = font._wu_cache
         wu_get = wu.get
         c2u = font.charcode_to_unicode
+        # loop-invariant hoists, bit-identical: the bound margins are the
+        # same four subtractions the per-glyph check performed, and
+        # space_code folds the (not is_cid and c == 32) pair into one
+        # comparison (CID charcodes never take the Tw adjustment, e:356)
+        pb0m, pb1m = pb0 - 10, pb1 - 10
+        pb2p, pb3p = pb2 + 10, pb3 + 10
+        space_code = -1 if is_cid else 32
         for c in codes:
             hit = wu_get(c)
             if hit is None:
@@ -654,14 +661,14 @@ class Interpreter:
                 hit = (widths(c) * ratio, u, missed)
                 wu[c] = hit
             w, u, missed = hit
-            dx = (w * tfs + tc + (tw if (not is_cid and c == 32) else 0.0)) * th
+            dx = (w * tfs + tc + (tw if c == space_code else 0.0)) * th
             if missed:
                 n_misses += 1
             if u and u != "\x00":
                 e = cum * ma + E0
                 f = cum * mb + F0
                 # page-bounds check (newTextMark e:712) on the glyph origin
-                if pb0 - 10 <= e <= pb2 + 10 and pb1 - 10 <= f <= pb3 + 10:
+                if pb0m <= e <= pb2p and pb1m <= f <= pb3p:
                     # w is the advance in em units for all font kinds (Type3
                     # widths are FontMatrix-scaled at load time)
                     wa, wb = w * A, w * B

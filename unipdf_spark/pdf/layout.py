@@ -20,6 +20,7 @@ Algorithmic re-expression (not a port) of the reference's clustering stages
 from __future__ import annotations
 
 import math
+from bisect import bisect_left
 from dataclasses import dataclass, field
 from operator import attrgetter
 
@@ -326,29 +327,49 @@ def _mark_char_boxes(text: str, mx0: float, my0: float, mx1: float,
 def make_lines(words: list[Word]) -> list[Line]:
     """Depth-band line assembly (arrangeText e:705)."""
     lines: list[Line] = []
+    # lines are created in nondecreasing depth order (words arrive sorted by
+    # depth, and a line's depth is fixed at creation), so the linear "first
+    # line within the window" scan can start near the bisected window floor
+    # and stop past the ceiling.  The bisect is only a hint: candidates are
+    # re-tested with the ORIGINAL |ln.depth - w.depth| <= window predicate
+    # (walk-back covers the one-ulp disagreement between `depth >= w.depth -
+    # window` and the abs form), and the early break is exact because FP
+    # subtraction is monotone over the nondecreasing depths.  Same line
+    # chosen as the full scan, fewer candidates visited.
+    depths: list[float] = []
     for w in sorted(words, key=attrgetter("depth", "u0")):
         window = LINE_DEPTH_WINDOW * max(w.fontsize, LINE_MIN_FS)
+        w_depth = w.depth
+        i0 = bisect_left(depths, w_depth - window)
+        while i0 > 0 and w_depth - depths[i0 - 1] <= window:
+            i0 -= 1
         best = None
-        for ln in lines:
-            if abs(ln.depth - w.depth) <= window:
-                # duplicate-word removal (overprint, tolerance 0.2·fs, e:705)
-                dup = any(
-                    ow.text == w.text
-                    and abs(ow.u0 - w.u0) < DUP_TOL * w.fontsize
-                    and abs(ow.depth - w.depth) < DUP_TOL * w.fontsize
-                    for ow in ln.words
-                )
-                if dup:
-                    best = "dup"
-                    break
-                # avoid merging separate columns into one line? lines may span
-                # columns at equal depth; paragraph stage splits by u-overlap.
-                best = ln
+        for i in range(i0, len(lines)):
+            ln = lines[i]
+            d = ln.depth - w_depth
+            if d > window:
+                break  # every later line is at least this deep
+            if -d > window:
+                continue
+            # duplicate-word removal (overprint, tolerance 0.2·fs, e:705)
+            dup = any(
+                ow.text == w.text
+                and abs(ow.u0 - w.u0) < DUP_TOL * w.fontsize
+                and abs(ow.depth - w_depth) < DUP_TOL * w.fontsize
+                for ow in ln.words
+            )
+            if dup:
+                best = "dup"
                 break
+            # avoid merging separate columns into one line? lines may span
+            # columns at equal depth; paragraph stage splits by u-overlap.
+            best = ln
+            break
         if best == "dup":
             continue
         if best is None:
-            lines.append(Line(words=[w], depth=w.depth))
+            lines.append(Line(words=[w], depth=w_depth))
+            depths.append(w_depth)
         else:
             best.add_word(w)
     return lines
