@@ -285,7 +285,60 @@ class Interpreter:
             self._op_index += 1
             oi = self._op_index
             try:
-                if o == "q":
+                # chain ordered by measured op frequency (TJ/Tj/Tm/BT/Tf/ET/
+                # TL/T* carry ~85% of ops in the corpus mix); branches are
+                # disjoint on `o`, so ordering is behavior-neutral
+                if o == "TJ" and p and isinstance(p[0], list):
+                    for item in p[0]:
+                        if isinstance(item, bytes):
+                            tm = self._show(
+                                item, gs, tm, oi,
+                                actual_text if not actual_consumed else ("" if actual_text is not None else None),
+                            )
+                            if actual_text is not None:
+                                actual_consumed = True
+                        elif isinstance(item, (int, float)):
+                            # TJ kerning: move by -v/1000·Tfs·Th (e:806);
+                            # mmul(translation(dx, 0), tm) inlined with the
+                            # identical flop sequence (incl. the 0.0* terms,
+                            # which keep -0.0/NaN propagation bit-exact)
+                            dx = -float(item) / 1000.0 * gs.text.tfs * gs.text.th
+                            na, nb, nc, nd, ne, nf = tm
+                            tm = (1.0 * na + 0.0 * nc, 1.0 * nb + 0.0 * nd,
+                                  0.0 * na + 1.0 * nc, 0.0 * nb + 1.0 * nd,
+                                  dx * na + 0.0 * nc + ne,
+                                  dx * nb + 0.0 * nd + nf)
+                elif o in ("Tj", "'", '"'):
+                    if o == '"' and len(p) == 3:
+                        gs.text.tw = float(p[0])
+                        gs.text.tc = float(p[1])
+                        s = p[2]
+                    else:
+                        s = p[0] if p else b""
+                    if o in ("'", '"'):
+                        tlm = mmul(translation(0.0, -gs.text.tl), tlm)
+                        tm = tlm
+                    if isinstance(s, bytes):
+                        tm = self._show(
+                            s, gs, tm, oi,
+                            actual_text if not actual_consumed else ("" if actual_text is not None else None),
+                        )
+                        if actual_text is not None:
+                            actual_consumed = True
+                elif o == "Tm" and len(p) == 6:
+                    tlm = tuple(float(v) for v in p)
+                    tm = tlm
+                elif o == "Td" and len(p) == 2:
+                    tlm = mmul(translation(float(p[0]), float(p[1])), tlm)
+                    tm = tlm
+                elif o == "TD" and len(p) == 2:
+                    gs.text.tl = -float(p[1])
+                    tlm = mmul(translation(float(p[0]), float(p[1])), tlm)
+                    tm = tlm
+                elif o == "T*":
+                    tlm = mmul(translation(0.0, -gs.text.tl), tlm)
+                    tm = tlm
+                elif o == "q":
                     stack.append(gs.clone())
                 elif o == "Q":
                     if stack:
@@ -351,49 +404,6 @@ class Interpreter:
                             gs.fill_rgb = rgb
                         else:
                             gs.stroke_rgb = rgb
-                elif o == "Td" and len(p) == 2:
-                    tlm = mmul(translation(float(p[0]), float(p[1])), tlm)
-                    tm = tlm
-                elif o == "TD" and len(p) == 2:
-                    gs.text.tl = -float(p[1])
-                    tlm = mmul(translation(float(p[0]), float(p[1])), tlm)
-                    tm = tlm
-                elif o == "Tm" and len(p) == 6:
-                    tlm = tuple(float(v) for v in p)
-                    tm = tlm
-                elif o == "T*":
-                    tlm = mmul(translation(0.0, -gs.text.tl), tlm)
-                    tm = tlm
-                elif o in ("Tj", "'", '"'):
-                    if o == '"' and len(p) == 3:
-                        gs.text.tw = float(p[0])
-                        gs.text.tc = float(p[1])
-                        s = p[2]
-                    else:
-                        s = p[0] if p else b""
-                    if o in ("'", '"'):
-                        tlm = mmul(translation(0.0, -gs.text.tl), tlm)
-                        tm = tlm
-                    if isinstance(s, bytes):
-                        tm = self._show(
-                            s, gs, tm, oi,
-                            actual_text if not actual_consumed else ("" if actual_text is not None else None),
-                        )
-                        if actual_text is not None:
-                            actual_consumed = True
-                elif o == "TJ" and p and isinstance(p[0], list):
-                    for item in p[0]:
-                        if isinstance(item, bytes):
-                            tm = self._show(
-                                item, gs, tm, oi,
-                                actual_text if not actual_consumed else ("" if actual_text is not None else None),
-                            )
-                            if actual_text is not None:
-                                actual_consumed = True
-                        elif isinstance(item, (int, float)):
-                            # TJ kerning: move by -v/1000·Tfs·Th (e:806)
-                            dx = -float(item) / 1000.0 * gs.text.tfs * gs.text.th
-                            tm = mmul(translation(dx, 0.0), tm)
                 elif o == "Do" and p:
                     self._do_xobject(str(p[0]), gs, resources, oi, depth)
                 elif o == "BI" and p and isinstance(p[0], InlineImage):
