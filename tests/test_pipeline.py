@@ -160,3 +160,130 @@ def test_checkpoint_partial_resume_one_pass(spark):
         docs_pdf.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- span_equality digest-compare equivalence (r11 optimization guard) -------
+# span_equality joins per-doc md5(to_json(key_seq)) digests instead of the
+# full span payloads (pipeline._span_seq_digest). These tests lock the
+# optimization's contract: digest equality must decide EXACTLY like the
+# direct struct-sequence compare — including null/missing-row semantics and
+# null-vs-empty field distinctions — on engineered edges and on a real
+# mixed corpus with planted violations.
+
+
+def _ref_span_equality(docs_pdf, spans_out):
+    """The pre-digest reference implementation (direct sequence compare)."""
+    g = docs_pdf.select(
+        "doc_id", "fixture_class",
+        F.transform(
+            "golden_spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        ).alias("golden_key"),
+    )
+    e = spans_out.select(
+        "doc_id", "error", "n_misses",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        ).alias("got_key"),
+    )
+    return g.join(e, "doc_id", "left").select(
+        "doc_id", "fixture_class", "error", "n_misses",
+        (F.col("golden_key") == F.col("got_key")).alias("match"),
+    )
+
+
+_G_DDL = ("doc_id string, fixture_class string, golden_spans "
+          "array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+_E_DDL = ("doc_id string, spans "
+          "array<struct<kind:string,text:string,media_ref:string,offset:int>>,"
+          " n_misses int, error string")
+
+
+def test_span_equality_digest_edge_semantics(spark):
+    t = ("text", "hello", None, 0)
+    m = ("media", "", "img_abc", 5)
+    cases = [
+        # (name, golden seq, extracted seq or None=missing row, expect)
+        ("equal", [t, m], [t, m], True),
+        ("text_mismatch", [t], [("text", "hellO", None, 0)], False),
+        ("order_swap", [t, m], [m, t], False),
+        ("missing_span", [t, m], [t], False),
+        ("extra_span", [t], [t, m], False),
+        ("both_empty", [], [], True),
+        ("empty_vs_one", [], [t], False),
+        # null vs empty-string must NOT alias (json null-omission check)
+        ("null_vs_empty_text", [("text", None, None, 0)],
+         [("text", "", None, 0)], False),
+        ("null_vs_empty_ref", [("media", "", None, 1)],
+         [("media", "", "", 1)], False),
+        ("null_fields_equal", [("text", None, None, 0)],
+         [("text", None, None, 0)], True),
+        # a text that LOOKS like the neighbour's json must not alias
+        ("json_lookalike", [("text", 'a","media_ref":"x', None, 0)],
+         [("text", "a", "x", 0)], False),
+        ("offset_ignored", [t], [("text", "hello", None, 99)], True),
+        ("missing_row", [t], None, None),
+    ]
+    g_rows = [(f"doc_{i:08d}", name, seq)
+              for i, (name, seq, _e, _x) in enumerate(cases)]
+    e_rows = [(f"doc_{i:08d}", e, 0, None)
+              for i, (_n, _g, e, _x) in enumerate(cases) if e is not None]
+    g_df = spark.createDataFrame(g_rows, _G_DDL)
+    e_df = spark.createDataFrame(e_rows, _E_DDL)
+    got = {r["fixture_class"]: r["match"]
+           for r in pipeline.span_equality(g_df, e_df).collect()}
+    ref = {r["fixture_class"]: r["match"]
+           for r in _ref_span_equality(g_df, e_df).collect()}
+    for name, _g, _e, expect in cases:
+        assert got[name] == expect, (name, got[name], expect)
+        assert got[name] == ref[name], (name, got[name], ref[name])
+
+
+def test_span_equality_digest_corpus_ab(spark):
+    """Full-mix corpus A/B: the digest compare and the reference compare
+    agree doc-for-doc, on clean extraction output AND on mutated output
+    (planted text/order/drop violations must read match=False)."""
+    docs_pdf = pipeline.gen_docs_pdf(spark, 48, partitions=4).persist()
+    spans_out = pipeline.run_extraction(docs_pdf, partitions=4).persist()
+    a = pipeline.span_equality(docs_pdf, spans_out).select("doc_id", "match")
+    b = _ref_span_equality(docs_pdf, spans_out).select("doc_id", "match")
+    div = a.alias("a").join(b.alias("b"), "doc_id").filter(
+        ~F.col("a.match").eqNullSafe(F.col("b.match"))).count()
+    assert div == 0
+    assert a.filter(~F.coalesce("match", F.lit(False))).count() == 0
+
+    # plant violations: flip one char of doc 0's first text span, reverse
+    # doc 1's span order, drop doc 2's last span
+    mut = spans_out.select(
+        "doc_id",
+        F.when(F.col("doc_id") == "doc_00000000", F.transform(
+            "spans", lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                F.when(i == 0, F.concat(s["text"], F.lit("X")))
+                .otherwise(s["text"]).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            )))
+        .when(F.col("doc_id") == "doc_00000001", F.reverse("spans"))
+        .when(F.col("doc_id") == "doc_00000002", F.slice(
+            "spans", 1, F.greatest(F.size("spans") - 1, F.lit(1))))
+        .otherwise(F.col("spans")).alias("spans"),
+        "n_misses", "error",
+    )
+    am = pipeline.span_equality(docs_pdf, mut).select("doc_id", "match")
+    bm = _ref_span_equality(docs_pdf, mut).select("doc_id", "match")
+    div = am.alias("a").join(bm.alias("b"), "doc_id").filter(
+        ~F.col("a.match").eqNullSafe(F.col("b.match"))).count()
+    assert div == 0
+    bad = {r["doc_id"] for r in am.filter(
+        ~F.coalesce("match", F.lit(False))).collect()}
+    assert {"doc_00000000", "doc_00000001"} <= bad
+    docs_pdf.unpersist()
+    spans_out.unpersist()

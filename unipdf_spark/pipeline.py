@@ -336,29 +336,43 @@ def partition_lineage(spans_out: DataFrame) -> DataFrame:
 # --- verification ---------------------------------------------------------------
 
 
+def _span_seq_digest(col: str):
+    """Canonical md5 digest of a span sequence's (kind, text, media_ref)
+    projection. ``to_json`` over the fixed struct schema is injective —
+    field order is schema-fixed, string values are JSON-escaped, and a
+    null field is omitted (consistently on both sides), so two distinct
+    sequences can never serialize alike; a null input array digests to
+    null (preserving the missing-row → match NULL contract)."""
+    return F.md5(F.to_json(F.transform(
+        col,
+        lambda s: F.struct(
+            s["kind"].alias("kind"), s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+        ),
+    )))
+
+
 def span_equality(docs_pdf: DataFrame, spans_out: DataFrame) -> DataFrame:
     """Per-doc span-sequence equality (kind, text, media_ref, order) — the
     north-rule invariant — as a DataFrame join (no driver-side compare).
-    `offset` equality is asserted separately as a property test."""
+    `offset` equality is asserted separately as a property test.
+
+    The compare joins 128-bit per-doc digests, not the span payloads:
+    both sides reduce map-side to (doc_id, md5(to_json(key_seq))), so the
+    join exchange/broadcast carries ~48 bytes per doc instead of the full
+    extracted text (guide §2.3 "shuffle keys and metadata instead of
+    payloads" — at the 1M-doc soak the broadcast side drops from GB-scale
+    span arrays to ~64 MB of digests). Semantics are unchanged: digest
+    equality ≡ sequence equality (injective serialization, see
+    :func:`_span_seq_digest`; the match column A/B against the direct
+    struct-sequence compare is locked by a permanent test)."""
     g = docs_pdf.select(
         "doc_id", "fixture_class",
-        F.transform(
-            "golden_spans",
-            lambda s: F.struct(
-                s["kind"].alias("kind"), s["text"].alias("text"),
-                s["media_ref"].alias("media_ref"),
-            ),
-        ).alias("golden_key"),
+        _span_seq_digest("golden_spans").alias("golden_key"),
     )
     e = spans_out.select(
         "doc_id", "error", "n_misses",
-        F.transform(
-            "spans",
-            lambda s: F.struct(
-                s["kind"].alias("kind"), s["text"].alias("text"),
-                s["media_ref"].alias("media_ref"),
-            ),
-        ).alias("got_key"),
+        _span_seq_digest("spans").alias("got_key"),
     )
     return g.join(e, "doc_id", "left").select(
         "doc_id",
